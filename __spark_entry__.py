@@ -1,38 +1,96 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship graph query; ``queries()`` /
+``oracle_sql()`` expose the SURVEY.md §2 operator inventory for the
+driver's DuckDB correctness harness.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rel_db_to_graph_spark import oracle as _oracle
+from rel_db_to_graph_spark import queries as Q
+
+_SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: infer the graph schema from the registry, build
+    dense-id nodes + edges, compute degree features, and return the
+    top-10 highest-degree customers with their features (G1-G5 + A7 in
+    one lineage)."""
+    from pyspark.sql import functions as F
+
+    from rel_db_to_graph_spark.operators.graph_build import node_frame
+    from rel_db_to_graph_spark.queries import q_degree
+
+    deg = q_degree(spark, _SF0001)
+    feats = node_frame(spark, _SF0001, "customer")
+    return (
+        feats.join(deg, "node_id")
+        .select("node_id", "pk", "c_acctbal", "degree")
+        .orderBy(F.desc("degree"), F.col("node_id"))
+        .limit(10)
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "catalog_tables": Q.q_catalog_tables,
+    "edge_catalog": Q.q_edge_catalog,
+    "metadata_union": Q.q_metadata_union,
+    "scan_project": Q.q_scan_project,
+    "filter_like": Q.q_filter_like,
+    "semi_join": Q.q_semi_join,
+    "anti_join": Q.q_anti_join,
+    "three_table_join": Q.q_three_table_join,
+    "json_props": Q.q_json_props,
+    "one_hot": Q.q_one_hot,
+    "topk_orders": Q.q_topk_orders,
+    "pricing_summary": Q.q_pricing_summary,
+    "revenue_by_nation": Q.q_revenue_by_nation,
+    "eval_metrics": Q.q_eval_metrics,
+    "dense_ids": Q.q_dense_ids,
+    "node_features": Q.q_node_features,
+    "edges_fk": Q.q_edges_fk,
+    "edges_junction": Q.q_edges_junction,
+    "degree": Q.q_degree,
+    "hetero_counts": Q.q_hetero_counts,
+    "self_loops": Q.q_self_loops,
+    "msg_agg": Q.q_msg_agg,
+    "recommend": Q.q_recommend,
+    "link_split": Q.q_link_split,
+    "neighbor_sample": Q.q_neighbor_sample,
+    "negative_sample": Q.q_negative_sample,
+    "text_stats": Q.q_text_stats,
+    "text_quality": Q.q_text_quality,
+    "lang_id": Q.q_lang_id,
+    "fingerprint": Q.q_fingerprint,
+    "exact_dedup": Q.q_exact_dedup,
+    "minhash": Q.q_minhash,
+    "near_dup_pairs": Q.q_near_dup_pairs,
+    "simhash": Q.q_simhash,
+    "ann_brute": Q.q_ann_brute,
+    "ann_lsh": Q.q_ann_lsh,
+    "embedding_dedup": Q.q_embedding_dedup,
+    "multimodal_meta": Q.q_multimodal_meta,
+    "events_hourly": Q.q_events_hourly,
+    "events_sessionize": Q.q_events_sessionize,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins; seeded/sampled ops (link_split, neighbor_sample,
+    negative_sample) are intentionally absent → rows-only checks."""
+    return dict(_oracle.ORACLES)

@@ -1,0 +1,81 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a full materialization (count / collect of the
+final result) so the timing covers scan→shuffle→result, not plan build.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rel_db_to_graph_spark import get_spark
+from rel_db_to_graph_spark import queries as Q
+from rel_db_to_graph_spark.operators.graph_build import build_graph
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_graph_build(spark, sf_dir: str) -> int:
+    """G1-G8 end-to-end: build every node/edge frame and materialize."""
+    g = build_graph(spark, sf_dir)
+    total = 0
+    for df in g["nodes"].values():
+        total += df.count()
+    for df in g["edges"].values():
+        total += df.count()
+    return total
+
+
+HEADLINE = {
+    "graph_build": bench_graph_build,
+    "pricing_summary": lambda s, d: Q.q_pricing_summary(s, d).collect(),
+    "revenue_by_nation": lambda s, d: Q.q_revenue_by_nation(s, d).collect(),
+    "recommend": lambda s, d: Q.q_recommend(s, d).collect(),
+    "degree": lambda s, d: Q.q_degree(s, d).count(),
+    "near_dup_pairs": lambda s, d: Q.q_near_dup_pairs(s, d).count(),
+    "simhash": lambda s, d: Q.q_simhash(s, d).count(),
+    "ann_brute": lambda s, d: Q.q_ann_brute(s, d).collect(),
+    "events_sessionize": lambda s, d: Q.q_events_sessionize(s, d).count(),
+    "eval_metrics": lambda s, d: Q.q_eval_metrics(s, d).collect(),
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/session so the first query doesn't pay session startup
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in HEADLINE.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({
+        "metric": "headline_queries_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+    }))
+
+
+if __name__ == "__main__":
+    main()

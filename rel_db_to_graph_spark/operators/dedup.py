@@ -1,0 +1,256 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of each choice):
+
+  * Exact dedup — md5(normalized text) groupBy. One shuffle on a 32-char
+    key; representative = min(doc_id) so the survivor set is deterministic.
+  * MinHash — the k-element signature is a *per-row* higher-order
+    expression (``array_min`` over the shingle array per hash seed): no
+    explode, no shuffle, no UDF. 100 TB cost = one map pass.
+  * LSH banding — signatures are folded into B band keys; candidate pairs
+    come from an equi-join on (band, key). That turns the O(n²) all-pairs
+    problem into a hash-partitioned join whose fan-out is bounded by
+    bucket size — the only shuffle in the pipeline, and it shuffles
+    32-char digests, not documents.
+  * Verification — Jaccard over distinct shingle sets, computed only for
+    candidate pairs (array_intersect on the two shingle arrays).
+  * SimHash — 64-bit per-row signature via bit-majority of token md5s;
+    near-dup = small Hamming distance. Expressed entirely in codegen'd
+    higher-order functions.
+
+Hash choice: md5 — not for speed (xxhash64 is faster) but because it is
+bit-identical in every engine (Spark, DuckDB, Trino, Python hashlib), which
+makes every op here oracle-checkable. Swap ``F.md5`` for ``F.xxhash64``
+in production for ~3x hash throughput; the structure is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rel_db_to_graph_spark.operators.text import fingerprint, normalize, tokens
+
+SHINGLE_WIDTH = 8
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def shingles(norm: Column, width: int = SHINGLE_WIDTH) -> Column:
+    """Character shingles of the normalized text (array<string>).
+
+    ``sequence(1, greatest(len-w+1, 1))`` guards degenerate short docs.
+    """
+    n = F.greatest(F.length(norm) - (width - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n),
+                       lambda i: F.substring(norm, i, width))
+
+
+#: affine-hash params: aᵢ ~1e6 keeps aᵢ·h < 2^62 (no int64 overflow in
+#: either engine); modulus is the largest 32-bit prime
+def hash_params(i: int) -> tuple[int, int]:
+    return 1_000_003 + 97 * i, 7_919 * i + 13
+
+
+MOD = 4_294_967_291
+_HEX = "0123456789abcdef"
+
+
+def _hex32(digest: Column) -> Column:
+    """First 8 hex chars of a digest -> 32-bit int via the ``conv``
+    builtin (one JVM call; the DuckDB oracle reproduces the same value
+    with vectorized Horner strpos arithmetic — equal VALUES, each
+    engine's cheapest expression)."""
+    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+
+
+def shingle_hashes(sh: Column) -> Column:
+    """array<long>: ONE md5 per shingle, parsed to a 32-bit int. The k
+    min-hash draws then reuse this array with k cheap affine hashes —
+    16x fewer md5 calls than hashing (seed||shingle) per draw."""
+    return F.transform(sh, lambda s: _hex32(F.md5(s)))
+
+
+def minhash_signature(hashes: Column, k: int = NUM_HASHES) -> Column:
+    """array<long> of k min-hashes over the pre-hashed shingle array:
+    sigᵢ = min over h of (aᵢ·h + bᵢ) mod p. Per-row, no shuffle."""
+    def affine(a: int, b: int):
+        # one-arg closure: default-arg lambdas would be mistaken for the
+        # (element, index) HOF form by pyspark's arity introspection
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MOD)
+
+    sigs = []
+    for i in range(k):
+        a, b = hash_params(i)
+        sigs.append(F.array_min(F.transform(hashes, affine(a, b))))
+    return F.array(*sigs)
+
+
+def band_keys(sig: Column, bands: int = BANDS,
+              rows_per_band: int = ROWS_PER_BAND) -> Column:
+    """Fold the signature into `bands` digest keys (array<string>)."""
+    return F.array(*[
+        F.md5(F.concat_ws("|", *[
+            F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+            for r in range(rows_per_band)
+        ]))
+        for b in range(bands)
+    ])
+
+
+def doc_signatures(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", materialize: bool = True) -> DataFrame:
+    """(id, fingerprint, shingle_set, minhash, bands) per document.
+
+    Two-stage plan: (1) shingle the normalized text ONCE and persist —
+    the 16 min-hash folds and the downstream self-joins then read the
+    materialized array instead of re-deriving ~L shingles × 16 hashes ×
+    4 plan branches (which also blows the codegen method-size limit and
+    drops the whole expression into interpreted mode); (2) per-row
+    min-hash + band keys over the stored array. MinHash over the
+    *distinct* shingle set equals min over the multiset, so one array
+    serves both signature and Jaccard verification.
+
+    At 100 TB ``materialize`` becomes a parquet checkpoint of the
+    signature table — the standard shape: signatures are computed once
+    per corpus snapshot and reused by every dedup/search consumer.
+    """
+    # a small parquet file arrives as ONE partition; spread the (cpu-heavy)
+    # shingle/hash work across the cluster before computing it
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism, F.col(id_col))
+
+    # Materialize the normalized text behind a plan barrier FIRST. The
+    # shingle lambda `substring(norm, i, w)` re-evaluates whatever
+    # expression `norm` is bound to once PER ELEMENT — if the regex
+    # normalization chain is inlined there (and CollapseProject will
+    # inline it), a 300-char doc pays ~300 regex evaluations instead of
+    # one. After the barrier the lambda captures a bound attribute, read
+    # per element for free. (At 100 TB this barrier is the parquet
+    # checkpoint of the normalized corpus.)
+    normed = docs.select(
+        F.col(id_col), normalize(F.col(text_col)).alias("_norm"))
+    if materialize:
+        normed = normed.localCheckpoint(eager=True)
+
+    hashed = normed.select(
+        F.col(id_col),
+        F.md5(F.col("_norm")).alias("fingerprint"),
+        F.array_distinct(shingles(F.col("_norm"))).alias("shingle_set"),
+    ).withColumn("_hashes", shingle_hashes(F.col("shingle_set")))
+    if materialize:
+        # second barrier: the 16 min-hash projections and the LSH/Jaccard
+        # self-join branches all re-read the hashed shingles; without it
+        # each branch recomputes every md5 (localCheckpoint, not persist:
+        # the columnar cache encoder is pathologically slow on nested
+        # array columns)
+        hashed = hashed.localCheckpoint(eager=True)
+    sig = minhash_signature(F.col("_hashes"))
+    out = hashed.select(
+        F.col(id_col), "fingerprint", "shingle_set",
+        sig.alias("minhash"), band_keys(sig).alias("bands"),
+    )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+    return out
+
+
+def exact_duplicate_groups(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """(fingerprint, n_docs, keep_id) for groups with >1 member."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id_a, id_b) pairs sharing ≥1 LSH band (id_a < id_b).
+
+    The posexplode keeps band index in the join key so band-0 of doc x
+    can't collide with band-1 of doc y.
+    """
+    exploded = sigs.select(
+        F.col(id_col),
+        F.posexplode("bands").alias("band", "key"),
+    )
+    a = exploded.withColumnsRenamed({id_col: "id_a"})
+    b = exploded.withColumnsRenamed({id_col: "id_b"})
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|A∩B| / |A∪B| over distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def near_duplicate_pairs(docs: DataFrame, threshold: float = 0.7,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """MinHash-LSH candidates verified by exact shingle Jaccard:
+    (id_a, id_b, jaccard) with jaccard ≥ threshold."""
+    sigs = doc_signatures(docs, id_col, text_col)
+    pairs = lsh_candidate_pairs(sigs)
+    sa = sigs.select(F.col(id_col).alias("id_a"),
+                     F.col("shingle_set").alias("sh_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"),
+                     F.col("shingle_set").alias("sh_b"))
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b",
+                F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+
+def simhash_bits(digests: Column, n_bits: int = 64) -> Column:
+    """64-bit SimHash as a '0'/'1' string (bit-string avoids signed-
+    overflow asymmetries between engines).
+
+    ``digests`` must be a BOUND column of per-token md5 digests (see
+    simhash_table): each of the 64 vote expressions re-evaluates the
+    captured array expression, so an inlined tokenize+md5 chain would be
+    recomputed 64x per row.
+
+    bit j = majority vote over digests of bit (3 - j%4) of hex digit j//4.
+    """
+
+    def bit_of(digest: Column, j: int) -> Column:
+        digit = F.instr(F.lit(_HEX), F.substring(digest, j // 4 + 1, 1)) - 1
+        return F.shiftright(digit, 3 - j % 4) % 2
+
+    def vote_fn(j: int):
+        # two-arg lambda: a default-arg closure would make pyspark treat
+        # the third parameter as the element-index argument
+        return lambda acc, d: acc + bit_of(d, j) * 2 - 1
+
+    votes = [F.aggregate(digests, F.lit(0), vote_fn(j)) for j in range(n_bits)]
+    return F.concat(*[F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))
+                      for v in votes])
+
+
+def simhash_table(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", materialize: bool = True) -> DataFrame:
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism, F.col(id_col))
+    staged = docs.select(
+        F.col(id_col),
+        F.transform(tokens(normalize(F.col(text_col))), F.md5).alias("_digests"))
+    if materialize:
+        # barrier: 64 vote expressions each re-read the digest array
+        staged = staged.localCheckpoint(eager=True)
+    return staged.select(F.col(id_col),
+                         simhash_bits(F.col("_digests")).alias("simhash"))

@@ -1,0 +1,76 @@
+"""Event-stream analytics (batch side; streaming/ has the readStream
+variants). The events table carries nanosecond timestamps which Spark
+reads as long (session.py); conversion keeps integer division so no
+precision is lost (ns values overflow double's 53-bit mantissa).
+
+Both ops are the batch twins of standard streaming shapes:
+  * hourly_rollup  — tumbling-window aggregate (watermark+window in the
+    streaming variant). One shuffle on (event_type, hour).
+  * sessionize     — gap-based sessionization via lag/cumsum windows,
+    partitioned by user: scales with users, the per-user sort is local
+    to its hash partition.
+
+Aggregate sums go through decimal casts so results are partition-order
+independent (hash-stable for the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_SEC = 1800
+
+
+def with_event_time(events: DataFrame) -> DataFrame:
+    """ns-since-epoch long -> timestamp (integer div: no double rounding)."""
+    return events.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """(event_type, hour, n_events, n_users, sum_value) — tumbling 1h."""
+    e = with_event_time(events)
+    return (
+        e.groupBy(
+            F.col("event_type"),
+            F.date_format(F.date_trunc("hour", F.col("event_time")),
+                          "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
+    """Gap-based sessions: (user_id, session_id, n_events, session_start,
+    duration_sec). A new session starts when the gap to the previous event
+    of the same user exceeds ``gap_sec``. Ties on ts are broken by
+    event_id so the window order is total and deterministic."""
+    # microsecond domain: DuckDB's parquet reader truncates ns timestamps
+    # to µs, so µs is the finest oracle-comparable resolution
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = F.lit(int(gap_sec) * 1_000_000)
+    flagged = events.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+        "_new",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > gap_us, F.lit(1))
+        .otherwise(F.lit(0)),
+    ).withColumn(
+        "_first",
+        F.when(F.lag("ts_us").over(w).isNull(), F.lit(1)).otherwise(F.lit(0)))
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum(F.col("_new") + F.col("_first")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.timestamp_micros(F.min("ts_us")),
+                          "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            ((F.max("ts_us") - F.min("ts_us")) / F.lit(1_000_000.0))
+            .alias("duration_sec"),
+        )
+    )

@@ -1,0 +1,252 @@
+"""G2-G8 — heterogeneous graph construction as DataFrame plans.
+
+Reference pipeline (convert_to_graph.py:260-271):
+    infer -> edge data -> node data -> format (dense ids + tensors)
+    -> degree features -> reverse edges -> self loops -> save
+
+Spark re-expression:
+  * dense ids        — the reference builds a python dict
+    ``{pk: i for i, pk in enumerate(unique)}`` (C:27) and later *assumes*
+    SQL row order == dense id (inference.py:100). That is the single
+    least-scalable structure in the reference. Here ids are a DataFrame
+    ``(pk, node_id)``:
+      - ``dense_ids``          : row_number over ORDER BY pk — fully
+        deterministic and oracle-checkable; the global sort is fine for
+        dimension-sized tables but is a single-stage total sort.
+      - ``dense_ids_scalable`` : per-partition enumerate + offset
+        (zipWithIndex pattern) — no total sort, ids still dense 0..N-1,
+        deterministic given a deterministic input partitioning (we force
+        one with repartition-by-hash + sortWithinPartitions). Use this
+        path at 100 TB where the id->pk correspondence needs only to be
+        *stable*, not *sorted*.
+  * edge endpoint remap — the reference's dict lookups (C:44-45) become
+    two equi-joins against the id maps (J5). AQE broadcasts the id map
+    when the node table is dimension-sized; otherwise it is a shuffle
+    hash join on the natural key — exactly what you want at scale.
+  * degree (G5, C:217-241) — union of per-edge-type endpoint counts,
+    groupBy-sum, +1, isolated nodes default 1. Runs BEFORE reverse /
+    self-loop edges (C:266). Self-referencing edge types count only the
+    src endpoint (the ``min(edge.index(node), 1)`` quirk at C:224 —
+    reproduced deliberately).
+  * reverse edges (G6, C:243-249) — swapped endpoints, relation
+    'REVERSE_'+rel, *skipping* self-type edges (C:245).
+  * self loops (G7, C:252-257) — (id, id) per node.
+  * sink (S9) — partitioned parquet ``graph/nodes/<type>``,
+    ``graph/edges/<src>__<rel>__<dst>`` instead of a torch.save blob
+    (C:271): splittable, schema'd, predicate-pushable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rel_db_to_graph_spark.sources.catalog import (
+    FOREIGN_KEYS,
+    PRIMARY_KEYS,
+    load_table,
+)
+
+#: spark simple-type names treated as numeric features (P6 analog of
+#: polars NUMERIC_DTYPES, C:158)
+_NUMERIC_TYPES = {"int", "bigint", "smallint", "tinyint", "float", "double"}
+
+
+def pk_cols_of(table: str) -> list[str]:
+    return [k for t, k, _ in PRIMARY_KEYS if t == table]
+
+
+def fk_cols_of(table: str) -> list[str]:
+    return [c for t, c, _tt, _tc in FOREIGN_KEYS if t == table]
+
+
+def numeric_feature_cols(df: DataFrame, table: str) -> list[str]:
+    """P5+P6: drop PK and FK columns, keep numeric scalars (C:154-158)."""
+    drop = set(pk_cols_of(table)) | set(fk_cols_of(table))
+    return [c for c, t in df.dtypes if c not in drop and t in _NUMERIC_TYPES]
+
+
+def dense_ids(df: DataFrame, pk: str) -> DataFrame:
+    """(pk, node_id) with node_id = dense 0..N-1 ordered by pk (A4/W2).
+
+    Deterministic and ANSI-SQL expressible (row_number() - 1). The global
+    window is a total sort — acceptable for node/dimension tables; for
+    billion-row node sets prefer ``dense_ids_scalable``.
+    """
+    w = Window.orderBy(pk)
+    return (df.select(pk).distinct()
+            .select(F.col(pk).alias("pk"),
+                    (F.row_number().over(w) - 1).cast("long").alias("node_id")))
+
+
+def dense_ids_scalable(df: DataFrame, pk: str, num_partitions: int = 0) -> DataFrame:
+    """Dense 0..N-1 ids without a total sort (the 100 TB path).
+
+    Hash-repartition on pk, sort within partitions (determinism), then
+    per-partition enumerate + exclusive-prefix-sum offsets. One narrow
+    pass + one tiny driver-side offset array (num_partitions longs).
+    """
+    distinct = df.select(F.col(pk).alias("pk")).distinct()
+    if num_partitions:
+        distinct = distinct.repartition(num_partitions, "pk")
+    else:
+        distinct = distinct.repartition("pk")
+    distinct = distinct.sortWithinPartitions("pk")
+
+    sizes = distinct.rdd.mapPartitionsWithIndex(
+        lambda i, it: [(i, sum(1 for _ in it))]).collect()
+    offsets = {}
+    acc = 0
+    for i, n in sorted(sizes):
+        offsets[i] = acc
+        acc += n
+
+    def assign(i, it):
+        base = offsets[i]
+        for j, row in enumerate(it):
+            yield (row.pk, base + j)
+
+    return distinct.rdd.mapPartitionsWithIndex(assign).toDF(["pk", "node_id"])
+
+
+def node_frame(spark: SparkSession, sf_dir: str, table: str,
+               scalable_ids: bool = False) -> DataFrame:
+    """G2: (node_id, pk, <numeric feature cols as double>) for one table."""
+    df = load_table(spark, sf_dir, table)
+    pk = pk_cols_of(table)[0]
+    feats = numeric_feature_cols(df, table)
+    ids = (dense_ids_scalable(df, pk) if scalable_ids else dense_ids(df, pk))
+    return (
+        df.select(F.col(pk).alias("pk"),
+                  *[F.col(c).cast("double").alias(c) for c in feats])
+        .join(ids, "pk")
+        .select("node_id", "pk", *feats)
+    )
+
+
+def edge_pairs(spark: SparkSession, sf_dir: str, pair_table: str,
+               src_col: str, dst_col: str) -> DataFrame:
+    """G3 scan: 2-column projection (S7) + null-drop (P9) -> (src_pk, dst_pk)."""
+    df = load_table(spark, sf_dir, pair_table)
+    return (df.select(F.col(src_col).alias("src_pk"),
+                      F.col(dst_col).alias("dst_pk"))
+            .na.drop())
+
+
+def edges_dense(pairs: DataFrame, src_ids: DataFrame, dst_ids: DataFrame) -> DataFrame:
+    """G3/J5: remap endpoints through the id maps -> (src, dst)."""
+    return (
+        pairs
+        .join(src_ids.withColumnsRenamed({"pk": "src_pk", "node_id": "src"}),
+              "src_pk")
+        .join(dst_ids.withColumnsRenamed({"pk": "dst_pk", "node_id": "dst"}),
+              "dst_pk")
+        .select("src", "dst")
+    )
+
+
+def degree(node_ids: DataFrame,
+           incident: list[tuple[bool, bool, DataFrame]]) -> DataFrame:
+    """G5: (node_id, degree) for one node type.
+
+    ``incident`` lists (is_src, is_dst, edge_df) for every edge type
+    touching this node type (forward edges only — degrees are computed
+    before reverse/self-loop edges, C:266). For self-referencing edge
+    types pass is_dst=False (the C:224 quirk).
+    """
+    counted = []
+    for is_src, is_dst, e in incident:
+        if is_src:
+            counted.append(e.select(F.col("src").alias("node_id")))
+        if is_dst:
+            counted.append(e.select(F.col("dst").alias("node_id")))
+    if not counted:
+        return node_ids.select("node_id", F.lit(1).cast("long").alias("degree"))
+    ends = counted[0]
+    for c in counted[1:]:
+        ends = ends.unionAll(c)
+    # partial (map-side) aggregation is automatic in the groupBy
+    cnt = ends.groupBy("node_id").agg(F.count("*").alias("cnt"))
+    return (
+        node_ids.select("node_id")
+        .join(cnt, "node_id", "left")
+        .select("node_id",
+                F.coalesce(F.col("cnt") + 1, F.lit(1)).cast("long").alias("degree"))
+    )
+
+
+def reverse_edges(edge_type: tuple[str, str, str], edges: DataFrame) -> DataFrame | None:
+    """G6: swapped-endpoint reverse edges; None for self-type edges (C:245)."""
+    src_t, _rel, dst_t = edge_type
+    if src_t == dst_t:
+        return None
+    return edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+
+
+def self_loops(node_ids: DataFrame) -> DataFrame:
+    """G7: (id, id) identity pairs."""
+    return node_ids.select(F.col("node_id").alias("src"),
+                           F.col("node_id").alias("dst"))
+
+
+def build_graph(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
+                scalable_ids: bool = False) -> dict:
+    """G8: full assembly. Returns {'nodes': {t: DF}, 'edges': {(s,r,d): DF}}.
+
+    Order matches the reference (C:260-271): infer -> edges -> nodes ->
+    degree -> reverse -> self loops (-> parquet sink if out_dir).
+    """
+    from rel_db_to_graph_spark.plans.inference import edge_catalog, node_tables
+
+    ecat = [r.asDict() for r in edge_catalog(spark).collect()]   # metadata-scale
+    ntabs = [r.table_name for r in node_tables(spark).collect()]
+
+    ids = {}
+    nodes = {}
+    for t in ntabs:
+        # persist the node frame: the id map is re-read by every incident
+        # edge remap, the degree join, and self-loops — without a cache
+        # each consumer would redo the dense-id sort. (At 100 TB this
+        # cache is the out_dir parquet sink instead.)
+        nf = node_frame(spark, sf_dir, t, scalable_ids=scalable_ids).persist()
+        ids[t] = nf.select("pk", "node_id")
+        nodes[t] = nf
+
+    edges: dict[tuple[str, str, str], DataFrame] = {}
+    for e in ecat:
+        key = (e["src_table"], e["relation"], e["dst_table"])
+        pairs = edge_pairs(spark, sf_dir, e["pair_table"], e["src_col"], e["dst_col"])
+        edges[key] = edges_dense(pairs, ids[e["src_table"]],
+                                 ids[e["dst_table"]]).persist()
+
+    # degree features (before reverse/self-loops, C:266)
+    for t in ntabs:
+        incident = []
+        for (s, _r, d), edf in edges.items():
+            if s == t and d == t:
+                incident.append((True, False, edf))      # C:224 quirk
+            elif s == t:
+                incident.append((True, False, edf))
+            elif d == t:
+                incident.append((False, True, edf))
+        deg = degree(ids[t].select("node_id"), incident)
+        nodes[t] = nodes[t].join(deg, "node_id")
+
+    # reverse edges (G6)
+    for key, edf in list(edges.items()):
+        rev = reverse_edges(key, edf)
+        if rev is not None:
+            s, r, d = key
+            edges[(d, f"REVERSE_{r}", s)] = rev
+
+    # self loops (G7)
+    for t in ntabs:
+        edges[(t, "SELF_LOOP", t)] = self_loops(ids[t])
+
+    if out_dir:
+        for t, df in nodes.items():
+            df.write.mode("overwrite").parquet(f"{out_dir}/nodes/{t}")
+        for (s, r, d), df in edges.items():
+            df.write.mode("overwrite").parquet(f"{out_dir}/edges/{s}__{r}__{d}")
+
+    return {"nodes": nodes, "edges": edges}

@@ -1,0 +1,91 @@
+"""Similarity search over an embedding column (array<float>, 64-dim in the
+testdata).
+
+Two paths, per the 100 TB playbook:
+
+  * ``brute_force_topk`` — exact cosine top-k. The query vector is a
+    one-row DataFrame crossJoin'd in (broadcast — it is literally one
+    row), the dot product is a codegen'd fold (functions/vector.py), and
+    the only wide operation is the final ``orderBy().limit(k)`` which
+    Spark executes as a per-partition TakeOrdered + driver merge of k
+    rows, NOT a total sort. Linear scan, embarrassingly parallel: the
+    right baseline and the right recall=1.0 answer.
+  * ``lsh_topk`` — sign-bit LSH bucketing: vectors are pre-bucketed by
+    the signs of their first b dims, the query probes only its own
+    bucket, so the scan touches ~1/2^b of the data. Recall < 1 by
+    construction; bucket assignment is an equi-join key, so at scale the
+    candidate fetch is a partition-pruned read, not a shuffle. (An IVF
+    variant would replace sign buckets with k-means centroids — same
+    join shape.)
+  * ``embedding_near_dup_pairs`` — embedding-cosine near-dup detection:
+    same-bucket equi-join generates candidate pairs (no cross join),
+    exact cosine verifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rel_db_to_graph_spark.functions.vector import cosine, sign_bucket, to_double
+
+
+def _with_vec(embeddings: DataFrame, vec_col: str) -> DataFrame:
+    return embeddings.withColumn("_v", to_double(F.col(vec_col)))
+
+
+def brute_force_topk(embeddings: DataFrame, query_id: int, k: int = 10,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k neighbours of ``query_id`` (excluded itself).
+
+    Returns (vec_id, score) — score rounded so results are hash-stable.
+    """
+    e = _with_vec(embeddings, vec_col)
+    q = (e.filter(F.col(id_col) == query_id)
+         .select(F.col("_v").alias("_q")))
+    return (
+        e.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col),
+                F.round(cosine(F.col("_v"), F.col("_q")), 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_topk(embeddings: DataFrame, query_id: int, k: int = 10,
+             n_bits: int = 8, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: probe only the query's sign-bit bucket."""
+    e = _with_vec(embeddings, vec_col).withColumn(
+        "_bucket", sign_bucket(F.col("_v"), n_bits))
+    q = (e.filter(F.col(id_col) == query_id)
+         .select(F.col("_v").alias("_q"), F.col("_bucket")))
+    return (
+        e.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q), "_bucket")
+        .select(F.col(id_col),
+                F.round(cosine(F.col("_v"), F.col("_q")), 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                             n_bits: int = 8, id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """(id_a, id_b, score) same-bucket pairs with cosine ≥ threshold."""
+    e = _with_vec(embeddings, vec_col).withColumn(
+        "_bucket", sign_bucket(F.col("_v"), n_bits))
+    a = e.select(F.col("_bucket"), F.col(id_col).alias("id_a"),
+                 F.col("_v").alias("_va"))
+    b = e.select(F.col("_bucket"), F.col(id_col).alias("id_b"),
+                 F.col("_v").alias("_vb"))
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("score"))
+        .filter(F.col("score") >= threshold)
+    )

@@ -1,0 +1,584 @@
+"""DuckDB oracle SQL — the ANSI-SQL twin of every query in ``queries.py``.
+
+Parity rules encoded here (mirrored in the Spark expressions):
+  * DuckDB ``regexp_replace`` needs the 'g' flag to match Spark's
+    replace-all semantics (only required for non-anchored patterns);
+  * sums of doubles go through DECIMAL casts on BOTH sides (order-
+    independent, so the value-hash is stable);
+  * every rounded value uses the same round(x, 6);
+  * md5() is bit-identical in both engines — it anchors fingerprints,
+    MinHash, SimHash, and the multimodal decode stub;
+  * integer-returning Spark ops (size, row_number-1, counts) are cast to
+    long to match DuckDB's BIGINT.
+"""
+
+from __future__ import annotations
+
+from rel_db_to_graph_spark.sources.catalog import TABLES, registry_cte
+
+# ---------------------------------------------------------------- shared snippets
+
+REG = registry_cte()
+
+
+def norm_sql(col: str) -> str:
+    """Text normalization — twin of operators/text.py::normalize."""
+    return ("trim(regexp_replace(regexp_replace(lower(" + col +
+            "), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+
+
+def ids_cte(table: str, pk: str) -> str:
+    """Dense-id assignment — twin of operators/graph_build.py::dense_ids."""
+    return (f"SELECT {pk} AS pk, CAST(row_number() OVER (ORDER BY {pk}) - 1 "
+            f"AS BIGINT) AS node_id FROM (SELECT DISTINCT {pk} FROM {table})")
+
+
+_STEM = "regexp_replace(regexp_replace({col}, '^[a-z]{{1,2}}_', ''), 'key$', '')"
+_REL = "'has' || upper(substr(stem, 1, 1)) || substr(stem, 2)"
+_NORM_KEY = "regexp_replace({col}, '^[a-z]{{1,2}}_', '')"
+
+SIGMOID = "1 / (1 + exp(-({z})))"
+
+# ---------------------------------------------------------------- oracle strings
+
+CATALOG_TABLES = REG + """
+SELECT table_name, CAST(count(*) AS BIGINT) AS pk_cols,
+       CASE WHEN count(*) = 1 THEN 'node'
+            WHEN count(*) = 2 THEN 'junction' ELSE 'other' END AS kind
+FROM primary_keys GROUP BY table_name
+"""
+
+EDGE_CATALOG = REG + f"""
+, nodes AS (
+    SELECT table_name, min(key) AS key FROM primary_keys
+    GROUP BY table_name HAVING count(*) = 1
+), fk_edges AS (
+    SELECT src_table, {_REL} AS relation, dst_table, pair_table, src_col, dst_col
+    FROM (
+        SELECT n.table_name AS src_table, f.target_table AS dst_table,
+               f.source_table AS pair_table, n.key AS src_col,
+               f.from_col AS dst_col,
+               {_STEM.format(col='f.from_col')} AS stem
+        FROM foreign_keys f JOIN nodes n ON f.source_table = n.table_name)
+), jt AS (
+    SELECT table_name, key, seq FROM primary_keys
+    WHERE table_name IN (SELECT table_name FROM primary_keys
+                         GROUP BY table_name HAVING count(*) = 2)
+), jn_edges AS (
+    SELECT src_table, {_REL} AS relation, dst_table, pair_table, src_col, dst_col
+    FROM (
+        SELECT ns.table_name AS src_table, nd.table_name AS dst_table,
+               s.table_name AS pair_table, s.key AS src_col, d.key AS dst_col,
+               {_STEM.format(col='d.key')} AS stem
+        FROM jt s
+        JOIN jt d ON s.table_name = d.table_name AND s.seq = 0 AND d.seq = 1
+        JOIN nodes ns
+          ON {_NORM_KEY.format(col='s.key')} = {_NORM_KEY.format(col='ns.key')}
+        JOIN nodes nd
+          ON {_NORM_KEY.format(col='d.key')} = {_NORM_KEY.format(col='nd.key')})
+)
+SELECT * FROM fk_edges UNION ALL SELECT * FROM jn_edges
+"""
+
+METADATA_UNION = REG + """
+SELECT table_name, key, seq,
+       CAST(NULL AS VARCHAR) AS source_table, CAST(NULL AS VARCHAR) AS from_col,
+       CAST(NULL AS VARCHAR) AS target_table, CAST(NULL AS VARCHAR) AS to_col
+FROM primary_keys
+UNION ALL
+SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+       source_table, from_col, target_table, to_col
+FROM foreign_keys
+"""
+
+SCAN_PROJECT = "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem"
+
+FILTER_LIKE = """
+SELECT p_partkey, p_name, p_type, p_size FROM part
+WHERE p_type NOT LIKE '%a%' AND p_size > 20
+"""
+
+SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND c_acctbal > 0
+"""
+
+ANTI_JOIN = """
+SELECT p_partkey, p_name FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+THREE_TABLE_JOIN = """
+SELECT o_orderkey, concat_ws(' - ', c_name, o_orderpriority) AS display, n_name
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+"""
+
+JSON_PROPS = """
+SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+FROM events
+"""
+
+_SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+ONE_HOT = "SELECT c_custkey, " + ", ".join(
+    f"CAST(CASE WHEN c_mktsegment = '{s}' THEN 1 ELSE 0 END AS INTEGER) "
+    f"AS seg_{s.lower()}" for s in _SEGS) + " FROM customer"
+
+TOPK_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def _dec_sum(expr: str, alias: str, scale: str = "DECIMAL(27,6)") -> str:
+    return f"CAST(SUM(CAST({expr} AS {scale})) AS DOUBLE) AS {alias}"
+
+
+PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dec_sum('l_quantity', 'sum_qty')},
+       {_dec_sum('l_extendedprice', 'sum_base_price')},
+       {_dec_sum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       count(*) AS count_order,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / count(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+REVENUE_BY_NATION = f"""
+SELECT n_name, {_dec_sum('o_totalprice', 'revenue')}, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+_P = SIGMOID.format(z="(o_totalprice - 250000.0) / 100000.0")
+EVAL_METRICS = f"""
+WITH base AS (
+    SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+           CASE WHEN o_totalprice > 250000.0 THEN 1 ELSE 0 END AS yhat,
+           {_P} AS p
+    FROM orders
+), scored AS (
+    SELECT y, yhat, -(y * ln(p) + (1 - y) * ln(1 - p)) AS loss FROM base
+), agg AS (
+    SELECT count(*) AS n,
+           SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS tp,
+           SUM(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS fp,
+           SUM(CASE WHEN y = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS fn,
+           CAST(SUM(CAST(loss AS DECIMAL(27,8))) AS DOUBLE) AS loss_sum
+    FROM scored
+)
+SELECT n, round((n - fp - fn) / n, 6) AS acc,
+       round(tp / (tp + fp), 6) AS prec,
+       round(tp / (tp + fn), 6) AS rec,
+       round(loss_sum / n, 6) AS bce
+FROM agg
+"""
+
+DENSE_IDS = "WITH ids AS (" + ids_cte("customer", "c_custkey") + ") SELECT pk, node_id FROM ids"
+
+NODE_FEATURES = f"""
+WITH ids AS ({ids_cte('part', 'p_partkey')})
+SELECT node_id, pk, CAST(p_size AS DOUBLE) AS p_size,
+       CAST(p_retailprice AS DOUBLE) AS p_retailprice
+FROM part JOIN ids ON p_partkey = ids.pk
+"""
+
+EDGES_FK = f"""
+WITH oid AS ({ids_cte('orders', 'o_orderkey')}),
+     cid AS ({ids_cte('customer', 'c_custkey')})
+SELECT oid.node_id AS src, cid.node_id AS dst
+FROM orders
+JOIN oid ON o_orderkey = oid.pk
+JOIN cid ON o_custkey = cid.pk
+WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+"""
+
+EDGES_JUNCTION = f"""
+WITH oid AS ({ids_cte('orders', 'o_orderkey')}),
+     pid AS ({ids_cte('part', 'p_partkey')})
+SELECT oid.node_id AS src, pid.node_id AS dst
+FROM lineitem
+JOIN oid ON l_orderkey = oid.pk
+JOIN pid ON l_partkey = pid.pk
+WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+"""
+
+DEGREE = f"""
+WITH cid AS ({ids_cte('customer', 'c_custkey')}),
+     oid AS ({ids_cte('orders', 'o_orderkey')}),
+     nid AS ({ids_cte('nation', 'n_nationkey')}),
+     oc AS (SELECT cid.node_id AS dst FROM orders
+            JOIN oid ON o_orderkey = oid.pk JOIN cid ON o_custkey = cid.pk
+            WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL),
+     cn AS (SELECT cid.node_id AS src FROM customer
+            JOIN cid ON c_custkey = cid.pk JOIN nid ON c_nationkey = nid.pk
+            WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL),
+     ends AS (SELECT dst AS node_id FROM oc UNION ALL SELECT src FROM cn),
+     cnt AS (SELECT node_id, count(*) AS cnt FROM ends GROUP BY node_id)
+SELECT cid.node_id, CAST(coalesce(cnt.cnt + 1, 1) AS BIGINT) AS degree
+FROM cid LEFT JOIN cnt ON cid.node_id = cnt.node_id
+"""
+
+_FWD_COUNTS = [
+    ("nation", "hasRegion", "region",
+     "SELECT count(*) FROM nation JOIN region ON n_regionkey = r_regionkey "
+     "WHERE n_nationkey IS NOT NULL AND n_regionkey IS NOT NULL"),
+    ("customer", "hasNation", "nation",
+     "SELECT count(*) FROM customer JOIN nation ON c_nationkey = n_nationkey "
+     "WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL"),
+    ("supplier", "hasNation", "nation",
+     "SELECT count(*) FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+     "WHERE s_suppkey IS NOT NULL AND s_nationkey IS NOT NULL"),
+    ("orders", "hasCust", "customer",
+     "SELECT count(*) FROM orders JOIN customer ON o_custkey = c_custkey "
+     "WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL"),
+    ("orders", "hasPart", "part",
+     "SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+     "JOIN part ON l_partkey = p_partkey "
+     "WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL"),
+]
+
+_PKS = {"region": "r_regionkey", "nation": "n_nationkey",
+        "customer": "c_custkey", "supplier": "s_suppkey", "part": "p_partkey",
+        "orders": "o_orderkey", "events": "event_id",
+        "documents": "doc_id", "embeddings": "vec_id"}
+
+
+def _hetero_counts_sql() -> str:
+    rows = []
+    for s, r, d, cnt in _FWD_COUNTS:
+        rows.append(f"SELECT '{s}' AS src_table, '{r}' AS relation, "
+                    f"'{d}' AS dst_table, ({cnt}) AS n_edges")
+        rows.append(f"SELECT '{d}', 'REVERSE_{r}', '{s}', ({cnt})")
+    for t in TABLES:
+        if t == "lineitem":
+            continue
+        rows.append(f"SELECT '{t}', 'SELF_LOOP', '{t}', "
+                    f"(SELECT count(DISTINCT {_PKS[t]}) FROM {t})")
+    return " UNION ALL ".join(rows)
+
+
+HETERO_COUNTS = _hetero_counts_sql()
+
+SELF_LOOPS = ("WITH cid AS (" + ids_cte("customer", "c_custkey") +
+              ") SELECT node_id AS src, node_id AS dst FROM cid")
+
+MSG_AGG = f"""
+WITH cid AS ({ids_cte('customer', 'c_custkey')}),
+     msgs AS (SELECT node_id, count(*) AS n_msgs,
+                     {_dec_sum('o_totalprice', 'sum_msg')}
+              FROM orders JOIN cid ON o_custkey = cid.pk GROUP BY node_id)
+SELECT cid.node_id, coalesce(n_msgs, 0) AS n_msgs,
+       coalesce(sum_msg, 0.0) AS sum_msg,
+       round({SIGMOID.format(z='coalesce(sum_msg, 0.0) / 1000000.0')}, 6) AS act
+FROM cid LEFT JOIN msgs ON cid.node_id = msgs.node_id
+"""
+
+RECOMMEND = f"""
+WITH anchor AS (SELECT min(l_orderkey) AS ok FROM lineitem),
+     basket AS (SELECT DISTINCT l_partkey FROM lineitem, anchor
+                WHERE l_orderkey = ok),
+     centroid AS (
+        SELECT CAST(SUM(CAST(p_size AS DECIMAL(27,6))) AS DOUBLE) / count(p_size) AS cx,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(27,6))) AS DOUBLE) / count(p_retailprice) AS cy
+        FROM part JOIN basket ON p_partkey = l_partkey),
+     scored AS (
+        SELECT p_partkey,
+               round((CAST(p_size AS DOUBLE) * cx + CAST(p_retailprice AS DOUBLE) * cy)
+                     / (sqrt(CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE)
+                             + CAST(p_retailprice AS DOUBLE) * CAST(p_retailprice AS DOUBLE))
+                        * sqrt(cx * cx + cy * cy)), 6) AS score
+        FROM part, centroid
+        WHERE NOT EXISTS (SELECT 1 FROM basket WHERE l_partkey = p_partkey))
+SELECT p_partkey, score, round({SIGMOID.format(z='score')}, 6) AS prob
+FROM scored ORDER BY score DESC, p_partkey LIMIT 10
+"""
+
+_NORM_TEXT = norm_sql("text")
+
+TEXT_STATS = f"""
+WITH n AS (SELECT doc_id, {_NORM_TEXT} AS norm FROM documents)
+SELECT doc_id,
+       CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(norm, '[a-z0-9]{{1,4}}')) AS BIGINT) AS n_subwords,
+       CAST(length(norm) AS BIGINT) AS n_chars_norm
+FROM n
+"""
+
+_STOPLIST = "['the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is']"
+TEXT_QUALITY = f"""
+WITH n AS (SELECT doc_id, text, {_NORM_TEXT} AS norm FROM documents),
+     m AS (SELECT doc_id,
+                  length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) / length(text) AS punct_ratio,
+                  length(replace(norm, ' ', '')) / len(string_split(norm, ' ')) AS avg_len,
+                  len(list_filter(string_split(norm, ' '),
+                                  t -> list_contains({_STOPLIST}, t)))
+                  / len(string_split(norm, ' ')) AS stop_ratio
+           FROM n)
+SELECT doc_id, round(punct_ratio, 6) AS punct_ratio,
+       round({SIGMOID.format(z='0.4 * avg_len + 2.0 * stop_ratio - 5.0 * punct_ratio - 2.0')}, 6) AS quality
+FROM m
+"""
+
+_LANG_LISTS = {
+    "en": "['the', 'a', 'of', 'and', 'to', 'in', 'is']",
+    "de": "['der', 'die', 'das', 'und', 'ist', 'nicht']",
+    "fr": "['le', 'la', 'les', 'et', 'est', 'une']",
+    "es": "['el', 'la', 'los', 'y', 'es', 'una']",
+}
+
+
+def _lang_id_sql() -> str:
+    hits = ", ".join(
+        f"len(list_filter(toks, t -> list_contains({lst}, t))) AS h_{lang}"
+        for lang, lst in _LANG_LISTS.items())
+    langs = list(_LANG_LISTS)
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"h_{lang} > 0"]
+        conds += [f"h_{lang} > h_{o}" for o in langs[:i]]
+        conds += [f"h_{lang} >= h_{o}" for o in langs[i + 1:]]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+WITH n AS (SELECT doc_id, lang, string_split({_NORM_TEXT}, ' ') AS toks
+           FROM documents),
+     h AS (SELECT doc_id, lang, {hits} FROM n)
+SELECT doc_id, lang, CASE {' '.join(cases)} ELSE 'und' END AS pred_lang FROM h
+"""
+
+
+LANG_ID = _lang_id_sql()
+
+FINGERPRINT = f"SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents"
+
+EXACT_DEDUP = f"""
+WITH fp AS (SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents)
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM fp GROUP BY fingerprint HAVING count(*) > 1
+"""
+
+# shingle list (non-distinct; min over multiset == min over set)
+_SHINGLES = ("list_transform(range(1, greatest(length(norm) - 7, 1) + 1), "
+             "i -> substr(norm, i, 8))")
+
+_HEX16 = "0123456789abcdef"
+
+
+def _hex32_sql(d: str) -> str:
+    """Horner parse of the first 8 hex chars of digest expr ``d`` — twin
+    of operators/dedup.py::_hex32."""
+    expr = "CAST(0 AS BIGINT)"
+    for c in range(8):
+        expr = (f"({expr} * 16 + (strpos('{_HEX16}', substr({d}, {c + 1}, 1)) - 1))")
+    return expr
+
+
+# one md5 per shingle, k affine hashes over the parsed ints (twin of
+# shingle_hashes + minhash_signature)
+_SHINGLE_HASHES = f"list_transform(shset, s -> {_hex32_sql('md5(s)')})"
+
+
+def _sig(i: int) -> str:
+    from rel_db_to_graph_spark.operators.dedup import MOD, hash_params
+    a, b = hash_params(i)
+    return (f"list_min(list_transform(hashes, h -> ({a} * h + {b}) % {MOD}))")
+
+
+def _band(b: int) -> str:
+    parts = " || '|' || ".join(f"CAST(sig_{b * 4 + r} AS VARCHAR)" for r in range(4))
+    return f"md5({parts})"
+
+
+def _minhash_sql() -> str:
+    sigs = ", ".join(f"{_sig(i)} AS sig_{i}" for i in (0, 3, 12, 15))
+    return f"""
+WITH n AS (SELECT doc_id, {_NORM_TEXT} AS norm FROM documents),
+     sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shset FROM n),
+     hs AS (SELECT doc_id, {_SHINGLE_HASHES} AS hashes FROM sh),
+     s AS (SELECT doc_id, {sigs} FROM hs)
+SELECT doc_id, sig_0 AS sig_first, sig_15 AS sig_last FROM s
+"""
+
+
+MINHASH = _minhash_sql()
+
+
+def _near_dup_sql(threshold: float = 0.5) -> str:
+    sigs = ", ".join(f"{_sig(i)} AS sig_{i}" for i in range(16))
+    bands = ", ".join(f"{_band(b)}" for b in range(4))
+    return f"""
+WITH n AS (SELECT doc_id, {_NORM_TEXT} AS norm FROM documents),
+     sh0 AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shset FROM n),
+     hs AS (SELECT doc_id, shset, {_SHINGLE_HASHES} AS hashes FROM sh0),
+     s AS (SELECT doc_id, shset, {sigs} FROM hs),
+     s2 AS (SELECT doc_id, shset, [{bands}] AS bands FROM s),
+     e AS (SELECT doc_id, i AS band, bands[CAST(i + 1 AS INTEGER)] AS key
+           FROM s2, range(0, 4) t(i)),
+     pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM e a JOIN e b ON a.band = b.band AND a.key = b.key
+               WHERE a.doc_id < b.doc_id),
+     j AS (SELECT id_a, id_b,
+                  len(list_intersect(sa.shset, sb.shset)) AS inter,
+                  len(sa.shset) AS la, len(sb.shset) AS lb
+           FROM pairs
+           JOIN s2 sa ON sa.doc_id = id_a
+           JOIN s2 sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, round(inter / (la + lb - inter), 6) AS jaccard
+FROM j WHERE round(inter / (la + lb - inter), 6) >= {threshold}
+"""
+
+
+NEAR_DUP_PAIRS = _near_dup_sql()
+
+_HEX = "0123456789abcdef"
+
+
+def _simhash_sql() -> str:
+    bits = []
+    for j in range(64):
+        digit = (f"(strpos('{_HEX}', substr(dg, {j // 4 + 1}, 1)) - 1)")
+        bit = f"((({digit} >> {3 - j % 4}) % 2) * 2 - 1)"
+        vote = f"list_sum(list_transform(digests, dg -> {bit}))"
+        bits.append(f"CASE WHEN {vote} > 0 THEN '1' ELSE '0' END")
+    expr = " || ".join(bits)
+    return f"""
+WITH n AS (SELECT doc_id, {_NORM_TEXT} AS norm FROM documents),
+     d AS (SELECT doc_id, list_transform(string_split(norm, ' '), t -> md5(t)) AS digests FROM n)
+SELECT doc_id, {expr} AS simhash FROM d
+"""
+
+
+SIMHASH = _simhash_sql()
+
+_COS = ("round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * "
+        "sqrt(list_dot_product(qv, qv))), 6)")
+
+ANN_BRUTE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id, {_COS} AS score
+FROM e, q WHERE vec_id <> 0
+ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+def _bucket(v: str, n_bits: int = 8) -> str:
+    return " + ".join(
+        f"(CASE WHEN {v}[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)"
+        for d in range(n_bits))
+
+
+ANN_LSH = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  {_bucket('CAST(embedding AS DOUBLE[])')} AS bucket
+           FROM embeddings),
+     q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
+SELECT e.vec_id, {_COS} AS score
+FROM e, q WHERE e.bucket = q.qbucket AND e.vec_id <> 0
+ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+_COS_AB = ("round(list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * "
+           "sqrt(list_dot_product(vb, vb))), 6)")
+
+EMBEDDING_DEDUP = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  {_bucket('CAST(embedding AS DOUBLE[])')} AS bucket
+           FROM embeddings),
+     p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+           FROM e a JOIN e b ON a.bucket = b.bucket
+           WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, {_COS_AB} AS score
+FROM p WHERE {_COS_AB} >= 0.2
+"""
+
+MULTIMODAL_META = f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+       CAST(64 + ((strpos('{_HEX}', substr(md5(text), 1, 1)) - 1) % 16) * 8
+            AS INTEGER) AS fake_width,
+       CAST(64 + ((strpos('{_HEX}', substr(md5(text), 2, 1)) - 1) % 16) * 8
+            AS INTEGER) AS fake_height,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+EVENTS_HOURLY = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+EVENTS_SESSIONIZE = """
+WITH flagged AS (
+    SELECT user_id, event_id, epoch_us(ts) AS tsu,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+                ELSE 0 END AS newflag
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), s AS (
+    SELECT user_id, event_id, tsu,
+           CAST(SUM(newflag) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       strftime(make_timestamp(min(tsu)), '%Y-%m-%d %H:%M:%S') AS session_start,
+       (max(tsu) - min(tsu)) / 1000000.0 AS duration_sec
+FROM s GROUP BY user_id, session_id
+"""
+
+#: name -> oracle SQL (queries without an entry get rows-only checks)
+ORACLES: dict[str, str] = {
+    "catalog_tables": CATALOG_TABLES,
+    "edge_catalog": EDGE_CATALOG,
+    "metadata_union": METADATA_UNION,
+    "scan_project": SCAN_PROJECT,
+    "filter_like": FILTER_LIKE,
+    "semi_join": SEMI_JOIN,
+    "anti_join": ANTI_JOIN,
+    "three_table_join": THREE_TABLE_JOIN,
+    "json_props": JSON_PROPS,
+    "one_hot": ONE_HOT,
+    "topk_orders": TOPK_ORDERS,
+    "pricing_summary": PRICING_SUMMARY,
+    "revenue_by_nation": REVENUE_BY_NATION,
+    "eval_metrics": EVAL_METRICS,
+    "dense_ids": DENSE_IDS,
+    "node_features": NODE_FEATURES,
+    "edges_fk": EDGES_FK,
+    "edges_junction": EDGES_JUNCTION,
+    "degree": DEGREE,
+    "hetero_counts": HETERO_COUNTS,
+    "self_loops": SELF_LOOPS,
+    "msg_agg": MSG_AGG,
+    "recommend": RECOMMEND,
+    "text_stats": TEXT_STATS,
+    "text_quality": TEXT_QUALITY,
+    "lang_id": LANG_ID,
+    "fingerprint": FINGERPRINT,
+    "exact_dedup": EXACT_DEDUP,
+    "minhash": MINHASH,
+    "near_dup_pairs": NEAR_DUP_PAIRS,
+    "simhash": SIMHASH,
+    "ann_brute": ANN_BRUTE,
+    "ann_lsh": ANN_LSH,
+    "embedding_dedup": EMBEDDING_DEDUP,
+    "multimodal_meta": MULTIMODAL_META,
+    "events_hourly": EVENTS_HOURLY,
+    "events_sessionize": EVENTS_SESSIONIZE,
+}

@@ -1,0 +1,410 @@
+"""The driver-facing query inventory (SURVEY.md §2 coverage).
+
+Every function takes (spark, sf_dir) and returns a DataFrame. Each has a
+matching ANSI-SQL oracle in ``rel_db_to_graph_spark.oracle`` (except the
+seeded/sampled ops, which get rows-only checks + property tests).
+
+Determinism rules used throughout (so the driver's order-insensitive
+value-hash matches DuckDB exactly):
+  * aggregate sums of doubles go through a decimal cast (exact, order-
+    independent) and back to double;
+  * every rounded float is rounded identically in the oracle;
+  * every top-k has a total tie-break order;
+  * md5 (bit-identical across engines) is the only hash in oracle-checked
+    paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rel_db_to_graph_spark.functions.vector import sigmoid
+from rel_db_to_graph_spark.operators import dedup as D
+from rel_db_to_graph_spark.operators import text as T
+from rel_db_to_graph_spark.operators.events import hourly_rollup, sessionize
+from rel_db_to_graph_spark.operators.graph_build import (
+    build_graph,
+    dense_ids,
+    edge_pairs,
+    edges_dense,
+    node_frame,
+)
+from rel_db_to_graph_spark.operators.multimodal import attach_payload, decode_metadata
+from rel_db_to_graph_spark.operators.recommend import recommend_parts
+from rel_db_to_graph_spark.operators.sampling import negative_sample, sample_subgraph
+from rel_db_to_graph_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+from rel_db_to_graph_spark.operators.split import hash_split
+from rel_db_to_graph_spark.plans.inference import edge_catalog, table_kinds
+from rel_db_to_graph_spark.sources.catalog import (
+    foreign_keys,
+    load_table,
+    primary_keys,
+)
+
+
+def _dec_sum(col, alias: str, scale: str = "decimal(27,6)"):
+    """Order-independent double sum: decimal-exact accumulate, one cast."""
+    return F.sum(col.cast(scale)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------- catalog / meta
+
+def q_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4/A1: PK-arity table classification."""
+    return table_kinds(spark).select("table_name", F.col("pk_cols").cast("long"),
+                                     "kind")
+
+
+def q_edge_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: full node/edge schema inference."""
+    return edge_catalog(spark)
+
+
+def q_metadata_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2: diagonal union-by-name of PK and FK metadata."""
+    return primary_keys(spark).unionByName(foreign_keys(spark),
+                                           allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------- scans / filters
+
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: projection scan (pushes into parquet ReadSchema)."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity")
+
+
+def q_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: LIKE + comparison predicates (pushed to the scan)."""
+    p = load_table(spark, sf_dir, "part")
+    return (p.filter(~F.col("p_type").like("%a%") & (F.col("p_size") > 20))
+            .select("p_partkey", "p_name", "p_type", "p_size"))
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: membership via left-semi join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (c.join(o.select(F.col("o_custkey").alias("c_custkey")),
+                   "c_custkey", "left_semi")
+            .filter(F.col("c_acctbal") > 0)
+            .select("c_custkey", "c_name"))
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/U4: set difference via left-anti join (never-ordered parts)."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (p.join(li.select(F.col("l_partkey").alias("p_partkey")),
+                   "p_partkey", "left_anti")
+            .select("p_partkey", "p_name"))
+
+
+def q_three_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/J4/P12: the track-list display query shape (inference.py:85-94)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .join(n, c.c_nationkey == n.n_nationkey, "left")
+        .select(
+            "o_orderkey",
+            F.concat_ws(" - ", F.col("c_name"), F.col("o_orderpriority"))
+            .alias("display"),
+            "n_name")
+    )
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the events props column."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_int"))
+
+
+def q_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: one-hot encoding over a fixed category domain (genres analog,
+    convert_to_graph.py:162)."""
+    c = load_table(spark, sf_dir, "customer")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    return c.select(
+        "c_custkey",
+        *[F.when(F.col("c_mktsegment") == s, 1).otherwise(0)
+          .cast("int").alias(f"seg_{s.lower()}") for s in segs])
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: top-k with total tie-break (TakeOrdered, not a global sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.select("o_orderkey", "o_totalprice")
+            .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+            .limit(10))
+
+
+# ---------------------------------------------------------------- aggregations
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the hash-aggregate workhorse (bench headline)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _dec_sum(disc, "sum_disc_price"),
+            _dec_sum(charge, "sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-aggregate over the FK chain orders→customer→nation."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(_dec_sum(F.col("o_totalprice"), "revenue"),
+             F.count("*").alias("n_orders"))
+    )
+
+
+def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/A9/L7/L8: accuracy/precision/recall + BCE as one aggregation —
+    the torchmetrics block (model.py:100-140) as a single-pass agg."""
+    o = load_table(spark, sf_dir, "orders")
+    z = (F.col("o_totalprice") - 250000.0) / 100000.0
+    p = sigmoid(z)
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    yhat = F.when(F.col("o_totalprice") > 250000.0, 1).otherwise(0)
+    loss = -(y * F.log(p) + (1 - y) * F.log(1 - p))
+    scored = o.select(y.alias("y"), yhat.alias("yhat"), loss.alias("loss"))
+    return (
+        scored.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 1), 1).otherwise(0))
+            .alias("tp"),
+            F.sum(F.when((F.col("y") == 0) & (F.col("yhat") == 1), 1).otherwise(0))
+            .alias("fp"),
+            F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 0), 1).otherwise(0))
+            .alias("fn"),
+            _dec_sum(F.col("loss"), "loss_sum", "decimal(27,8)"),
+        )
+        .select(
+            F.col("n"),
+            F.round((F.col("n") - F.col("fp") - F.col("fn")) / F.col("n"), 6)
+            .alias("acc"),
+            F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias("prec"),
+            F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6).alias("rec"),
+            F.round(F.col("loss_sum") / F.col("n"), 6).alias("bce"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- graph build
+
+def q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W2/G2: dense 0..N-1 id assignment for customer."""
+    return dense_ids(load_table(spark, sf_dir, "customer"), "c_custkey")
+
+
+def q_node_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2/G4/P5/P6: part node frame — FK/PK dropped, numeric-only, float."""
+    return node_frame(spark, sf_dir, "part")
+
+
+def q_edges_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3/J5: orders→customer FK edges in dense-id space."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pairs = edge_pairs(spark, sf_dir, "orders", "o_orderkey", "o_custkey")
+    return edges_dense(pairs, dense_ids(o, "o_orderkey"), dense_ids(c, "c_custkey"))
+
+
+def q_edges_junction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/J3/G3: lineitem junction → orders↔part edges in dense-id space."""
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    pairs = edge_pairs(spark, sf_dir, "lineitem", "l_orderkey", "l_partkey")
+    return edges_dense(pairs, dense_ids(o, "o_orderkey"), dense_ids(p, "p_partkey"))
+
+
+def q_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5/A2/A3/A5: customer degree feature (forward edges only, +1,
+    isolated→1)."""
+    c = load_table(spark, sf_dir, "customer")
+    cid = dense_ids(c, "c_custkey")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    oc = edges_dense(edge_pairs(spark, sf_dir, "orders", "o_orderkey", "o_custkey"),
+                     dense_ids(o, "o_orderkey"), cid)
+    cn = edges_dense(edge_pairs(spark, sf_dir, "customer", "c_custkey", "c_nationkey"),
+                     cid, dense_ids(n, "n_nationkey"))
+    from rel_db_to_graph_spark.operators.graph_build import degree
+    return degree(cid.select("node_id"), [(False, True, oc), (True, False, cn)])
+
+
+def q_hetero_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6/G7/G8: edge counts of the fully built graph (forward + REVERSE_
+    + SELF_LOOP) — the graph-assembly invariant check."""
+    g = build_graph(spark, sf_dir)
+    frames = []
+    for (s, r, d), df in g["edges"].items():
+        frames.append(df.agg(F.count("*").alias("n_edges")).select(
+            F.lit(s).alias("src_table"), F.lit(r).alias("relation"),
+            F.lit(d).alias("dst_table"), "n_edges"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out
+
+
+def q_self_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: identity edges for customer."""
+    from rel_db_to_graph_spark.operators.graph_build import self_loops
+    return self_loops(dense_ids(load_table(spark, sf_dir, "customer"), "c_custkey"))
+
+
+def q_msg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/L5-one-hop/L6: aggregate-messages — orders send o_totalprice to
+    their customer; sum + sigmoid activation."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cid = dense_ids(c, "c_custkey")
+    msgs = (o.join(cid, o.o_custkey == cid.pk)
+            .groupBy("node_id")
+            .agg(F.count("*").alias("n_msgs"),
+                 _dec_sum(F.col("o_totalprice"), "sum_msg")))
+    return (cid.select("node_id")
+            .join(msgs, "node_id", "left")
+            .select("node_id",
+                    F.coalesce(F.col("n_msgs"), F.lit(0)).alias("n_msgs"),
+                    F.coalesce(F.col("sum_msg"), F.lit(0.0)).alias("sum_msg"))
+            .withColumn("act", F.round(sigmoid(F.col("sum_msg") / 1e6), 6)))
+
+
+def q_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9/L6/A7: the flagship recommend query."""
+    return recommend_parts(spark, sf_dir, k=10)
+
+
+# ------------------------------------------------- sampled ops (rows-only checks)
+
+def q_link_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 (rows-only): content-addressed 0.85/0.15 link split — counts."""
+    e = q_edges_fk(spark, sf_dir)
+    return hash_split(e).groupBy("split").agg(F.count("*").alias("n_edges"))
+
+
+def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (rows-only): 2-hop fanout-bounded neighborhood of 10 seed orders."""
+    e = q_edges_junction(spark, sf_dir)
+    seeds = e.select("src").distinct().orderBy("src").limit(10)
+    return sample_subgraph(e, seeds, fanouts=[3, 2])
+
+
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (rows-only): binary negative sampling over orders→customer."""
+    e = q_edges_fk(spark, sf_dir)
+    cid = dense_ids(load_table(spark, sf_dir, "customer"), "c_custkey")
+    return negative_sample(e, cid, ratio=1)
+
+
+# ---------------------------------------------------------------- text / dedup
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = T.normalize(F.col("text"))
+    return d.select(
+        "doc_id",
+        T.token_count(norm).cast("long").alias("n_tokens"),
+        T.subword_count(norm).cast("long").alias("n_subwords"),
+        F.length(norm).cast("long").alias("n_chars_norm"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", T.lang_id(F.col("text")).alias("pred_lang"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicate_groups(load_table(spark, sf_dir, "documents"))
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.doc_signatures(load_table(spark, sf_dir, "documents"),
+                            materialize=False)
+    return sigs.select(
+        "doc_id",
+        F.element_at("minhash", 1).alias("sig_first"),
+        F.element_at("minhash", 16).alias("sig_last"))
+
+
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.near_duplicate_pairs(load_table(spark, sf_dir, "documents"),
+                                  threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_table(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------- similarity
+
+def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brute_force_topk(load_table(spark, sf_dir, "embeddings"), query_id=0)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_topk(load_table(spark, sf_dir, "embeddings"), query_id=0)
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"),
+                                    threshold=0.2)
+
+
+# ---------------------------------------------------------------- multimodal
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    return decode_metadata(media)
+
+
+# ---------------------------------------------------------------- events
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_rollup(load_table(spark, sf_dir, "events"))
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"))
