@@ -30,14 +30,17 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def bench_graph_build(spark, sf_dir: str) -> int:
-    """G1-G8 end-to-end: build every node/edge frame and materialize."""
+    """G1-G8 end-to-end: build every node/edge frame, materialize ALL of
+    them in one action (union of per-frame counts — 29 separate .count()
+    jobs would measure job-scheduling overhead, not the pipeline)."""
+    from pyspark.sql import functions as F
+
     g = build_graph(spark, sf_dir)
-    total = 0
-    for df in g["nodes"].values():
-        total += df.count()
-    for df in g["edges"].values():
-        total += df.count()
-    return total
+    frames = list(g["nodes"].values()) + list(g["edges"].values())
+    counts = frames[0].agg(F.count("*").alias("n"))
+    for df in frames[1:]:
+        counts = counts.unionAll(df.agg(F.count("*").alias("n")))
+    return sum(r.n for r in counts.collect())
 
 
 HEADLINE = {

@@ -196,10 +196,14 @@ def build_graph(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
     Order matches the reference (C:260-271): infer -> edges -> nodes ->
     degree -> reverse -> self loops (-> parquet sink if out_dir).
     """
-    from rel_db_to_graph_spark.plans.inference import edge_catalog, node_tables
+    from rel_db_to_graph_spark.plans.inference import edge_catalog_py, node_tables_py
 
-    ecat = [r.asDict() for r in edge_catalog(spark).collect()]   # metadata-scale
-    ntabs = [r.table_name for r in node_tables(spark).collect()]
+    # driver-side catalog (pure python over the registry constants):
+    # metadata inference costs zero Spark jobs; the DataFrame twin
+    # (plans.inference.edge_catalog) stays the oracle-checked query and
+    # tests pin the two equal
+    ecat = edge_catalog_py()
+    ntabs = [t for t, _pk in node_tables_py()]
 
     ids = {}
     nodes = {}
@@ -249,4 +253,24 @@ def build_graph(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
         for (s, r, d), df in edges.items():
             df.write.mode("overwrite").parquet(f"{out_dir}/edges/{s}__{r}__{d}")
 
+    return {"nodes": nodes, "edges": edges}
+
+
+def load_graph(spark: SparkSession, graph_dir: str) -> dict:
+    """S9 source: read a graph written by ``build_graph(out_dir=...)``.
+
+    The parquet layout (one dataset per node type / edge type) replaces
+    the reference's torch.load of a single binary blob (train.py:16,
+    inference.py:81): each type is independently scannable, schema'd,
+    and partition-prunable.
+    """
+    import os
+
+    nodes = {}
+    for t in sorted(os.listdir(f"{graph_dir}/nodes")):
+        nodes[t] = spark.read.parquet(f"{graph_dir}/nodes/{t}")
+    edges = {}
+    for d in sorted(os.listdir(f"{graph_dir}/edges")):
+        s, r, t = d.split("__")
+        edges[(s, r, t)] = spark.read.parquet(f"{graph_dir}/edges/{d}")
     return {"nodes": nodes, "edges": edges}

@@ -140,3 +140,60 @@ def edge_catalog(spark: SparkSession) -> DataFrame:
     # U2 union-by-name (columns are aligned here; the reference needed
     # `how='diagonal'` because its frames differed, C:137)
     return fk_edges.unionByName(jn_edges)
+
+
+# ---- driver-side (pure python) twins ------------------------------------
+# The graph builder consults the catalog dozens of times; metadata is a
+# handful of registry rows, so re-running Spark jobs for it wastes whole
+# seconds of job-scheduling overhead per build. These compute the SAME
+# classification from the same constants; test_inference pins them equal
+# to the DataFrame versions (which remain the oracle-checked queries).
+
+def _norm_py(key: str) -> str:
+    import re
+    return re.sub(_NORM_RE, "", key)
+
+
+def _relation_py(ref_col_norm: str) -> str:
+    import re
+    stem = re.sub("key$", "", ref_col_norm)
+    return "has" + stem[:1].upper() + stem[1:]
+
+
+def node_tables_py() -> list[tuple[str, str]]:
+    from collections import Counter
+
+    from rel_db_to_graph_spark.sources.catalog import PRIMARY_KEYS
+    counts = Counter(t for t, _k, _s in PRIMARY_KEYS)
+    return [(t, k) for t, k, _s in PRIMARY_KEYS if counts[t] == 1]
+
+
+def edge_catalog_py() -> list[dict]:
+    from collections import Counter
+
+    from rel_db_to_graph_spark.sources.catalog import FOREIGN_KEYS, PRIMARY_KEYS
+    nodes = dict(node_tables_py())
+    out = []
+    for src, from_col, dst, _to in FOREIGN_KEYS:
+        if src not in nodes:
+            continue                      # FKs on junction tables: no edge
+        out.append({"src_table": src,
+                    "relation": _relation_py(_norm_py(from_col)),
+                    "dst_table": dst, "pair_table": src,
+                    "src_col": nodes[src], "dst_col": from_col})
+    counts = Counter(t for t, _k, _s in PRIMARY_KEYS)
+    by_norm = {_norm_py(k): t for t, k in nodes.items()}
+    junctions: dict[str, dict[int, str]] = {}
+    for t, k, s in PRIMARY_KEYS:
+        if counts[t] == 2:
+            junctions.setdefault(t, {})[s] = k
+    for j, cols in junctions.items():
+        src_col, dst_col = cols[0], cols[1]
+        src_t = by_norm.get(_norm_py(src_col))
+        dst_t = by_norm.get(_norm_py(dst_col))
+        if src_t and dst_t:
+            out.append({"src_table": src_t,
+                        "relation": _relation_py(_norm_py(dst_col)),
+                        "dst_table": dst_t, "pair_table": j,
+                        "src_col": src_col, "dst_col": dst_col})
+    return out

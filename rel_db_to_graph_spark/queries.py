@@ -326,6 +326,41 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_sample(e, cid, ratio=1)
 
 
+def q_link_pred_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7-L11 (rows-only; iterative → not SQL-expressible): end-to-end
+    link prediction — orders→customer positives + binary negatives,
+    per-edge features from both endpoints, full-batch logistic training
+    with best-val checkpointing. Returns the epoch metric history."""
+    from rel_db_to_graph_spark.functions.vector import dot
+    from rel_db_to_graph_spark.ml.train import train_edge_scorer
+
+    e = q_edges_fk(spark, sf_dir)
+    cid = dense_ids(load_table(spark, sf_dir, "customer"), "c_custkey")
+    labeled = negative_sample(e, cid, ratio=1, seed=42)
+
+    # heterogeneous endpoint features: orders on src, customers on dst
+    o = load_table(spark, sf_dir, "orders")
+    oid = dense_ids(o, "o_orderkey")
+    ofeat = (o.join(oid, o.o_orderkey == oid.pk)
+             .select(F.col("node_id").alias("src"),
+                     (F.col("o_totalprice") / 100000.0).alias("_fs")))
+    c = load_table(spark, sf_dir, "customer")
+    cfeat = (c.join(cid, c.c_custkey == cid.pk)
+             .select(F.col("node_id").alias("dst"),
+                     (F.col("c_acctbal") / 10000.0).alias("_fd")))
+    s_arr = F.array(F.col("_fs"))
+    d_arr = F.array(F.col("_fd"))
+    examples = (labeled.join(ofeat, "src").join(cfeat, "dst")
+                .select("src", "dst", "label",
+                        F.concat(s_arr, d_arr,
+                                 F.array(dot(s_arr, d_arr))).alias("features")))
+    res = train_edge_scorer(examples, dim=3, epochs=3, lr=0.5)
+    return spark.createDataFrame(
+        [(h["epoch"], float(h["train_loss"]), float(h["val_acc"]))
+         for h in res.history],
+        "epoch int, train_loss double, val_acc double")
+
+
 # ---------------------------------------------------------------- text / dedup
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,20 +51,27 @@ FOREIGN_KEYS: list[tuple[str, str, str, str]] = [
 
 def tables(spark: SparkSession) -> DataFrame:
     """Catalog scan (S3) as a DataFrame: one row per table."""
-    return spark.createDataFrame([(t,) for t in TABLES], "table_name string")
+    return spark.createDataFrame([(t,) for t in TABLES],
+                                 "table_name string").coalesce(1)
 
 
 def primary_keys(spark: SparkSession) -> DataFrame:
-    """PK metadata scan (S4): (table_name, key, seq)."""
+    """PK metadata scan (S4): (table_name, key, seq).
+
+    coalesce(1): a dozen metadata rows spread over default-parallelism
+    partitions turns every downstream registry join into 32-task
+    shuffle stages — single-partition metadata keeps those jobs sub-ms.
+    """
     return spark.createDataFrame(
-        PRIMARY_KEYS, "table_name string, key string, seq int")
+        PRIMARY_KEYS, "table_name string, key string, seq int").coalesce(1)
 
 
 def foreign_keys(spark: SparkSession) -> DataFrame:
     """FK metadata scan (S5): (source_table, from_col, target_table, to_col)."""
     return spark.createDataFrame(
         FOREIGN_KEYS,
-        "source_table string, from_col string, target_table string, to_col string")
+        "source_table string, from_col string, target_table string, to_col string"
+    ).coalesce(1)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

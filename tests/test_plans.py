@@ -1,0 +1,59 @@
+"""Physical-plan quality gates — the properties that decide whether these
+operators survive a 100x scale-up. A regression here (lost pushdown, a
+broadcast that became a shuffle, a topk that became a global sort) is a
+performance bug even while results stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from rel_db_to_graph_spark import queries as Q
+from tests.conftest import SF_ORACLE
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_pruning(spark):
+    p = plan_of(Q.q_filter_like(spark, SF_ORACLE))
+    assert "PushedFilters" in p and "GreaterThan(p_size,20)" in p
+    # column pruning: untouched columns never reach the scan
+    assert "p_retailprice" not in p and "p_brand" not in p
+
+
+def test_projection_reaches_scan(spark):
+    p = plan_of(Q.q_scan_project(spark, SF_ORACLE))
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double>" in p
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    p = plan_of(Q.q_topk_orders(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_small_dim_join_broadcasts(spark):
+    p = plan_of(Q.q_revenue_by_nation(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in p
+
+
+def test_agg_is_partial_then_final(spark):
+    # map-side partial aggregation: two HashAggregates around the exchange
+    p = plan_of(Q.q_pricing_summary(spark, SF_ORACLE))
+    assert "partial_sum" in p       # map-side combine before the exchange
+    assert p.count("HashAggregate") >= 2 and "Exchange" in p
+    assert "LessThanOrEqual(l_shipdate" in p   # date filter reaches the scan
+
+
+def test_recommend_broadcasts_basket(spark):
+    p = plan_of(Q.q_recommend(spark, SF_ORACLE))
+    assert "Broadcast" in p
+
+
+def test_semi_and_anti_joins(spark):
+    assert "LeftSemi" in plan_of(Q.q_semi_join(spark, SF_ORACLE))
+    assert "LeftAnti" in plan_of(Q.q_anti_join(spark, SF_ORACLE))

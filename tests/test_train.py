@@ -1,0 +1,78 @@
+"""Training-loop tests: loss decreases, learns a separable rule, best-epoch
+checkpointing, graph sink/source roundtrip, encoders, config reflection."""
+
+from __future__ import annotations
+
+import math
+import tempfile
+
+from pyspark.sql import functions as F
+
+from rel_db_to_graph_spark.config import SplitConfig, TrainConfig, config_from_signature
+from rel_db_to_graph_spark.functions.encoders import (
+    encode_features,
+    identity_encoder,
+    one_hot_encoder,
+)
+from rel_db_to_graph_spark.ml.train import train_edge_scorer
+from rel_db_to_graph_spark.operators.graph_build import build_graph, load_graph
+from tests.conftest import SF_SMOKE
+
+
+def test_training_learns_separable_rule(spark):
+    # label = 1 iff x0 + x1 > 1 — linearly separable
+    rows = [((float(i % 7) / 7, float(i % 5) / 5),) for i in range(400)]
+    df = spark.createDataFrame(
+        [(i, r[0][0], r[0][1]) for i, r in enumerate(rows)], "id long, a double, b double"
+    ).select(
+        F.col("id").alias("src"), F.col("id").alias("dst"),
+        F.array("a", "b").alias("features"),
+        (F.col("a") + F.col("b") > 1.0).cast("int").alias("label"))
+    res = train_edge_scorer(df, dim=2, epochs=25, lr=2.0)
+    assert res.history[0]["train_loss"] > res.history[-1]["train_loss"]
+    assert res.best_val_acc > 0.9
+    assert res.best_epoch >= 0
+    assert all(math.isfinite(x) for x in res.weights)
+
+
+def test_training_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, i, [float(i % 3), 1.0], i % 2) for i in range(100)],
+        "src long, dst long, features array<double>, label int")
+    r1 = train_edge_scorer(df, dim=2, epochs=5, lr=0.5)
+    r2 = train_edge_scorer(df, dim=2, epochs=5, lr=0.5)
+    assert r1.weights == r2.weights and r1.bias == r2.bias
+
+
+def test_graph_roundtrip(spark):
+    with tempfile.TemporaryDirectory() as d:
+        g = build_graph(spark, SF_SMOKE, out_dir=d)
+        loaded = load_graph(spark, d)
+        assert set(loaded["nodes"]) == set(g["nodes"])
+        assert set(loaded["edges"]) == set(g["edges"])
+        for t in g["nodes"]:
+            assert loaded["nodes"][t].count() == g["nodes"][t].count()
+        key = ("orders", "hasPart", "part")
+        assert loaded["edges"][key].exceptAll(g["edges"][key]).count() == 0
+
+
+def test_encoders(spark):
+    df = spark.createDataFrame([(1, 2.0, "x"), (2, 4.0, "y")],
+                               "id long, v double, c string")
+    out = encode_features(df, {
+        "v": identity_encoder,
+        "c": one_hot_encoder(["x", "y", "z"]),
+    })
+    rows = {r.id: r.features for r in out.collect()}
+    assert rows[1] == [2.0, 1.0, 0.0, 0.0]
+    assert rows[2] == [4.0, 0.0, 1.0, 0.0]
+
+
+def test_config_reflection():
+    def fake_split(num_val: float = 0.1, num_test: float = 0.2,
+                   is_undirected: bool = False): ...
+    Cfg = config_from_signature(fake_split, "SplitCfg")
+    c = Cfg()
+    assert c.num_val == 0.1 and c.num_test == 0.2 and c.is_undirected is False
+    assert TrainConfig().gnn.depth_sizes == [15, 15]
+    assert SplitConfig().num_val == 0.15
