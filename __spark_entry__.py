@@ -79,6 +79,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": Q.q_simhash,
     "ann_brute": Q.q_ann_brute,
     "ann_lsh": Q.q_ann_lsh,
+    "ann_ivf": Q.q_ann_ivf,
     "embedding_dedup": Q.q_embedding_dedup,
     "multimodal_meta": Q.q_multimodal_meta,
     "events_hourly": Q.q_events_hourly,

@@ -110,9 +110,14 @@ def dense_ids_scalable(df: DataFrame, pk: str, num_partitions: int = 0) -> DataF
 
 
 def node_frame(spark: SparkSession, sf_dir: str, table: str,
-               scalable_ids: bool = False) -> DataFrame:
-    """G2: (node_id, pk, <numeric feature cols as double>) for one table."""
-    df = load_table(spark, sf_dir, table)
+               scalable_ids: bool = False, df: DataFrame | None = None) -> DataFrame:
+    """G2: (node_id, pk, <numeric feature cols as double>) for one table.
+
+    Pass ``df`` to reuse an existing scan — every spark.read.parquet
+    costs a file-listing/schema job, which adds up across 9 tables.
+    """
+    if df is None:
+        df = load_table(spark, sf_dir, table)
     pk = pk_cols_of(table)[0]
     feats = numeric_feature_cols(df, table)
     ids = (dense_ids_scalable(df, pk) if scalable_ids else dense_ids(df, pk))
@@ -125,9 +130,10 @@ def node_frame(spark: SparkSession, sf_dir: str, table: str,
 
 
 def edge_pairs(spark: SparkSession, sf_dir: str, pair_table: str,
-               src_col: str, dst_col: str) -> DataFrame:
+               src_col: str, dst_col: str, df: DataFrame | None = None) -> DataFrame:
     """G3 scan: 2-column projection (S7) + null-drop (P9) -> (src_pk, dst_pk)."""
-    df = load_table(spark, sf_dir, pair_table)
+    if df is None:
+        df = load_table(spark, sf_dir, pair_table)
     return (df.select(F.col(src_col).alias("src_pk"),
                       F.col(dst_col).alias("dst_pk"))
             .na.drop())
@@ -205,6 +211,15 @@ def build_graph(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
     ecat = edge_catalog_py()
     ntabs = [t for t, _pk in node_tables_py()]
 
+    # one scan per physical table — each spark.read.parquet is a
+    # file-listing + schema job (~0.5 s of driver latency apiece)
+    scans: dict[str, DataFrame] = {}
+
+    def tbl(name: str) -> DataFrame:
+        if name not in scans:
+            scans[name] = load_table(spark, sf_dir, name)
+        return scans[name]
+
     ids = {}
     nodes = {}
     for t in ntabs:
@@ -212,14 +227,16 @@ def build_graph(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
         # edge remap, the degree join, and self-loops — without a cache
         # each consumer would redo the dense-id sort. (At 100 TB this
         # cache is the out_dir parquet sink instead.)
-        nf = node_frame(spark, sf_dir, t, scalable_ids=scalable_ids).persist()
+        nf = node_frame(spark, sf_dir, t, scalable_ids=scalable_ids,
+                        df=tbl(t)).persist()
         ids[t] = nf.select("pk", "node_id")
         nodes[t] = nf
 
     edges: dict[tuple[str, str, str], DataFrame] = {}
     for e in ecat:
         key = (e["src_table"], e["relation"], e["dst_table"])
-        pairs = edge_pairs(spark, sf_dir, e["pair_table"], e["src_col"], e["dst_col"])
+        pairs = edge_pairs(spark, sf_dir, e["pair_table"], e["src_col"],
+                           e["dst_col"], df=tbl(e["pair_table"]))
         edges[key] = edges_dense(pairs, ids[e["src_table"]],
                                  ids[e["dst_table"]]).persist()
 

@@ -1,0 +1,90 @@
+"""IVF (inverted-file) approximate nearest neighbor — the centroid-
+partitioned scale path for similarity search.
+
+Index build: k-means with deterministic init (the k lowest-id vectors)
+and a fixed number of Lloyd iterations, entirely as DataFrame ops —
+assignment is an argmin over k broadcast centroid literals (k is small:
+centroids are KBs, they travel in the plan), the update step is one
+groupBy(cluster) average. Query: probe the ``nprobe`` nearest centroids,
+scan only those clusters — an equi-join on cluster id, so at scale the
+candidate fetch is partition-pruned (write the index bucketed/partitioned
+by cluster) instead of a full scan.
+
+Everything is deterministic: same data -> same centroids -> same answer
+(ties in argmin break toward the lower cluster id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rel_db_to_graph_spark.functions.vector import cosine, to_double
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """argmin over centroids; ties -> lowest cluster id."""
+    dists = F.array(*[_sq_dist(F.col("_v"), c) for c in centroids])
+    return df.withColumn(
+        "cluster", F.array_position(dists, F.array_min(dists)).cast("int") - 1)
+
+
+def build_ivf_index(embeddings: DataFrame, k: int = 16, iters: int = 3,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> tuple[DataFrame, list[list[float]]]:
+    """Returns (assigned DF(id, _v, cluster), centroids). Deterministic."""
+    e = embeddings.select(F.col(id_col), to_double(F.col(vec_col)).alias("_v"))
+    e = e.localCheckpoint(eager=True)     # k*iters argmin passes re-read _v
+
+    init = (e.orderBy(id_col).limit(k).collect())
+    centroids = [list(r["_v"]) for r in init]
+
+    for _ in range(iters):
+        assigned = _assign(e, centroids)
+        # one groupBy: per-cluster per-dimension mean
+        agg = (
+            assigned.select("cluster", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = {c: dict() for c in range(len(centroids))}
+        for r in agg:
+            new[r.cluster][r.pos] = r.m
+        centroids = [
+            [new[c][p] for p in sorted(new[c])] if new[c] else centroids[c]
+            for c in range(len(centroids))
+        ]
+    return _assign(e, centroids), centroids
+
+
+def ivf_topk(embeddings: DataFrame, query_id: int, k: int = 10,
+             n_clusters: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Top-k by cosine among the ``nprobe`` clusters nearest the query."""
+    assigned, centroids = build_ivf_index(embeddings, k=n_clusters,
+                                          id_col=id_col, vec_col=vec_col)
+    assigned = assigned.localCheckpoint(eager=True)
+
+    qrow = assigned.filter(F.col(id_col) == query_id).collect()[0]
+    qv = list(qrow["_v"])
+
+    def sq(c):
+        return sum((a - b) * (a - b) for a, b in zip(qv, c))
+
+    probe = sorted(range(len(centroids)), key=lambda c: (sq(centroids[c]), c))[:nprobe]
+
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        assigned.filter(F.col("cluster").isin(probe))
+        .filter(F.col(id_col) != query_id)
+        .select(F.col(id_col),
+                F.round(cosine(F.col("_v"), qlit), 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

@@ -428,6 +428,14 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     threshold=0.2)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (rows-only; iterative k-means → not SQL-expressible):
+    centroid-partitioned top-k, the partition-pruned scale path."""
+    from rel_db_to_graph_spark.operators.ivf import ivf_topk
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"), query_id=0,
+                    k=10, n_clusters=8, nprobe=4)
+
+
 # ---------------------------------------------------------------- multimodal
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

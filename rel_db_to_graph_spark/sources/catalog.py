@@ -74,9 +74,38 @@ def foreign_keys(spark: SparkSession) -> DataFrame:
     ).coalesce(1)
 
 
+#: known testdata schemas (FIXTURES.md §1). Supplying the schema skips the
+#: footer-sampling inference job per read — pennies locally, real money at
+#: 100 TB where inference samples many files. events.ts arrives as long
+#: because the session reads TIMESTAMP(NANOS) via nanosAsLong.
+TABLE_SCHEMAS: dict[str, str] = {
+    "region": "r_regionkey int, r_name string",
+    "nation": "n_nationkey int, n_name string, n_regionkey int",
+    "customer": ("c_custkey bigint, c_name string, c_nationkey int, "
+                 "c_acctbal double, c_mktsegment string"),
+    "supplier": "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+    "part": ("p_partkey bigint, p_name string, p_brand string, p_type string, "
+             "p_size int, p_retailprice double"),
+    "orders": ("o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+               "o_totalprice double, o_orderdate timestamp, o_orderpriority string"),
+    "lineitem": ("l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+                 "l_linenumber int, l_quantity double, l_extendedprice double, "
+                 "l_discount double, l_tax double, l_returnflag string, "
+                 "l_linestatus string, l_shipdate timestamp"),
+    "events": ("event_id bigint, ts bigint, user_id bigint, event_type string, "
+               "value double, props string"),
+    "documents": ("doc_id bigint, text string, lang string, source string, "
+                  "n_chars bigint"),
+    "embeddings": "vec_id bigint, embedding array<float>, label int",
+}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Full table scan (S6) — lazy parquet read; Catalyst prunes/pushes."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    reader = spark.read
+    if name in TABLE_SCHEMAS:
+        reader = reader.schema(TABLE_SCHEMAS[name])
+    return reader.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def _values(rows: list[tuple]) -> str:

@@ -1,0 +1,108 @@
+"""Tests for the round-1 extension surface: G9 mutation semantics, salted
+joins, checkpoint/metrics sinks, HPO loop, stateful streaming."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from rel_db_to_graph_spark.functions.skew import salted_join
+from rel_db_to_graph_spark.ml.artifacts import (
+    load_checkpoint,
+    metrics_frame,
+    save_checkpoint,
+    save_metrics,
+)
+from rel_db_to_graph_spark.ml.train import train_edge_scorer
+from rel_db_to_graph_spark.ml.tuning import grid_search
+from rel_db_to_graph_spark.operators.graph_build import build_graph
+from rel_db_to_graph_spark.operators.mutate import mutate_for_inference
+from tests.conftest import SF_SMOKE
+
+
+def test_mutate_replace_semantics(spark):
+    g = build_graph(spark, SF_SMOKE)
+    et = ("orders", "hasPart", "part")
+    before_loops = g["edges"][("orders", "SELF_LOOP", "orders")].count()
+    m = mutate_for_inference(g, et, selected_dst_ids=[0, 1, 2])
+
+    # REPLACE, not append (inference.py:58-59)
+    assert m["edges"][et].count() == 3
+    assert m["edges"][("part", "REVERSE_hasPart", "orders")].count() == 3
+    # new node id is one past the existing ids
+    n_orders = g["nodes"]["orders"].count()
+    assert m["new_node_id"] == n_orders
+    # self-loop appended
+    assert m["edges"][("orders", "SELF_LOOP", "orders")].count() == before_loops + 1
+    # candidates = all parts minus the 3 selected, all from the new node
+    n_parts = g["nodes"]["part"].count()
+    cand = m["candidates"]
+    assert cand.count() == n_parts - 3
+    assert cand.filter(F.col("src") != m["new_node_id"]).count() == 0
+    assert cand.filter(F.col("dst").isin([0, 1, 2])).count() == 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    big = spark.range(0, 10000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame([(i, f"x{i}") for i in range(5)],
+                                  "k long, name string")
+    plain = big.join(small, ["k"]).select("k", "v", "name")
+    salted = salted_join(big, small, ["k"], salt=8).select("k", "v", "name")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    # the hot keys actually spread over salts
+    from rel_db_to_graph_spark.functions.skew import with_salt
+    spread = (with_salt(big, list(big.columns), 8)
+              .groupBy("k").agg(F.countDistinct("_salt").alias("s"))
+              .agg(F.min("s")).collect()[0][0])
+    assert spread == 8
+
+
+def test_checkpoint_and_metrics_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(i, i, [float(i % 3), 1.0], i % 2) for i in range(100)],
+        "src long, dst long, features array<double>, label int")
+    res = train_edge_scorer(df, dim=2, epochs=3, lr=0.5)
+    with tempfile.TemporaryDirectory() as d:
+        path = save_checkpoint(res, d)
+        loaded = load_checkpoint(path)
+        assert loaded.weights == res.weights and loaded.bias == res.bias
+        assert loaded.best_epoch == res.best_epoch
+        save_metrics(spark, res, d)
+        back = spark.read.json(f"{d}/metrics")
+        assert back.count() == 3
+    assert metrics_frame(spark, res).columns == [
+        "epoch", "train_loss", "train_acc", "val_loss", "val_acc"]
+
+
+def test_grid_search_picks_best(spark):
+    df = spark.createDataFrame(
+        [(i, i, [float(i % 7) / 7, float(i % 5) / 5],
+          int((i % 7) / 7 + (i % 5) / 5 > 1.0)) for i in range(300)],
+        "src long, dst long, features array<double>, label int")
+    study = grid_search(df, dim=2, n_trials=3)
+    assert len(study.trials) == 3
+    assert study.best.objective == max(t.objective for t in study.trials)
+    # determinism: same study twice
+    again = grid_search(df, dim=2, n_trials=3)
+    assert [t.params for t in study.trials] == [t.params for t in again.trials]
+    assert study.best.result.weights == again.best.result.weights
+
+
+def test_stateful_stream_running_sessions(spark):
+    from rel_db_to_graph_spark.streaming.events import read_events_stream
+    from rel_db_to_graph_spark.streaming.stateful import running_user_sessions
+
+    stream = running_user_sessions(read_events_stream(spark, SF_SMOKE))
+    q = (stream.writeStream.format("memory").queryName("user_state_test")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table("user_state_test")
+    # one state row per user, totals match the batch table
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert out.select("user_id").distinct().count() == \
+           events.select("user_id").distinct().count()
+    assert out.agg(F.sum("n_events")).collect()[0][0] == events.count()
+    assert out.filter(F.col("n_sessions") < 1).count() == 0
