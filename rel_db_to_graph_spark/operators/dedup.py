@@ -169,16 +169,31 @@ def exact_duplicate_groups(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        max_bucket: int | None = None) -> DataFrame:
     """Distinct (id_a, id_b) pairs sharing ≥1 LSH band (id_a < id_b).
 
     The posexplode keeps band index in the join key so band-0 of doc x
     can't collide with band-1 of doc y.
+
+    ``max_bucket`` is the 100 TB safety valve: a degenerate band key
+    shared by m documents produces m²/2 candidate pairs — one boilerplate
+    bucket (empty docs, a template page) can dominate the whole join.
+    Buckets larger than the cap are dropped (their members are near-
+    identical to each other with overwhelming probability and will still
+    pair through their OTHER bands, or belong in exact-dedup). The cap
+    makes the join's worst-case fan-out max_bucket², independent of data.
+    None = unbounded (the oracle-parity setting).
     """
     exploded = sigs.select(
         F.col(id_col),
         F.posexplode("bands").alias("band", "key"),
     )
+    if max_bucket is not None:
+        sizes = (exploded.groupBy("band", "key")
+                 .agg(F.count("*").alias("_bn")))
+        exploded = (exploded.join(sizes, ["band", "key"])
+                    .filter(F.col("_bn") <= max_bucket).drop("_bn"))
     a = exploded.withColumnsRenamed({id_col: "id_a"})
     b = exploded.withColumnsRenamed({id_col: "id_b"})
     return (
