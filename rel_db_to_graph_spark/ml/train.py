@@ -77,10 +77,18 @@ def _epoch_stats(df: DataFrame, w: list[float], b: float) -> dict:
 
 def train_edge_scorer(examples: DataFrame, dim: int, epochs: int = 20,
                       lr: float = 0.5, val_frac: float = 0.2,
-                      seed: int = 42) -> TrainResult:
-    """Full-batch logistic training over (features array<double>,
-    label int, src, dst) edge examples. Returns learned weights + the
-    per-epoch metric history, with best-val-accuracy checkpointing."""
+                      seed: int = 42, n_batches: int = 1) -> TrainResult:
+    """Logistic training over (features array<double>, label int, src,
+    dst) edge examples. Returns learned weights + the per-epoch metric
+    history, with best-val-accuracy checkpointing.
+
+    ``n_batches`` > 1 = mini-batch SGD (L4, the reference's batch_size
+    512 + shuffle=True, dataloader.py:24-36): batch membership is
+    content-addressed — hash(src, dst, epoch) mod n_batches — so the
+    per-epoch "shuffle" is deterministic yet differs across epochs, and
+    each batch is a FILTER over the cached frame (no repartition per
+    batch). One gradient job per batch per epoch.
+    """
     split = hash_split(examples, val_frac=val_frac, test_frac=0.0, seed=seed)
     train = split.filter(F.col("split") == "train").drop("split").cache()
     val = split.filter(F.col("split") == "val").drop("split").cache()
@@ -90,9 +98,19 @@ def train_edge_scorer(examples: DataFrame, dim: int, epochs: int = 20,
     result = TrainResult(weights=w, bias=b)
     best = (w, b)
     for epoch in range(epochs):
-        stats = _epoch_stats(train, w, b)
-        w = [wi - lr * gi for wi, gi in zip(w, stats["gw"])]
-        b = b - lr * stats["gb"]
+        if n_batches > 1:
+            for bi in range(n_batches):
+                batch = train.filter(
+                    F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
+                           F.lit(n_batches)) == bi)
+                bstats = _epoch_stats(batch, w, b)
+                w = [wi - lr * gi for wi, gi in zip(w, bstats["gw"])]
+                b = b - lr * bstats["gb"]
+            stats = _epoch_stats(train, w, b)
+        else:
+            stats = _epoch_stats(train, w, b)
+            w = [wi - lr * gi for wi, gi in zip(w, stats["gw"])]
+            b = b - lr * stats["gb"]
         vstats = _epoch_stats(val, w, b)
         result.history.append({
             "epoch": epoch, "train_loss": stats["loss"],

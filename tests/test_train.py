@@ -35,6 +35,19 @@ def test_training_learns_separable_rule(spark):
     assert all(math.isfinite(x) for x in res.weights)
 
 
+def test_minibatch_training(spark):
+    df = spark.createDataFrame(
+        [(i, i, [float(i % 7) / 7, float(i % 5) / 5],
+          int((i % 7) / 7 + (i % 5) / 5 > 1.0)) for i in range(300)],
+        "src long, dst long, features array<double>, label int")
+    res = train_edge_scorer(df, dim=2, epochs=4, lr=1.0, n_batches=3)
+    again = train_edge_scorer(df, dim=2, epochs=4, lr=1.0, n_batches=3)
+    assert res.weights == again.weights            # content-addressed batches
+    assert res.best_val_acc > 0.5
+    full = train_edge_scorer(df, dim=2, epochs=4, lr=1.0, n_batches=1)
+    assert res.weights != full.weights             # actually different paths
+
+
 def test_training_deterministic(spark):
     df = spark.createDataFrame(
         [(i, i, [float(i % 3), 1.0], i % 2) for i in range(100)],
