@@ -81,6 +81,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": Q.q_ann_lsh,
     "ann_ivf": Q.q_ann_ivf,
     "embedding_dedup": Q.q_embedding_dedup,
+    "corpus_clean": Q.q_corpus_clean,
+    "events_funnel": Q.q_events_funnel,
     "multimodal_meta": Q.q_multimodal_meta,
     "events_hourly": Q.q_events_hourly,
     "events_sessionize": Q.q_events_sessionize,

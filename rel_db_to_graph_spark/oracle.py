@@ -501,6 +501,40 @@ SELECT id_a, id_b, {_COS_AB} AS score
 FROM p WHERE {_COS_AB} >= 0.2
 """
 
+_QUALITY_EXPR = ("round(" + SIGMOID.format(
+    z="0.4 * (length(replace(norm, ' ', '')) / len(string_split(norm, ' ')))"
+      " + 2.0 * (len(list_filter(string_split(norm, ' '), "
+      f"t -> list_contains({_STOPLIST}, t))) / len(string_split(norm, ' ')))"
+      " - 5.0 * (length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) / length(text))"
+      " - 2.0") + ", 6)")
+
+CORPUS_CLEAN = f"""
+WITH n AS (SELECT doc_id, lang, text, {_NORM_TEXT} AS norm FROM documents),
+     scored AS (SELECT doc_id, lang, md5(norm) AS fingerprint,
+                       {_QUALITY_EXPR} AS quality
+                FROM n),
+     kept AS (SELECT * FROM scored WHERE lang = 'en' AND quality > 0.5),
+     survivors AS (SELECT fingerprint, min(doc_id) AS doc_id
+                   FROM kept GROUP BY fingerprint)
+SELECT k.doc_id, k.fingerprint, k.quality
+FROM kept k JOIN survivors s
+  ON k.fingerprint = s.fingerprint AND k.doc_id = s.doc_id
+"""
+
+EVENTS_FUNNEL = """
+WITH per_user AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+    FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+       CAST(SUM(CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased,
+       CAST(SUM(CASE WHEN first_view < first_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM per_user
+"""
+
 MULTIMODAL_META = f"""
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
@@ -578,6 +612,8 @@ ORACLES: dict[str, str] = {
     "ann_brute": ANN_BRUTE,
     "ann_lsh": ANN_LSH,
     "embedding_dedup": EMBEDDING_DEDUP,
+    "corpus_clean": CORPUS_CLEAN,
+    "events_funnel": EVENTS_FUNNEL,
     "multimodal_meta": MULTIMODAL_META,
     "events_hourly": EVENTS_HOURLY,
     "events_sessionize": EVENTS_SESSIONIZE,

@@ -438,6 +438,43 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- multimodal
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning capstone: quality-filter + language-filter +
+    exact-dedup survivorship in one pipeline — the realistic composition
+    of the text operators (keep en docs of decent quality, one doc per
+    fingerprint, lowest doc_id wins)."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang",
+        T.fingerprint(F.col("text")).alias("fingerprint"),
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"))
+    kept = scored.filter((F.col("lang") == "en") & (F.col("quality") > 0.5))
+    survivors = (kept.groupBy("fingerprint")
+                 .agg(F.min("doc_id").alias("doc_id")))
+    return (kept.join(survivors, ["fingerprint", "doc_id"])
+            .select("doc_id", "fingerprint", "quality"))
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic event-funnel: per user, did a view precede a click
+    ('purchase' here) — counts of users reaching each stage. Exercises
+    conditional aggregation over event-time ordering."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("first_view").isNotNull(), 1).otherwise(0))
+        .alias("n_viewed"),
+        F.sum(F.when(F.col("first_purchase").isNotNull(), 1).otherwise(0))
+        .alias("n_purchased"),
+        F.sum(F.when(F.col("first_view") < F.col("first_purchase"), 1).otherwise(0))
+        .alias("n_converted"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_payload(load_table(spark, sf_dir, "documents"))
     return decode_metadata(media)

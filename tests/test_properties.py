@@ -1,0 +1,94 @@
+"""Hypothesis property tests over arbitrary inputs (not just the fixture
+data), plus partition-variance robustness: oracle-checked aggregates must
+be bit-identical whatever the shuffle partitioning."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from rel_db_to_graph_spark.operators.dedup import jaccard
+from rel_db_to_graph_spark.operators.graph_build import dense_ids, dense_ids_scalable
+from rel_db_to_graph_spark.operators.split import hash_split
+
+_settings = settings(max_examples=8, deadline=None,
+                     suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@given(pks=st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                    min_size=1, max_size=60, unique=True))
+@_settings
+def test_dense_ids_always_dense(spark, pks):
+    df = spark.createDataFrame([(p,) for p in pks], "pk_col long")
+    out = {r.pk: r.node_id for r in dense_ids(df, "pk_col").collect()}
+    assert sorted(out.values()) == list(range(len(pks)))
+    # sorted semantics: rank order matches pk order
+    assert [p for p, _ in sorted(out.items())] == sorted(pks)
+
+
+@given(pks=st.lists(st.integers(min_value=0, max_value=10**6),
+                    min_size=1, max_size=60, unique=True),
+       parts=st.integers(min_value=1, max_value=5))
+@_settings
+def test_scalable_ids_always_dense(spark, pks, parts):
+    df = spark.createDataFrame([(p,) for p in pks], "pk_col long")
+    out = [r.node_id for r in
+           dense_ids_scalable(df, "pk_col", num_partitions=parts).collect()]
+    assert sorted(out) == list(range(len(pks)))
+
+
+@given(a=st.lists(st.text(alphabet="abc", min_size=1, max_size=3),
+                  min_size=1, max_size=20),
+       b=st.lists(st.text(alphabet="abc", min_size=1, max_size=3),
+                  min_size=1, max_size=20))
+@_settings
+def test_jaccard_bounds(spark, a, b):
+    df = spark.createDataFrame([(list(set(a)), list(set(b)))],
+                               "sa array<string>, sb array<string>")
+    j = df.select(jaccard(F.col("sa"), F.col("sb")).alias("j")).collect()[0].j
+    assert 0.0 <= j <= 1.0
+    if set(a) == set(b):
+        assert j == 1.0
+    if not set(a) & set(b):
+        assert j == 0.0
+
+
+@given(n=st.integers(min_value=10, max_value=300),
+       seed=st.integers(min_value=0, max_value=1000))
+@_settings
+def test_split_exhaustive_any_input(spark, n, seed):
+    e = spark.range(n).select(F.col("id").alias("src"),
+                              (F.col("id") * 7 % 13).alias("dst"))
+    tagged = hash_split(e, val_frac=0.2, seed=seed)
+    counts = {r.split: r.c for r in
+              tagged.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert sum(counts.values()) == n
+    assert set(counts) <= {"train", "val", "test"}
+
+
+def test_aggregates_partition_invariant(spark):
+    """The decimal-sum discipline: identical results at any partitioning."""
+    from rel_db_to_graph_spark.queries import q_pricing_summary
+    base = q_pricing_summary(spark, "/root/testdata/sf0.01")
+    rows = {tuple(sorted(r.asDict().items())) for r in base.collect()}
+    for parts in (1, 7, 64):
+        li = (spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+              .repartition(parts))
+        li.createOrReplaceTempView("_li_tmp")
+        disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        charge = disc * (1 + F.col("l_tax"))
+        redo = (
+            li.filter(F.col("l_shipdate") <=
+                      F.lit("1998-09-02 00:00:00").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double").alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double").alias("sum_base_price"),
+                 F.sum(disc.cast("decimal(27,6)")).cast("double").alias("sum_disc_price"),
+                 F.sum(charge.cast("decimal(27,6)")).cast("double").alias("sum_charge"),
+                 F.count("*").alias("count_order"))
+            .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+            .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+        )
+        got = {tuple(sorted(r.asDict().items())) for r in redo.collect()}
+        assert got == rows, f"partitioning {parts} changed aggregate bits"
