@@ -77,6 +77,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash": Q.q_minhash,
     "near_dup_pairs": Q.q_near_dup_pairs,
     "simhash": Q.q_simhash,
+    "ngram_jaccard": Q.q_ngram_jaccard,
     "ann_brute": Q.q_ann_brute,
     "ann_lsh": Q.q_ann_lsh,
     "ann_ivf": Q.q_ann_ivf,

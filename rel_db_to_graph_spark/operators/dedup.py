@@ -72,6 +72,19 @@ def shingle_hashes(sh: Column) -> Column:
     return F.transform(sh, lambda s: _hex32(F.md5(s)))
 
 
+def word_ngrams(toks: Column, n: int = 3) -> Column:
+    """Word n-grams from a BOUND token-array column (array<string>) —
+    the token-level alternative to character shingles. ``toks`` must be a
+    materialized column, not an inline split expression: the per-element
+    lambda re-evaluates whatever it captures (see doc_signatures).
+    Degenerate docs with < n tokens yield their full token string."""
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]))
+
+
 def minhash_signature(hashes: Column, k: int = NUM_HASHES) -> Column:
     """array<long> of k min-hashes over the pre-hashed shingle array:
     sigᵢ = min over h of (aᵢ·h + bᵢ) mod p. Per-row, no shuffle."""

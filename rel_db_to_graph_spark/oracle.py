@@ -459,6 +459,21 @@ SELECT doc_id, {expr} AS simhash FROM d
 
 SIMHASH = _simhash_sql()
 
+NGRAM_JACCARD = f"""
+WITH n AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS toks FROM documents),
+     g AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                      range(1, greatest(len(toks) - 2, 1) + 1),
+                      i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))
+                  AS gset
+           FROM n),
+     j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  len(list_intersect(a.gset, b.gset)) AS inter,
+                  len(a.gset) AS la, len(b.gset) AS lb
+           FROM g a JOIN g b ON a.doc_id + 1 = b.doc_id)
+SELECT id_a, id_b, round(inter / (la + lb - inter), 6) AS ngram_jaccard FROM j
+"""
+
 _COS = ("round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * "
         "sqrt(list_dot_product(qv, qv))), 6)")
 
@@ -609,6 +624,7 @@ ORACLES: dict[str, str] = {
     "minhash": MINHASH,
     "near_dup_pairs": NEAR_DUP_PAIRS,
     "simhash": SIMHASH,
+    "ngram_jaccard": NGRAM_JACCARD,
     "ann_brute": ANN_BRUTE,
     "ann_lsh": ANN_LSH,
     "embedding_dedup": EMBEDDING_DEDUP,

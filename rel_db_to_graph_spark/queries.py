@@ -413,6 +413,24 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_table(load_table(spark, sf_dir, "documents"))
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard between consecutive doc pairs (id, id+1) —
+    the token-level similarity measure, linear in corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id",
+                      T.tokens(T.normalize(F.col("text"))).alias("_toks"))
+    staged = staged.localCheckpoint(eager=True)   # bind _toks (see word_ngrams)
+    grams = staged.select(
+        "doc_id",
+        F.array_distinct(D.word_ngrams(F.col("_toks"), 3)).alias("gset"))
+    a = grams.select(F.col("doc_id").alias("id_a"), F.col("gset").alias("ga"))
+    b = grams.select(F.col("doc_id").alias("id_b"), F.col("gset").alias("gb"))
+    return (a.join(b, a.id_a + 1 == b.id_b)
+            .select("id_a", "id_b",
+                    F.round(D.jaccard(F.col("ga"), F.col("gb")), 6)
+                    .alias("ngram_jaccard")))
+
+
 # ---------------------------------------------------------------- similarity
 
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
