@@ -100,8 +100,18 @@ TABLE_SCHEMAS: dict[str, str] = {
 }
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Self-defend against externally-created sessions (the driver hands
+    us a SparkSession we didn't configure): ns-timestamp parquet support
+    and a fixed UTC render zone — both runtime-settable SQL confs, both
+    required for oracle-identical results."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Full table scan (S6) — lazy parquet read; Catalyst prunes/pushes."""
+    ensure_session_confs(spark)
     reader = spark.read
     if name in TABLE_SCHEMAS:
         reader = reader.schema(TABLE_SCHEMAS[name])

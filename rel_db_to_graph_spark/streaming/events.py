@@ -28,6 +28,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the static events parquet (one file = one
     micro-batch under availableNow; in production this is a kafka/delta
     source with the same downstream plan)."""
+    from rel_db_to_graph_spark.sources.catalog import ensure_session_confs
+    ensure_session_confs(spark)
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
