@@ -43,28 +43,34 @@ def _leaky_relu(x, alpha: float = 0.2):
 
 def gat_layer(edges: DataFrame, feats: DataFrame, w_l: np.ndarray,
               w_r: np.ndarray, a: np.ndarray,
-              activation: str = "sigmoid") -> DataFrame:
+              activation: str = "sigmoid",
+              dst_feats: DataFrame | None = None) -> DataFrame:
     """One GATv2 attention layer: (node_id, emb) -> (node_id, emb').
 
+    Homogeneous by default; pass ``dst_feats`` for the bipartite /
+    heterogeneous case (src endpoints projected from ``feats``, dst
+    endpoints from ``dst_feats`` — the to_hetero per-edge-type shape).
     Nodes with no in-edges keep a zero embedding of the output width
-    (they receive no messages — callers concat self features per layer,
-    as gat_forward does).
+    (they receive no messages — callers concat or sum self features,
+    as gat_forward / hetero_forward do).
     """
     out_dim = w_l.shape[0]
+    dstf = feats if dst_feats is None else dst_feats
 
-    proj = feats.select(
-        "node_id",
+    src_proj = feats.select(
+        F.col("node_id").alias("src"),
         linear_layer(F.col("emb"), w_l, activation=None).alias("_s"),
+    ).localCheckpoint(eager=False)
+    dst_proj = dstf.select(
+        F.col("node_id").alias("dst"),
         linear_layer(F.col("emb"), w_r, activation=None).alias("_t"),
-    )
-    # localCheckpoint: _s/_t feed two join branches + the aggregation
-    proj = proj.localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False)
 
     a_lit = F.array(*[F.lit(float(v)) for v in a])
     e_edges = (
         edges
-        .join(proj.select(F.col("node_id").alias("src"), F.col("_s")), "src")
-        .join(proj.select(F.col("node_id").alias("dst"), F.col("_t")), "dst")
+        .join(src_proj, "src")
+        .join(dst_proj, "dst")
         .withColumn("_e", dot(F.transform(F.zip_with("_s", "_t",
                                                      lambda s, t: s + t),
                                           lambda x: _leaky_relu(x)),
@@ -92,7 +98,7 @@ def gat_layer(edges: DataFrame, feats: DataFrame, w_l: np.ndarray,
     )
     act = (lambda c: sigmoid(c)) if activation == "sigmoid" else (lambda c: c)
     return (
-        feats.select("node_id")
+        dstf.select("node_id")
         .join(agg.withColumnRenamed("dst", "node_id"), "node_id", "left")
         .select(
             "node_id",

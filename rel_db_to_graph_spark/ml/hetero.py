@@ -1,0 +1,100 @@
+"""to_hetero analog — heterogeneous GNN forward (model.py:92-94).
+
+The reference turns a homogeneous GATv2 into a heterogeneous model with
+``to_hetero(model, metadata, aggr='sum')``: every edge type gets its own
+parameterized convolution, and each node type sums the per-edge-type
+aggregations addressed to it. Same composition here:
+
+  * per node type: a seeded input projection to the shared hidden width
+    (heterogeneous feature widths -> one embedding space);
+  * per layer, per edge type (s, rel, d): a bipartite GATv2 attention
+    pass from type s embeddings into type d (ml/gat.py);
+  * per node type: element-wise SUM of all incoming per-edge-type
+    messages (aggr='sum') plus a self projection, sigmoid.
+
+Edge-type set includes REVERSE_* and SELF_LOOP types exactly as the
+reference's metadata does (the graph carries them from G6/G7, and
+add_self_loops=False in the conv because of that — train.py:45).
+
+Scale: each edge type contributes one endpoint join + two scalar
+shuffles + one per-(node, dim) aggregation per layer — the per-type
+plans are independent until the final per-type sum, so a scheduler can
+run them concurrently; lineage is checkpointed per layer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rel_db_to_graph_spark.functions.vector import sigmoid
+from rel_db_to_graph_spark.ml.gat import gat_layer
+from rel_db_to_graph_spark.ml.gnn import linear_layer
+
+
+def node_features_normalized(nodes: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """(node_id, emb array<double>) per type: numeric columns max-abs
+    scaled (degree included)."""
+    out = {}
+    for t, nf in nodes.items():
+        cols = [c for c in nf.columns if c not in ("node_id", "pk")]
+        maxes = nf.agg(*[F.max(F.abs(F.col(c).cast("double"))).alias(c)
+                         for c in cols]).collect()[0]
+        out[t] = nf.select(
+            "node_id",
+            F.array(*[F.col(c).cast("double") / float(maxes[c] or 1.0)
+                      for c in cols]).alias("emb"))
+    return out
+
+
+def hetero_gat_forward(graph: dict, hidden: int = 4, layers: int = 1,
+                       seed: int = 42) -> dict[str, DataFrame]:
+    """Heterogeneous multi-layer forward: {node_type: (node_id, emb)}."""
+    rng = np.random.default_rng(seed)
+    feats = node_features_normalized(graph["nodes"])
+
+    # input projection per type -> shared hidden width
+    emb: dict[str, DataFrame] = {}
+    for t in sorted(feats):
+        in_dim = len(feats[t].select("emb").first()["emb"])
+        w0 = rng.normal(0, 0.5, size=(hidden, in_dim))
+        emb[t] = feats[t].select(
+            "node_id", linear_layer(F.col("emb"), w0).alias("emb"))
+        emb[t] = emb[t].localCheckpoint(eager=False)
+
+    edge_types = sorted(graph["edges"])
+    for _layer in range(layers):
+        # per-edge-type attention messages into the dst type
+        incoming: dict[str, list[DataFrame]] = {t: [] for t in emb}
+        for (s, rel, d) in edge_types:
+            w_l = rng.normal(0, 0.5, size=(hidden, hidden))
+            w_r = rng.normal(0, 0.5, size=(hidden, hidden))
+            a = rng.normal(0, 0.5, size=hidden)
+            msg = gat_layer(graph["edges"][(s, rel, d)], emb[s],
+                            w_l, w_r, a, activation=None, dst_feats=emb[d])
+            incoming[d].append(msg)
+
+        new_emb = {}
+        for t in sorted(emb):
+            w_self = rng.normal(0, 0.5, size=(hidden, hidden))
+            combined = emb[t].select(
+                "node_id", linear_layer(F.col("emb"), w_self,
+                                        activation=None).alias("emb"))
+            # aggr='sum' across edge types (model.py:94)
+            for msg in incoming[t]:
+                combined = (
+                    combined.join(msg.withColumnRenamed("emb", "_m"),
+                                  "node_id", "left")
+                    .select("node_id",
+                            F.when(F.col("_m").isNull(), F.col("emb"))
+                            .otherwise(F.zip_with("emb", "_m",
+                                                  lambda x, y: x + y))
+                            .alias("emb"))
+                )
+            new_emb[t] = combined.select(
+                "node_id",
+                F.transform("emb", lambda x: sigmoid(x)).alias("emb")
+            ).localCheckpoint(eager=False)
+        emb = new_emb
+    return emb
