@@ -69,6 +69,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neighbor_sample": Q.q_neighbor_sample,
     "negative_sample": Q.q_negative_sample,
     "link_pred_train": Q.q_link_pred_train,
+    "hetero_forward": Q.q_hetero_forward,
     "text_stats": Q.q_text_stats,
     "text_quality": Q.q_text_quality,
     "lang_id": Q.q_lang_id,

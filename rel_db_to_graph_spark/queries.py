@@ -361,6 +361,28 @@ def q_link_pred_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epoch int, train_loss double, val_acc double")
 
 
+def q_hetero_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 full-model (rows-only; seeded matrix math → not SQL-expressible):
+    heterogeneous to_hetero-style GATv2 forward over the fully built graph
+    (every node type, every edge type incl. REVERSE_/SELF_LOOP). Returns a
+    deterministic per-type summary of the resulting embeddings."""
+    from rel_db_to_graph_spark.ml.hetero import hetero_gat_forward
+
+    g = build_graph(spark, sf_dir)
+    emb = hetero_gat_forward(g, hidden=2, layers=1, seed=42)
+    frames = []
+    for t in sorted(emb):
+        frames.append(emb[t].agg(
+            F.count("*").alias("n_nodes"),
+            F.round(_dec_sum(F.element_at("emb", 1), "_s1"), 6).alias("sum_dim1"),
+            F.round(_dec_sum(F.element_at("emb", 2), "_s2"), 6).alias("sum_dim2"),
+        ).select(F.lit(t).alias("node_type"), "n_nodes", "sum_dim1", "sum_dim2"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out
+
+
 # ---------------------------------------------------------------- text / dedup
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
