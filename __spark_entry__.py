@@ -70,6 +70,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "negative_sample": Q.q_negative_sample,
     "link_pred_train": Q.q_link_pred_train,
     "hetero_forward": Q.q_hetero_forward,
+    "recommend_gnn": Q.q_recommend_gnn,
     "text_stats": Q.q_text_stats,
     "text_quality": Q.q_text_quality,
     "lang_id": Q.q_lang_id,

@@ -361,6 +361,14 @@ def q_link_pred_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epoch int, train_loss double, val_acc double")
 
 
+def q_recommend_gnn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9+L5+L6+A7 (rows-only; seeded matrix math): the reference's full
+    inference path — graph mutation, heterogeneous GNN forward, dot-product
+    decode, top-k."""
+    from rel_db_to_graph_spark.operators.recommend import recommend_parts_gnn
+    return recommend_parts_gnn(spark, sf_dir, k=10)
+
+
 def q_hetero_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5 full-model (rows-only; seeded matrix math → not SQL-expressible):
     heterogeneous to_hetero-style GATv2 forward over the fully built graph

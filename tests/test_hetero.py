@@ -32,6 +32,28 @@ def test_hetero_forward_deterministic(spark):
     assert ra == rb
 
 
+def test_recommend_gnn_end_to_end(spark):
+    """Full inference path: mutate -> hetero forward -> decode -> top-k.
+    Deterministic, excludes the basket, probabilities in (0, 1)."""
+    from rel_db_to_graph_spark.operators.recommend import recommend_parts_gnn
+    from rel_db_to_graph_spark.sources.catalog import load_table
+
+    rows = recommend_parts_gnn(spark, SF_SMOKE, k=5).collect()
+    assert len(rows) == 5
+    assert all(0.0 < r.prob < 1.0 for r in rows)
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    min_ok = li.agg(F.min("l_orderkey")).first()[0]
+    basket = {r.l_partkey for r in
+              li.filter(F.col("l_orderkey") == min_ok)
+              .select("l_partkey").distinct().collect()}
+    assert basket.isdisjoint({r.p_partkey for r in rows})
+
+    again = recommend_parts_gnn(spark, SF_SMOKE, k=5).collect()
+    assert [(r.p_partkey, r.prob) for r in rows] == \
+        [(r.p_partkey, r.prob) for r in again]
+
+
 def test_hetero_messages_flow_across_types(spark):
     """Customers receive from orders (REVERSE_hasCust): their embeddings
     must differ from a graph with those edges removed."""
