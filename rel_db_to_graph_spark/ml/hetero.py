@@ -33,18 +33,23 @@ from rel_db_to_graph_spark.ml.gat import gat_layer
 from rel_db_to_graph_spark.ml.gnn import linear_layer
 
 
-def node_features_normalized(nodes: dict[str, DataFrame]) -> dict[str, DataFrame]:
-    """(node_id, emb array<double>) per type: numeric columns max-abs
-    scaled (degree included)."""
+def node_features_normalized(
+        nodes: dict[str, DataFrame]) -> dict[str, tuple[DataFrame, int]]:
+    """{type: ((node_id, emb array<double>), dim)}: numeric columns
+    max-abs scaled (degree included). The max-abs scalars are computed
+    JVM-side in a subquery cross-join, not collected — one job per type
+    is avoided; dim comes from the column list, no action needed."""
     out = {}
     for t, nf in nodes.items():
         cols = [c for c in nf.columns if c not in ("node_id", "pk")]
-        maxes = nf.agg(*[F.max(F.abs(F.col(c).cast("double"))).alias(c)
-                         for c in cols]).collect()[0]
-        out[t] = nf.select(
+        maxes = nf.agg(*[F.greatest(F.max(F.abs(F.col(c).cast("double"))),
+                                    F.lit(1e-12)).alias(f"_mx_{c}")
+                         for c in cols])
+        scaled = nf.crossJoin(F.broadcast(maxes)).select(
             "node_id",
-            F.array(*[F.col(c).cast("double") / float(maxes[c] or 1.0)
+            F.array(*[F.col(c).cast("double") / F.col(f"_mx_{c}")
                       for c in cols]).alias("emb"))
+        out[t] = (scaled, len(cols))
     return out
 
 
@@ -57,9 +62,9 @@ def hetero_gat_forward(graph: dict, hidden: int = 4, layers: int = 1,
     # input projection per type -> shared hidden width
     emb: dict[str, DataFrame] = {}
     for t in sorted(feats):
-        in_dim = len(feats[t].select("emb").first()["emb"])
+        scaled, in_dim = feats[t]
         w0 = rng.normal(0, 0.5, size=(hidden, in_dim))
-        emb[t] = feats[t].select(
+        emb[t] = scaled.select(
             "node_id", linear_layer(F.col("emb"), w0).alias("emb"))
         emb[t] = emb[t].localCheckpoint(eager=False)
 

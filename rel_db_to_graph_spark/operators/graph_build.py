@@ -195,13 +195,26 @@ def self_loops(node_ids: DataFrame) -> DataFrame:
                            F.col("node_id").alias("dst"))
 
 
+#: (applicationId, sf_dir, scalable_ids) -> built graph dict. The frames
+#: inside are persisted; several driver queries (hetero_counts,
+#: hetero_forward, recommend_gnn) need the same graph, and rebuilding it
+#: per query would redo every dense-id sort and edge remap. Entries from
+#: stopped sessions are keyed away by applicationId and never touched.
+_GRAPH_CACHE: dict[tuple, dict] = {}
+
+
 def build_graph(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
                 scalable_ids: bool = False) -> dict:
     """G8: full assembly. Returns {'nodes': {t: DF}, 'edges': {(s,r,d): DF}}.
 
     Order matches the reference (C:260-271): infer -> edges -> nodes ->
     degree -> reverse -> self loops (-> parquet sink if out_dir).
+    Results are memoized per (session, sf_dir) — callers treat the
+    returned dict as read-only (copy before mutating, as mutate.py does).
     """
+    cache_key = (spark.sparkContext.applicationId, sf_dir, scalable_ids)
+    if out_dir is None and cache_key in _GRAPH_CACHE:
+        return _GRAPH_CACHE[cache_key]
     from rel_db_to_graph_spark.plans.inference import edge_catalog_py, node_tables_py
 
     # driver-side catalog (pure python over the registry constants):
@@ -270,7 +283,10 @@ def build_graph(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
         for (s, r, d), df in edges.items():
             df.write.mode("overwrite").parquet(f"{out_dir}/edges/{s}__{r}__{d}")
 
-    return {"nodes": nodes, "edges": edges}
+    result = {"nodes": nodes, "edges": edges}
+    if out_dir is None:
+        _GRAPH_CACHE[cache_key] = result
+    return result
 
 
 def load_graph(spark: SparkSession, graph_dir: str) -> dict:
