@@ -89,6 +89,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": Q.q_multimodal_meta,
     "events_hourly": Q.q_events_hourly,
     "events_sessionize": Q.q_events_sessionize,
+    "events_asof": Q.q_events_asof,
 }
 
 

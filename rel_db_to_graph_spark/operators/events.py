@@ -44,6 +44,42 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
+              payload: dict[str, str], tiebreak: str | None = None) -> DataFrame:
+    """Backward as-of join: for each left row, attach the latest right row
+    with ``right.ts_col <= left.ts_col`` per ``on`` key (DuckDB/kdb ASOF
+    LEFT JOIN semantics, inclusive). Spark has no native as-of join; the
+    naive form (range join + per-left-row max) explodes to |L|·|R| pairs
+    per key. This union-merge form never materializes pairs:
+
+        tag right rows side=0 and left rows side=1, union, then one
+        window per key ordered by (ts, side): last(payload, ignorenulls)
+        carries the most recent right payload forward into each left row.
+
+    One shuffle on the key, per-key local sort — identical scale shape to
+    sessionize: linear in |L|+|R| regardless of match fan-in.
+
+    ``payload`` maps right column -> output name (names must not collide
+    with left columns); ``tiebreak`` (a payload OUTPUT name) makes the
+    winner among equal-ts right rows deterministic: the greatest value
+    wins (last in window order).
+    """
+    r = right.select(
+        F.col(on), F.col(ts_col).alias("_ts"),
+        *[F.col(c).alias(o) for c, o in payload.items()],
+        F.lit(0).alias("_side"))
+    l = left.withColumn("_ts", F.col(ts_col)).withColumn("_side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    order = ["_ts", "_side"] + ([tiebreak] if tiebreak else [])
+    w = (Window.partitionBy(on).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = u.select(
+        *left.columns, "_side",
+        *[F.last(o, ignorenulls=True).over(w).alias(o)
+          for o in payload.values()])
+    return carried.filter(F.col("_side") == 1).drop("_side")
+
+
 def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
     """Gap-based sessions: (user_id, session_id, n_events, session_start,
     duration_sec). A new session starts when the gap to the previous event

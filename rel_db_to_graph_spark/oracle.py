@@ -591,6 +591,15 @@ SELECT user_id, session_id, count(*) AS n_events,
 FROM s GROUP BY user_id, session_id
 """
 
+EVENTS_ASOF = """
+SELECT l.event_id AS click_event_id, l.user_id,
+       r.event_id AS view_event_id,
+       epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
 #: name -> oracle SQL (queries without an entry get rows-only checks)
 ORACLES: dict[str, str] = {
     "catalog_tables": CATALOG_TABLES,
@@ -633,4 +642,5 @@ ORACLES: dict[str, str] = {
     "multimodal_meta": MULTIMODAL_META,
     "events_hourly": EVENTS_HOURLY,
     "events_sessionize": EVENTS_SESSIONIZE,
+    "events_asof": EVENTS_ASOF,
 }

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from rel_db_to_graph_spark.functions.vector import sigmoid
 from rel_db_to_graph_spark.operators import dedup as D
 from rel_db_to_graph_spark.operators import text as T
-from rel_db_to_graph_spark.operators.events import hourly_rollup, sessionize
+from rel_db_to_graph_spark.operators.events import asof_join, hourly_rollup, sessionize
 from rel_db_to_graph_spark.operators.graph_build import (
     build_graph,
     dense_ids,
@@ -536,3 +536,23 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"))
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no native one): attribute
+    each click to the same user's most recent prior-or-equal view.
+    gap_us works in the µs domain (ts div 1000) because DuckDB truncates
+    the parquet ns timestamps to µs."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view") \
+        .select("event_id", "user_id", "ts")
+    j = asof_join(clicks, views, on="user_id", ts_col="ts",
+                  payload={"event_id": "view_event_id", "ts": "_vts"},
+                  tiebreak="view_event_id")
+    return j.select(
+        F.col("event_id").alias("click_event_id"), "user_id",
+        "view_event_id",
+        (F.expr("ts div 1000") - F.expr("_vts div 1000"))
+        .cast("long").alias("gap_us"))

@@ -106,3 +106,23 @@ def test_stateful_stream_running_sessions(spark):
            events.select("user_id").distinct().count()
     assert out.agg(F.sum("n_events")).collect()[0][0] == events.count()
     assert out.filter(F.col("n_sessions") < 1).count() == 0
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive ties, backward-only matching, null when no prior right
+    row, deterministic tiebreak on equal timestamps."""
+    from rel_db_to_graph_spark.operators.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 20), (3, 100, 5), (4, 200, 50)],
+        "event_id long, user_id long, ts long")
+    right = spark.createDataFrame(
+        [(101, 100, 10), (102, 100, 10), (103, 100, 15), (104, 300, 1)],
+        "event_id long, user_id long, ts long")
+    out = {r.event_id: r.view_id for r in asof_join(
+        left, right, on="user_id", ts_col="ts",
+        payload={"event_id": "view_id"}, tiebreak="view_id").collect()}
+    assert out[1] == 102   # ts=10 inclusive; tie 101/102 -> greatest id
+    assert out[2] == 103   # latest ts<=20 is 15
+    assert out[3] is None  # no right row at ts<=5
+    assert out[4] is None  # user 200 has no right rows at all
