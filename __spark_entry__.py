@@ -90,6 +90,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": Q.q_events_hourly,
     "events_sessionize": Q.q_events_sessionize,
     "events_asof": Q.q_events_asof,
+    "events_attribution": Q.q_events_attribution,
+    "rollup_pricing": Q.q_rollup_pricing,
 }
 
 

@@ -80,6 +80,44 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
     return carried.filter(F.col("_side") == 1).drop("_side")
 
 
+def range_join(points: DataFrame, intervals: DataFrame, on: str,
+               ts_col: str, start_col: str, end_col: str,
+               bucket_width: int) -> DataFrame:
+    """Point-in-interval range join: pair each point row with every
+    interval row of the same ``on`` key satisfying
+    ``start_col < ts_col <= end_col`` (strict lower / inclusive upper —
+    the trailing-window convention; reference has no range join, this is
+    a north-star addition alongside asof_join).
+
+    Spark turns a bare non-equi predicate into a per-key nested loop
+    (BroadcastNestedLoopJoin when keyless) — quadratic per key. Instead
+    the classic bucketing rewrite makes it an equi-join: every point maps
+    to one time bucket ``ts div bucket_width``; every interval is
+    replicated to each bucket it overlaps (``sequence`` + ``explode``,
+    ≤ 1 + len/bucket_width copies); join on (key, bucket), then refine
+    with the exact range predicate. Each qualifying pair is produced
+    exactly once because a point lives in exactly one bucket.
+
+    ``bucket_width`` (same unit as the ts columns) only tunes the
+    replication factor — correctness holds for any positive value; pick
+    it ≈ the typical interval length so intervals copy ~2×. One shuffle
+    on (key, bucket); AQE handles hot buckets like any skewed equi-join.
+    Column names must not collide across the two inputs (except ``on``).
+    """
+    w = int(bucket_width)
+    pt = points.withColumn("_b", F.expr(f"{ts_col} div {w}"))
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(F.sequence(F.expr(f"{start_col} div {w}"),
+                             F.expr(f"{end_col} div {w}"))))
+    return (
+        pt.join(iv, [on, "_b"])
+        .filter((F.col(ts_col) > F.col(start_col)) &
+                (F.col(ts_col) <= F.col(end_col)))
+        .drop("_b")
+    )
+
+
 def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
     """Gap-based sessions: (user_id, session_id, n_events, session_start,
     duration_sec). A new session starts when the gap to the previous event

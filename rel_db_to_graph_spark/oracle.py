@@ -600,6 +600,32 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
+ROLLUP_PRICING = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+EVENTS_ATTRIBUTION = """
+WITH p AS (
+    SELECT event_id, user_id, epoch_us(ts) AS pe
+    FROM events WHERE event_type = 'purchase'
+), c AS (
+    SELECT user_id, epoch_us(ts) AS ce
+    FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id AS purchase_event_id, p.user_id,
+       CAST(count(c.ce) AS BIGINT) AS n_clicks
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.ce > p.pe - 600000000
+ AND c.ce <= p.pe
+GROUP BY p.event_id, p.user_id
+"""
+
 #: name -> oracle SQL (queries without an entry get rows-only checks)
 ORACLES: dict[str, str] = {
     "catalog_tables": CATALOG_TABLES,
@@ -643,4 +669,6 @@ ORACLES: dict[str, str] = {
     "events_hourly": EVENTS_HOURLY,
     "events_sessionize": EVENTS_SESSIONIZE,
     "events_asof": EVENTS_ASOF,
+    "events_attribution": EVENTS_ATTRIBUTION,
+    "rollup_pricing": ROLLUP_PRICING,
 }

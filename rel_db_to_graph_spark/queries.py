@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 from rel_db_to_graph_spark.functions.vector import sigmoid
 from rel_db_to_graph_spark.operators import dedup as D
 from rel_db_to_graph_spark.operators import text as T
-from rel_db_to_graph_spark.operators.events import asof_join, hourly_rollup, sessionize
+from rel_db_to_graph_spark.operators.events import (
+    asof_join, hourly_rollup, range_join, sessionize)
 from rel_db_to_graph_spark.operators.graph_build import (
     build_graph,
     dense_ids,
@@ -521,6 +522,47 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("first_view") < F.col("first_purchase"), 1).otherwise(0))
         .alias("n_converted"),
     )
+
+
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): per-group, per-flag subtotal
+    and grand total in one pass (Catalyst Expand + single hash agg — no
+    multi-scan union). Subtotal NULLs are folded to 'ALL' so the oracle
+    hash never depends on NULL representation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"),
+             _dec_sum(F.col("l_quantity"), "sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows", "sum_qty")
+    )
+
+
+ATTRIBUTION_WINDOW_US = 600_000_000  # 10 minutes
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (custom operator): for each purchase, count the
+    same user's clicks in the trailing 10-minute window. µs domain
+    (ts div 1000) for DuckDB comparability, as in sessionize/asof."""
+    e = load_table(spark, sf_dir, "events") \
+        .withColumn("ts_us", F.expr("ts div 1000"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id",
+        (F.col("ts_us") - F.lit(ATTRIBUTION_WINDOW_US)).alias("w_start"),
+        F.col("ts_us").alias("w_end"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("c_ts"))
+    pairs = range_join(clicks, purchases, on="user_id", ts_col="c_ts",
+                       start_col="w_start", end_col="w_end",
+                       bucket_width=ATTRIBUTION_WINDOW_US)
+    counts = pairs.groupBy("event_id").agg(F.count("*").alias("n_clicks"))
+    return purchases.join(counts, "event_id", "left").select(
+        F.col("event_id").alias("purchase_event_id"), "user_id",
+        F.coalesce("n_clicks", F.lit(0)).cast("long").alias("n_clicks"))
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

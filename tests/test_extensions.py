@@ -108,6 +108,30 @@ def test_stateful_stream_running_sessions(spark):
     assert out.filter(F.col("n_sessions") < 1).count() == 0
 
 
+def test_range_join_semantics(spark):
+    """Strict lower / inclusive upper bounds; a pair whose interval spans
+    two buckets is still produced exactly once (replication dedup); keys
+    never cross-match; bucket_width does not change the result."""
+    from rel_db_to_graph_spark.operators.events import range_join
+
+    points = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 25), (3, 100, 30), (4, 200, 10)],
+        "pt_id long, user_id long, c_ts long")
+    intervals = spark.createDataFrame(
+        [(901, 100, 10, 30), (902, 100, 5, 9), (903, 300, 0, 100)],
+        "iv_id long, user_id long, w_start long, w_end long")
+    for width in (7, 20, 1000):
+        pairs = sorted(
+            (r.pt_id, r.iv_id)
+            for r in range_join(points, intervals, on="user_id",
+                                ts_col="c_ts", start_col="w_start",
+                                end_col="w_end", bucket_width=width).collect())
+        # pt 1 @10: excluded from 901 (strict lower), after 902's end
+        # pt 2 @25 and pt 3 @30 (inclusive upper): inside 901
+        # pt 4: user 200 matches nothing; 903's user 300 has no points
+        assert pairs == [(2, 901), (3, 901)], f"width={width}: {pairs}"
+
+
 def test_asof_join_semantics(spark):
     """Inclusive ties, backward-only matching, null when no prior right
     row, deterministic tiebreak on equal timestamps."""
