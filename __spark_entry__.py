@@ -92,6 +92,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof": Q.q_events_asof,
     "events_attribution": Q.q_events_attribution,
     "rollup_pricing": Q.q_rollup_pricing,
+    "topn_per_group": Q.q_topn_per_group,
 }
 
 

@@ -600,6 +600,16 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
+TOPN_PER_GROUP = """
+SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+    FROM orders
+) WHERE rank <= 3
+"""
+
 ROLLUP_PRICING = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -671,4 +681,5 @@ ORACLES: dict[str, str] = {
     "events_asof": EVENTS_ASOF,
     "events_attribution": EVENTS_ATTRIBUTION,
     "rollup_pricing": ROLLUP_PRICING,
+    "topn_per_group": TOPN_PER_GROUP,
 }

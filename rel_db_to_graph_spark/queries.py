@@ -541,6 +541,22 @@ def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: each customer's top-3 orders by price. Ties are
+    broken by o_orderkey so row_number is total and deterministic. The
+    window sort is local to its hash partition (one shuffle on custkey)
+    and rank<=3 prunes before any downstream op — the scalable top-n
+    shape, vs. a global sort or per-key collect."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
 ATTRIBUTION_WINDOW_US = 600_000_000  # 10 minutes
 
 
