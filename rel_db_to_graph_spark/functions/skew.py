@@ -38,7 +38,15 @@ def explode_salt(df: DataFrame, salt: int, salt_col: str = "_salt") -> DataFrame
 def salted_join(big: DataFrame, small: DataFrame, on: list[str],
                 salt: int = 8, how: str = "inner") -> DataFrame:
     """Equi-join with the hot-key rows of ``big`` spread over ``salt``
-    partitions. Result equals ``big.join(small, on, how)``."""
+    partitions. Result equals ``big.join(small, on, how)`` for
+    how='inner'/'left' ONLY: the small side is exploded salt× before the
+    join, so a right/full join would emit unmatched small-side rows
+    ``salt`` times each. Those modes are rejected."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r}: the "
+            "small side is exploded salt x, so outer modes would "
+            "duplicate unmatched small-side rows")
     b = with_salt(big, list(big.columns), salt)   # full row: hot KEYS still spread
     s = explode_salt(small, salt)
     return b.join(s, on + ["_salt"], how).drop("_salt")

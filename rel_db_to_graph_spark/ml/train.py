@@ -64,6 +64,11 @@ def _epoch_stats(df: DataFrame, w: list[float], b: float) -> dict:
              .alias("correct"))
         .collect()
     )
+    if not agg:
+        # empty frame (empty val split / empty content-addressed batch):
+        # zero gradients, no metric signal — callers skip the step
+        return {"gw": [0.0] * len(w), "gb": 0.0, "loss": 0.0,
+                "acc": 0.0, "n": 0}
     by_pos = {r.pos: r for r in agg}
     n = by_pos[0].n
     return {

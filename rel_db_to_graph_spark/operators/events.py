@@ -63,21 +63,30 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
     with left columns); ``tiebreak`` (a payload OUTPUT name) makes the
     winner among equal-ts right rows deterministic: the greatest value
     wins (last in window order).
+
+    The payload travels as ONE struct through a single
+    last(ignorenulls) so the matched right row is atomic — carrying each
+    column independently would tear the payload across different right
+    rows whenever a right row holds NULL in one payload column.
     """
     r = right.select(
         F.col(on), F.col(ts_col).alias("_ts"),
-        *[F.col(c).alias(o) for c, o in payload.items()],
+        F.struct(*[F.col(c).alias(o) for c, o in payload.items()]).alias("_p"),
         F.lit(0).alias("_side"))
     l = left.withColumn("_ts", F.col(ts_col)).withColumn("_side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
-    order = ["_ts", "_side"] + ([tiebreak] if tiebreak else [])
+    order = [F.col("_ts"), F.col("_side")]
+    if tiebreak:
+        order.append(F.col("_p").getField(tiebreak))
     w = (Window.partitionBy(on).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = u.select(
         *left.columns, "_side",
-        *[F.last(o, ignorenulls=True).over(w).alias(o)
-          for o in payload.values()])
-    return carried.filter(F.col("_side") == 1).drop("_side")
+        F.last("_p", ignorenulls=True).over(w).alias("_p"))
+    return (carried.filter(F.col("_side") == 1)
+            .select(*left.columns,
+                    *[F.col("_p").getField(o).alias(o)
+                      for o in payload.values()]))
 
 
 def range_join(points: DataFrame, intervals: DataFrame, on: str,

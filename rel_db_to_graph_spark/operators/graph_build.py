@@ -198,8 +198,9 @@ def self_loops(node_ids: DataFrame) -> DataFrame:
 #: (applicationId, sf_dir, scalable_ids) -> built graph dict. The frames
 #: inside are persisted; several driver queries (hetero_counts,
 #: hetero_forward, recommend_gnn) need the same graph, and rebuilding it
-#: per query would redo every dense-id sort and edge remap. Entries from
-#: stopped sessions are keyed away by applicationId and never touched.
+#: per query would redo every dense-id sort and edge remap. On insert,
+#: entries from other (stopped) sessions are evicted so persisted frames
+#: bound to dead SparkContexts can't accumulate across sessions.
 _GRAPH_CACHE: dict[tuple, dict] = {}
 
 
@@ -285,6 +286,9 @@ def build_graph(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
 
     result = {"nodes": nodes, "edges": edges}
     if out_dir is None:
+        app_id = spark.sparkContext.applicationId
+        for stale in [k for k in _GRAPH_CACHE if k[0] != app_id]:
+            del _GRAPH_CACHE[stale]
         _GRAPH_CACHE[cache_key] = result
     return result
 

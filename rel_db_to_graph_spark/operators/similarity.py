@@ -74,10 +74,23 @@ def lsh_topk(embeddings: DataFrame, query_id: int, k: int = 10,
 
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                              n_bits: int = 8, id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
-    """(id_a, id_b, score) same-bucket pairs with cosine ≥ threshold."""
+                             vec_col: str = "embedding",
+                             max_bucket: int | None = None) -> DataFrame:
+    """(id_a, id_b, score) same-bucket pairs with cosine ≥ threshold.
+
+    ``max_bucket`` is the same 100 TB safety valve as
+    ``dedup.lsh_candidate_pairs``: one degenerate sign bucket (e.g. many
+    near-zero embeddings all hashing to bucket 0) otherwise produces
+    m²/2 candidate pairs. Buckets larger than the cap are dropped, which
+    bounds the join's worst-case fan-out at max_bucket² independent of
+    the data. None = unbounded (the oracle-parity setting).
+    """
     e = _with_vec(embeddings, vec_col).withColumn(
         "_bucket", sign_bucket(F.col("_v"), n_bits))
+    if max_bucket is not None:
+        sizes = e.groupBy("_bucket").agg(F.count("*").alias("_bn"))
+        e = (e.join(sizes, "_bucket")
+             .filter(F.col("_bn") <= max_bucket).drop("_bn"))
     a = e.select(F.col("_bucket"), F.col(id_col).alias("id_a"),
                  F.col("_v").alias("_va"))
     b = e.select(F.col("_bucket"), F.col(id_col).alias("id_b"),

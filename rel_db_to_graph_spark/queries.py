@@ -601,16 +601,19 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     each click to the same user's most recent prior-or-equal view.
     gap_us works in the µs domain (ts div 1000) because DuckDB truncates
     the parquet ns timestamps to µs."""
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events") \
+        .withColumn("ts_us", F.expr("ts div 1000"))
     clicks = e.filter(F.col("event_type") == "click") \
-        .select("event_id", "user_id", "ts")
+        .select("event_id", "user_id", "ts_us")
     views = e.filter(F.col("event_type") == "view") \
-        .select("event_id", "user_id", "ts")
-    j = asof_join(clicks, views, on="user_id", ts_col="ts",
-                  payload={"event_id": "view_event_id", "ts": "_vts"},
+        .select("event_id", "user_id", "ts_us")
+    # match in the µs domain (like sessionize/attribution): DuckDB only
+    # sees µs-truncated timestamps, so sub-µs components must not decide
+    # which rows match
+    j = asof_join(clicks, views, on="user_id", ts_col="ts_us",
+                  payload={"event_id": "view_event_id", "ts_us": "_vts"},
                   tiebreak="view_event_id")
     return j.select(
         F.col("event_id").alias("click_event_id"), "user_id",
         "view_event_id",
-        (F.expr("ts div 1000") - F.expr("_vts div 1000"))
-        .cast("long").alias("gap_us"))
+        (F.col("ts_us") - F.col("_vts")).cast("long").alias("gap_us"))

@@ -28,14 +28,25 @@ SESSION_GAP_NS = 1800 * 1_000_000_000
 def _update(key: tuple, pdfs: Iterator[pd.DataFrame],
             state: GroupState) -> Iterable[pd.DataFrame]:
     # self-contained: runs on workers with no package on sys.path
+    import numpy as np
+
     n_events, n_sessions, last_ts = (
         state.get if state.exists else (0, 0, None))
-    for pdf in pdfs:
-        for ts in sorted(int(t) for t in pdf["ts"]):
-            if last_ts is None or ts - last_ts > 1800 * 1_000_000_000:
-                n_sessions += 1
-            n_events += 1
-            last_ts = ts
+    chunks = [pdf["ts"].to_numpy(dtype="int64") for pdf in pdfs]
+    ts_all = (np.sort(np.concatenate(chunks)) if chunks
+              else np.empty(0, dtype="int64"))
+    if ts_all.size:
+        # vectorized gap detection: a session starts at the first event
+        # (when no prior state) and wherever the gap to the previous
+        # event exceeds the threshold — numpy diff, no per-event loop
+        gaps = np.diff(ts_all)
+        n_sessions += int((gaps > 1800 * 1_000_000_000).sum())
+        if last_ts is None:
+            n_sessions += 1
+        elif ts_all[0] - last_ts > 1800 * 1_000_000_000:
+            n_sessions += 1
+        n_events += int(ts_all.size)
+        last_ts = int(ts_all[-1])
     state.update((n_events, n_sessions, last_ts))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n_events],
                         "n_sessions": [n_sessions], "last_ts": [last_ts]})

@@ -150,3 +150,48 @@ def test_asof_join_semantics(spark):
     assert out[2] == 103   # latest ts<=20 is 15
     assert out[3] is None  # no right row at ts<=5
     assert out[4] is None  # user 200 has no right rows at all
+
+
+def test_asof_join_payload_is_atomic(spark):
+    """A NULL in one payload column of the matched right row must NOT be
+    back-filled from an older right row (torn payload)."""
+    from rel_db_to_graph_spark.operators.events import asof_join
+
+    left = spark.createDataFrame([(1, 100, 20)],
+                                 "event_id long, user_id long, ts long")
+    # older right row has tag='old'; the matching (latest) one has NULL tag
+    right = spark.createDataFrame([(101, 100, 5, "old"), (102, 100, 10, None)],
+                                  "event_id long, user_id long, ts long, tag string")
+    row = asof_join(left, right, on="user_id", ts_col="ts",
+                    payload={"event_id": "view_id", "tag": "view_tag"},
+                    tiebreak="view_id").collect()[0]
+    assert row.view_id == 102
+    assert row.view_tag is None   # NOT 'old' — the right row is atomic
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    import pytest
+
+    big = spark.range(4).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame([(0, "a")], "k long, name string")
+    with pytest.raises(ValueError):
+        salted_join(big, small, ["k"], salt=4, how="right")
+    with pytest.raises(ValueError):
+        salted_join(big, small, ["k"], salt=4, how="full")
+
+
+def test_embedding_dedup_bucket_cap(spark):
+    """A degenerate sign bucket larger than max_bucket is dropped; small
+    buckets still pair. Unbounded mode keeps everything."""
+    from rel_db_to_graph_spark.operators.similarity import (
+        embedding_near_dup_pairs)
+
+    # 6 identical vectors -> one bucket of 6; 2 vectors in another bucket
+    rows = [(i, [1.0, 1.0]) for i in range(6)] + \
+           [(10, [-1.0, -1.0]), (11, [-1.0, -1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = embedding_near_dup_pairs(emb, threshold=0.5, n_bits=2,
+                                      max_bucket=3).collect()
+    assert sorted((r.id_a, r.id_b) for r in capped) == [(10, 11)]
+    unbounded = embedding_near_dup_pairs(emb, threshold=0.5, n_bits=2)
+    assert unbounded.count() == 15 + 1   # C(6,2) + the small bucket pair
