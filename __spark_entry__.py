@@ -57,6 +57,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": Q.q_revenue_by_nation,
     "eval_metrics": Q.q_eval_metrics,
     "dense_ids": Q.q_dense_ids,
+    "dense_ids_scalable": Q.q_dense_ids_scalable,
     "node_features": Q.q_node_features,
     "edges_fk": Q.q_edges_fk,
     "edges_junction": Q.q_edges_junction,

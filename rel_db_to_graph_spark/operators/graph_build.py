@@ -13,12 +13,12 @@ Spark re-expression:
       - ``dense_ids``          : row_number over ORDER BY pk — fully
         deterministic and oracle-checkable; the global sort is fine for
         dimension-sized tables but is a single-stage total sort.
-      - ``dense_ids_scalable`` : per-partition enumerate + offset
-        (zipWithIndex pattern) — no total sort, ids still dense 0..N-1,
-        deterministic given a deterministic input partitioning (we force
-        one with repartition-by-hash + sortWithinPartitions). Use this
-        path at 100 TB where the id->pk correspondence needs only to be
-        *stable*, not *sorted*.
+      - ``dense_ids_scalable`` : md5-bucket + per-bucket rank + prefix-
+        sum offsets — no total sort, ids still dense 0..N-1, a pure
+        function of the pk set (partitioning-independent), and SQL-
+        expressible (row_number OVER (ORDER BY bucket, pk)) so the path
+        is oracle-pinned. This is ``build_graph``'s DEFAULT: at 100 TB
+        the total sort is the thing that falls over.
   * edge endpoint remap — the reference's dict lookups (C:44-45) become
     two equi-joins against the id maps (J5). AQE broadcasts the id map
     when the node table is dimension-sized; otherwise it is a shuffle
@@ -38,7 +38,7 @@ Spark re-expression:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rel_db_to_graph_spark.sources.catalog import (
@@ -79,48 +79,139 @@ def dense_ids(df: DataFrame, pk: str) -> DataFrame:
                     (F.row_number().over(w) - 1).cast("long").alias("node_id")))
 
 
-def dense_ids_scalable(df: DataFrame, pk: str, num_partitions: int = 0) -> DataFrame:
+#: default bucket count for the scalable dense-id path. A CONSTANT (not
+#: cluster-derived) so the id assignment is a pure function of the data —
+#: same ids on local[32] and on 1000 executors, and the DuckDB oracle can
+#: hard-code it. Parallelism is not limited by it at scale: raise it per
+#: call for billion-row node sets (cost is one broadcast of num_buckets
+#: offset rows).
+DEFAULT_ID_BUCKETS = 64
+
+
+def hash_bucket(col: Column, num_buckets: int) -> Column:
+    """ANSI-expressible hash bucket: first 4 hex chars of md5(cast to
+    string), parsed base 16, mod num_buckets. md5 hex is bit-identical
+    in DuckDB, so the oracle computes the same bucket with a Horner
+    parse (oracle.py::hash_bucket_sql)."""
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10)
+            .cast("long") % F.lit(int(num_buckets)))
+
+
+def dense_ids_scalable(df: DataFrame, pk: str,
+                       num_buckets: int = DEFAULT_ID_BUCKETS,
+                       assume_unique: bool = False) -> DataFrame:
     """Dense 0..N-1 ids without a total sort (the 100 TB path).
 
-    Hash-repartition on pk, sort within partitions (determinism), then
-    per-partition enumerate + exclusive-prefix-sum offsets. One narrow
-    pass + one tiny driver-side offset array (num_partitions longs).
+    id = (# pks in lower buckets) + rank of pk within its bucket, i.e.
+    exactly ``row_number() OVER (ORDER BY bucket(pk), pk) - 1`` — but
+    executed as:
+
+      1. one shuffle of the pks on their md5 bucket,
+      2. a per-bucket local sort computing BOTH the in-bucket rank and
+         the bucket size in one Window stage (bounded partitions — no
+         single-partition global sort anywhere),
+      3. an exclusive prefix sum over the num_buckets bucket-size rows
+         (a one-partition window over 64 rows, not over the data),
+         broadcast-joined back. The offsets branch shares the step-1/2
+         subplan, so Catalyst reuses the shuffle exchange instead of
+         rescanning the source.
+
+    ``assume_unique=True`` skips the defensive ``distinct()`` (one whole
+    shuffle) — correct whenever ``pk`` is an actual primary key, which
+    is how ``node_frame`` calls it.
+
+    Fully deterministic (a pure function of the pk set, independent of
+    partitioning), dense, and oracle-checkable: the DuckDB twin is the
+    total-order row_number above, which DuckDB can afford at test SF.
     """
-    distinct = df.select(F.col(pk).alias("pk")).distinct()
-    if num_partitions:
-        distinct = distinct.repartition(num_partitions, "pk")
-    else:
-        distinct = distinct.repartition("pk")
-    distinct = distinct.sortWithinPartitions("pk")
+    base = df.select(F.col(pk).alias("pk"))
+    if not assume_unique:
+        base = base.distinct()
+    bucketed = base.withColumn("_b", hash_bucket(F.col("pk"), num_buckets))
+    w_rank = Window.partitionBy("_b").orderBy("pk")
+    w_bucket = Window.partitionBy("_b")
+    ranked = (bucketed
+              .withColumn("_rk", F.row_number().over(w_rank))
+              .withColumn("_n", F.count("*").over(w_bucket)))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (ranked.filter(F.col("_rk") == 1).select("_b", "_n")
+               .select("_b",
+                       F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+                       .alias("_off")))
+    return (ranked.join(F.broadcast(offsets), "_b")
+            .select("pk",
+                    (F.col("_off") + F.col("_rk") - 1).cast("long")
+                    .alias("node_id")))
 
-    sizes = distinct.rdd.mapPartitionsWithIndex(
-        lambda i, it: [(i, sum(1 for _ in it))]).collect()
-    offsets = {}
-    acc = 0
-    for i, n in sorted(sizes):
-        offsets[i] = acc
-        acc += n
 
-    def assign(i, it):
-        base = offsets[i]
-        for j, row in enumerate(it):
-            yield (row.pk, base + j)
+def scalable_ids_with_offsets(df: DataFrame, pk: str, offsets: list[int],
+                              num_buckets: int = DEFAULT_ID_BUCKETS) -> DataFrame:
+    """``dense_ids_scalable`` with the per-bucket offsets precomputed by
+    the caller (exclusive prefix sums of bucket sizes) and embedded as a
+    literal array — no offsets branch, no broadcast join: the id plan is
+    one shuffle + one window + a literal lookup. ``build_graph`` batches
+    the offset computation for ALL node tables into a single job and
+    then builds each table's ids through here. Assumes ``pk`` unique.
 
-    return distinct.rdd.mapPartitionsWithIndex(assign).toDF(["pk", "node_id"])
+    Produces EXACTLY the ids of ``dense_ids_scalable`` (same formula:
+    offset of bucket + in-bucket rank - 1)."""
+    bucketed = (df.select(F.col(pk).alias("pk"))
+                .withColumn("_b", hash_bucket(F.col("pk"), num_buckets)))
+    w_rank = Window.partitionBy("_b").orderBy("pk")
+    off_lit = F.array(*[F.lit(int(o)) for o in offsets])
+    return (bucketed
+            .withColumn("_rk", F.row_number().over(w_rank))
+            .select("pk",
+                    (F.element_at(off_lit, F.col("_b").cast("int") + 1)
+                     + F.col("_rk") - 1).cast("long").alias("node_id")))
+
+
+def bucket_offsets(spark: SparkSession, tables: dict[str, tuple[DataFrame, str]],
+                   num_buckets: int = DEFAULT_ID_BUCKETS) -> dict[str, list[int]]:
+    """One job: per-bucket pk counts for every table at once (union of
+    tagged groupBys, ≤ n_tables × num_buckets result rows), turned into
+    exclusive prefix sums. At 100 TB this is the only full pass the id
+    assignment needs beyond the ranking shuffle itself."""
+    frames = []
+    for t, (df, pk) in tables.items():
+        frames.append(
+            df.select(F.col(pk).alias("pk"))
+            .withColumn("_b", hash_bucket(F.col("pk"), num_buckets))
+            .groupBy("_b").agg(F.count("*").alias("_n"))
+            .select(F.lit(t).alias("_t"), "_b", "_n"))
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionAll(f)
+    sizes: dict[str, list[int]] = {t: [0] * num_buckets for t in tables}
+    for r in u.collect():
+        sizes[r._t][int(r._b)] = int(r._n)
+    out = {}
+    for t, ns in sizes.items():
+        acc, offs = 0, []
+        for n in ns:
+            offs.append(acc)
+            acc += n
+        out[t] = offs
+    return out
 
 
 def node_frame(spark: SparkSession, sf_dir: str, table: str,
-               scalable_ids: bool = False, df: DataFrame | None = None) -> DataFrame:
+               scalable_ids: bool = False, df: DataFrame | None = None,
+               ids: DataFrame | None = None) -> DataFrame:
     """G2: (node_id, pk, <numeric feature cols as double>) for one table.
 
     Pass ``df`` to reuse an existing scan — every spark.read.parquet
     costs a file-listing/schema job, which adds up across 9 tables.
+    Pass ``ids`` to reuse a precomputed id map (build_graph's batched
+    offsets path).
     """
     if df is None:
         df = load_table(spark, sf_dir, table)
     pk = pk_cols_of(table)[0]
     feats = numeric_feature_cols(df, table)
-    ids = (dense_ids_scalable(df, pk) if scalable_ids else dense_ids(df, pk))
+    if ids is None:
+        ids = (dense_ids_scalable(df, pk, assume_unique=True) if scalable_ids
+               else dense_ids(df, pk))
     return (
         df.select(F.col(pk).alias("pk"),
                   *[F.col(c).cast("double").alias(c) for c in feats])
@@ -205,13 +296,19 @@ _GRAPH_CACHE: dict[tuple, dict] = {}
 
 
 def build_graph(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
-                scalable_ids: bool = False) -> dict:
+                scalable_ids: bool = True) -> dict:
     """G8: full assembly. Returns {'nodes': {t: DF}, 'edges': {(s,r,d): DF}}.
 
     Order matches the reference (C:260-271): infer -> edges -> nodes ->
     degree -> reverse -> self loops (-> parquet sink if out_dir).
     Results are memoized per (session, sf_dir) — callers treat the
     returned dict as read-only (copy before mutating, as mutate.py does).
+
+    ``scalable_ids`` defaults to True: the bucketed dense-id path has no
+    total sort (the sorted ``dense_ids`` variant is a single-partition
+    sort per node table — the known 100x scale-up killer). Both id
+    assignments are deterministic and oracle-pinned; they differ only in
+    the id<->pk permutation, which graph semantics never depend on.
     """
     cache_key = (spark.sparkContext.applicationId, sf_dir, scalable_ids)
     if out_dir is None and cache_key in _GRAPH_CACHE:
@@ -234,6 +331,14 @@ def build_graph(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
             scans[name] = load_table(spark, sf_dir, name)
         return scans[name]
 
+    # batched id offsets: ONE job computes every table's per-bucket pk
+    # counts (vs a per-table offsets subplan — 9 extra jobs of pure
+    # scheduling overhead at small SF, and one saved pass at 100 TB)
+    offsets = None
+    if scalable_ids:
+        offsets = bucket_offsets(
+            spark, {t: (tbl(t), pk_cols_of(t)[0]) for t in ntabs})
+
     ids = {}
     nodes = {}
     for t in ntabs:
@@ -241,8 +346,11 @@ def build_graph(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
         # edge remap, the degree join, and self-loops — without a cache
         # each consumer would redo the dense-id sort. (At 100 TB this
         # cache is the out_dir parquet sink instead.)
+        id_map = (scalable_ids_with_offsets(tbl(t), pk_cols_of(t)[0],
+                                            offsets[t])
+                  if scalable_ids else None)
         nf = node_frame(spark, sf_dir, t, scalable_ids=scalable_ids,
-                        df=tbl(t)).persist()
+                        df=tbl(t), ids=id_map).persist()
         ids[t] = nf.select("pk", "node_id")
         nodes[t] = nf
 

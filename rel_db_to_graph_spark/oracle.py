@@ -33,6 +33,27 @@ def ids_cte(table: str, pk: str) -> str:
             f"AS BIGINT) AS node_id FROM (SELECT DISTINCT {pk} FROM {table})")
 
 
+def hash_bucket_sql(col: str, num_buckets: int) -> str:
+    """Twin of graph_build.py::hash_bucket — Horner parse of the first 4
+    hex chars of md5 (bit-identical across engines), mod num_buckets."""
+    expr = "CAST(0 AS BIGINT)"
+    for c in range(4):
+        expr = (f"({expr} * 16 + (strpos('0123456789abcdef', "
+                f"substr(md5(CAST({col} AS VARCHAR)), {c + 1}, 1)) - 1))")
+    return f"({expr}) % {num_buckets}"
+
+
+def ids_scalable_cte(table: str, pk: str, num_buckets: int = 64) -> str:
+    """Twin of graph_build.py::dense_ids_scalable: the bucketed id
+    assignment collapses to one total-order row_number in SQL (DuckDB
+    can afford the sort at test SF; Spark avoids it via per-bucket
+    ranks + prefix-sum offsets)."""
+    return (f"SELECT pk, CAST(row_number() OVER (ORDER BY b, pk) - 1 "
+            f"AS BIGINT) AS node_id FROM ("
+            f"SELECT {pk} AS pk, {hash_bucket_sql(pk, num_buckets)} AS b "
+            f"FROM (SELECT DISTINCT {pk} FROM {table}))")
+
+
 _STEM = "regexp_replace(regexp_replace({col}, '^[a-z]{{1,2}}_', ''), 'key$', '')"
 _REL = "'has' || upper(substr(stem, 1, 1)) || substr(stem, 2)"
 _NORM_KEY = "regexp_replace({col}, '^[a-z]{{1,2}}_', '')"
@@ -184,6 +205,9 @@ FROM agg
 """
 
 DENSE_IDS = "WITH ids AS (" + ids_cte("customer", "c_custkey") + ") SELECT pk, node_id FROM ids"
+
+DENSE_IDS_SCALABLE = ("WITH ids AS (" + ids_scalable_cte("customer", "c_custkey")
+                      + ") SELECT pk, node_id FROM ids")
 
 NODE_FEATURES = f"""
 WITH ids AS ({ids_cte('part', 'p_partkey')})
@@ -653,6 +677,7 @@ ORACLES: dict[str, str] = {
     "revenue_by_nation": REVENUE_BY_NATION,
     "eval_metrics": EVAL_METRICS,
     "dense_ids": DENSE_IDS,
+    "dense_ids_scalable": DENSE_IDS_SCALABLE,
     "node_features": NODE_FEATURES,
     "edges_fk": EDGES_FK,
     "edges_junction": EDGES_JUNCTION,

@@ -225,6 +225,15 @@ def q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense_ids(load_table(spark, sf_dir, "customer"), "c_custkey")
 
 
+def q_dense_ids_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W2/G2 at scale: the bucketed no-total-sort id assignment —
+    build_graph's default path, oracle-pinned to its SQL collapse
+    (row_number OVER (ORDER BY md5-bucket, pk))."""
+    from rel_db_to_graph_spark.operators.graph_build import dense_ids_scalable
+    return dense_ids_scalable(load_table(spark, sf_dir, "customer"),
+                              "c_custkey")
+
+
 def q_node_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2/G4/P5/P6: part node frame — FK/PK dropped, numeric-only, float."""
     return node_frame(spark, sf_dir, "part")

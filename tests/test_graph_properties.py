@@ -57,15 +57,39 @@ def test_graph_invariants(spark):
 
 def test_dense_ids_scalable_matches_density(spark):
     c = load_table(spark, SF_SMOKE, "customer")
-    ids = dense_ids_scalable(c, "c_custkey", num_partitions=7)
+    ids = dense_ids_scalable(c, "c_custkey", num_buckets=7)
     n = c.select("c_custkey").distinct().count()
     stats = ids.agg(F.min("node_id"), F.max("node_id"),
                     F.countDistinct("node_id"), F.countDistinct("pk")).collect()[0]
     assert stats[0] == 0 and stats[1] == n - 1
     assert stats[2] == n and stats[3] == n
-    # deterministic across invocations (content-addressed partitioning)
-    again = dense_ids_scalable(c, "c_custkey", num_partitions=7)
+    # deterministic across invocations (content-addressed bucketing)
+    again = dense_ids_scalable(c, "c_custkey", num_buckets=7)
     assert ids.exceptAll(again).count() == 0
+    # the SQL collapse: id == rank of (md5-bucket, pk) in total order
+    import hashlib
+    rows = ids.collect()
+    def key(pk):
+        b = int(hashlib.md5(str(pk).encode()).hexdigest()[:4], 16) % 7
+        return (b, pk)
+    expect = {pk: i for i, pk in
+              enumerate(sorted((r.pk for r in rows), key=key))}
+    assert all(expect[r.pk] == r.node_id for r in rows)
+
+
+def test_build_graph_ids_match_dense_ids_scalable(spark):
+    """build_graph's batched-offsets id path must produce EXACTLY the
+    ids of the standalone (oracle-pinned) dense_ids_scalable."""
+    from rel_db_to_graph_spark.operators.graph_build import build_graph
+
+    g = build_graph(spark, SF_SMOKE)   # default: scalable ids
+    got = {(r.pk, r.node_id)
+           for r in g["nodes"]["customer"].select("pk", "node_id").collect()}
+    want = {(r.pk, r.node_id)
+            for r in dense_ids_scalable(
+                load_table(spark, SF_SMOKE, "customer"),
+                "c_custkey").collect()}
+    assert got == want
 
 
 def _fk_edges(spark):

@@ -29,12 +29,12 @@ def test_dense_ids_always_dense(spark, pks):
 
 @given(pks=st.lists(st.integers(min_value=0, max_value=10**6),
                     min_size=1, max_size=60, unique=True),
-       parts=st.integers(min_value=1, max_value=5))
+       buckets=st.integers(min_value=1, max_value=8))
 @_settings
-def test_scalable_ids_always_dense(spark, pks, parts):
+def test_scalable_ids_always_dense(spark, pks, buckets):
     df = spark.createDataFrame([(p,) for p in pks], "pk_col long")
     out = [r.node_id for r in
-           dense_ids_scalable(df, "pk_col", num_partitions=parts).collect()]
+           dense_ids_scalable(df, "pk_col", num_buckets=buckets).collect()]
     assert sorted(out) == list(range(len(pks)))
 
 
