@@ -68,6 +68,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recommend": Q.q_recommend,
     "link_split": Q.q_link_split,
     "neighbor_sample": Q.q_neighbor_sample,
+    "hetero_neighbor_sample": Q.q_hetero_neighbor_sample,
     "negative_sample": Q.q_negative_sample,
     "link_pred_train": Q.q_link_pred_train,
     "hetero_forward": Q.q_hetero_forward,

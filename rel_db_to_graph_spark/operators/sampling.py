@@ -55,6 +55,64 @@ def sample_subgraph(edges: DataFrame, seeds: DataFrame, fanouts: list[int],
     return out
 
 
+def _edge_type_seed(seed: int, edge_type: tuple[str, str, str]) -> int:
+    """Per-edge-type seed so the hash draws of different edge types are
+    independent (driver-side, deterministic)."""
+    import hashlib
+    tag = "|".join(edge_type).encode()
+    return seed + int.from_bytes(hashlib.md5(tag).digest()[:4], "big")
+
+
+def sample_hetero_subgraph(graph: dict, seeds: dict[str, DataFrame],
+                           fanouts: list[int], seed: int = 42) -> DataFrame:
+    """L2, heterogeneous (LinkNeighborLoader parity, dataloader.py:24-51):
+    per hop, EVERY edge type whose src type is in the current frontier
+    samples ≤ fanout out-edges per frontier node; the next frontier of a
+    node type is the union of sampled dsts across all edge types landing
+    there. ``fanouts`` is per LAYER and applies to all edge types in
+    that layer — the reference's ``[num_neighbors] * num_layers`` train
+    shape and ``[-1]`` eval shape (full neighborhood).
+
+    ``graph`` is a build_graph dict; ``seeds`` maps node type ->
+    DataFrame with a ``node_id`` column. Returns one frame
+    (src_table, relation, dst_table, src, dst, hop).
+
+    Scale shape: one frontier-join + bounded per-src window per edge
+    type per hop, all content-addressed (reproducible on any
+    partitioning); frontiers are localCheckpointed per hop to cut the
+    growing lineage, exactly like the homogeneous operator.
+    """
+    frontier: dict[str, DataFrame] = {
+        t: df.select("node_id") for t, df in seeds.items()}
+    layers: list[DataFrame] = []
+    for hop, fanout in enumerate(fanouts):
+        nxt: dict[str, list[DataFrame]] = {}
+        for (s, rel, d), edges in sorted(graph["edges"].items()):
+            if s not in frontier:
+                continue
+            hop_edges = sample_neighbors(
+                edges, frontier[s].select(F.col("node_id").alias("src")),
+                fanout, seed=_edge_type_seed(seed, (s, rel, d)), hop=hop)
+            layers.append(hop_edges.select(
+                F.lit(s).alias("src_table"), F.lit(rel).alias("relation"),
+                F.lit(d).alias("dst_table"), "src", "dst",
+                F.lit(hop).alias("hop")))
+            nxt.setdefault(d, []).append(
+                hop_edges.select(F.col("dst").alias("node_id")))
+        frontier = {}
+        for d, parts in nxt.items():
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionAll(p)
+            frontier[d] = u.distinct().localCheckpoint(eager=False)
+    if not layers:
+        raise ValueError("no edge type matched any seed node type")
+    out = layers[0]
+    for df in layers[1:]:
+        out = out.unionAll(df)
+    return out
+
+
 def negative_sample(positives: DataFrame, node_ids: DataFrame,
                     ratio: int = 1, seed: int = 42) -> DataFrame:
     """Binary negative sampling (neg_sampling='binary', dataloader.py:27):

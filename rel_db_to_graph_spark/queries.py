@@ -329,6 +329,21 @@ def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_subgraph(e, seeds, fanouts=[3, 2])
 
 
+def q_hetero_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 heterogeneous (rows-only): 2-hop fanout-2 sampling across the
+    WHOLE graph dict from 5 customer seeds — per-edge-type-per-hop edge
+    counts (the LinkNeighborLoader shape, dataloader.py:24-51)."""
+    from rel_db_to_graph_spark.operators.sampling import sample_hetero_subgraph
+
+    g = build_graph(spark, sf_dir)
+    seeds = {"customer":
+             g["nodes"]["customer"].select("node_id").orderBy("node_id").limit(5)}
+    sub = sample_hetero_subgraph(g, seeds, fanouts=[2, 2])
+    return (sub.groupBy("src_table", "relation", "dst_table", "hop")
+            .agg(F.count("*").alias("n_edges"))
+            .orderBy("hop", "src_table", "relation", "dst_table"))
+
+
 def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 (rows-only): binary negative sampling over orders→customer."""
     e = q_edges_fk(spark, sf_dir)

@@ -126,6 +126,54 @@ def test_neighbor_sample_fanout_bound(spark):
             .exceptAll(e.select("src", "dst").distinct()).count() == 0)
 
 
+def test_hetero_neighbor_sample_properties(spark):
+    """Per-edge-type fanout bound, cross-type frontier correctness,
+    edges are real, eval mode (-1) = full neighborhood, determinism."""
+    from rel_db_to_graph_spark.operators.sampling import sample_hetero_subgraph
+
+    g = build_graph(spark, SF_SMOKE)
+    seeds = {"customer":
+             g["nodes"]["customer"].select("node_id").orderBy("node_id").limit(5)}
+    sub = sample_hetero_subgraph(g, seeds, fanouts=[2, 3], seed=7).cache()
+
+    # fanout bound holds per (edge type, hop, src node)
+    worst = (sub.groupBy("src_table", "relation", "dst_table", "hop", "src")
+             .count()
+             .groupBy("hop").agg(F.max("count").alias("mx")).collect())
+    bounds = {0: 2, 1: 3}
+    assert all(r.mx <= bounds[r.hop] for r in worst)
+
+    # hop-0 sources are seeds; hop-1 sources of type t are hop-0 dsts of t
+    hop0_src = {r.src for r in
+                sub.filter((F.col("hop") == 0)).select("src").collect()}
+    assert hop0_src <= {r.node_id for r in seeds["customer"].collect()}
+    for t in ("customer", "orders", "nation"):
+        hop0_dst = {r.dst for r in sub.filter(
+            (F.col("hop") == 0) & (F.col("dst_table") == t)).select("dst").collect()}
+        hop1_src = {r.src for r in sub.filter(
+            (F.col("hop") == 1) & (F.col("src_table") == t)).select("src").collect()}
+        assert hop1_src <= hop0_dst, t
+
+    # every sampled edge exists in its edge type's frame
+    for (s, rel, d), edf in g["edges"].items():
+        mine = sub.filter((F.col("src_table") == s) & (F.col("relation") == rel)
+                          & (F.col("dst_table") == d)).select("src", "dst").distinct()
+        assert mine.exceptAll(edf.select("src", "dst").distinct()).count() == 0
+
+    # determinism: content-addressed draws
+    again = sample_hetero_subgraph(g, seeds, fanouts=[2, 3], seed=7)
+    assert sub.exceptAll(again).count() == 0 and again.exceptAll(sub).count() == 0
+
+    # eval mode: fanout -1 keeps the full 1-hop neighborhood of the seeds
+    full = sample_hetero_subgraph(g, seeds, fanouts=[-1], seed=7)
+    expect = 0
+    seed_ids = {r.node_id for r in seeds["customer"].collect()}
+    for (s, rel, d), edf in g["edges"].items():
+        if s == "customer":
+            expect += edf.filter(F.col("src").isin(seed_ids)).count()
+    assert full.count() == expect
+
+
 def test_negative_sample_properties(spark):
     e = _fk_edges(spark).cache()
     c = load_table(spark, SF_SMOKE, "customer")
