@@ -71,6 +71,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hetero_neighbor_sample": Q.q_hetero_neighbor_sample,
     "negative_sample": Q.q_negative_sample,
     "link_pred_train": Q.q_link_pred_train,
+    "hetero_link_train": Q.q_hetero_link_train,
     "hetero_forward": Q.q_hetero_forward,
     "recommend_gnn": Q.q_recommend_gnn,
     "text_stats": Q.q_text_stats,

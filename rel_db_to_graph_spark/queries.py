@@ -379,7 +379,40 @@ def q_link_pred_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("src", "dst", "label",
                         F.concat(s_arr, d_arr,
                                  F.array(dot(s_arr, d_arr))).alias("features")))
-    res = train_edge_scorer(examples, dim=3, epochs=3, lr=0.5)
+    # AdamW (the reference's optimizer, model.py:151-152). The task is
+    # near-flat (uniform negatives vs. weakly informative scalar
+    # features, so BCE ~ ln 2 is close to optimal); the small lr keeps
+    # Adam's unit-scale steps inside the basin — the informative-
+    # embedding variant of this loop is hetero_link_train.
+    res = train_edge_scorer(examples, dim=3, epochs=3, lr=0.002,
+                            optimizer="adamw")
+    return spark.createDataFrame(
+        [(h["epoch"], float(h["train_loss"]), float(h["val_acc"]))
+         for h in res.history],
+        "epoch int, train_loss double, val_acc double")
+
+
+def q_hetero_link_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5+L6+L9-L11 (rows-only; iterative): END-TO-END trained link
+    prediction — hetero GATv2 forward produces frozen node embeddings,
+    then the shared final projection + decoder bias train jointly with
+    AdamW on orders→customer positives + binary negatives (the
+    reference's train loop shape, train.py:72-80). Returns the epoch
+    history; train BCE must decrease."""
+    from rel_db_to_graph_spark.ml.hetero import hetero_gat_forward
+    from rel_db_to_graph_spark.ml.train import train_link_projection
+
+    g = build_graph(spark, sf_dir)
+    emb = hetero_gat_forward(g, hidden=2, layers=1, seed=42)
+    pos = g["edges"][("orders", "hasCust", "customer")]
+    labeled = negative_sample(pos, g["nodes"]["customer"].select("node_id"),
+                              ratio=1, seed=42)
+    es = emb["orders"].select(F.col("node_id").alias("src"),
+                              F.col("emb").alias("e_src"))
+    ed = emb["customer"].select(F.col("node_id").alias("dst"),
+                                F.col("emb").alias("e_dst"))
+    examples = labeled.join(es, "src").join(ed, "dst")
+    res = train_link_projection(examples, hidden=2, epochs=3, lr=0.05)
     return spark.createDataFrame(
         [(h["epoch"], float(h["train_loss"]), float(h["val_acc"]))
          for h in res.history],

@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from rel_db_to_graph_spark.config import SplitConfig, TrainConfig, config_from_signature
@@ -55,6 +56,58 @@ def test_training_deterministic(spark):
     r1 = train_edge_scorer(df, dim=2, epochs=5, lr=0.5)
     r2 = train_edge_scorer(df, dim=2, epochs=5, lr=0.5)
     assert r1.weights == r2.weights and r1.bias == r2.bias
+
+
+def test_adamw_matches_numpy_twin(spark):
+    """Full-batch logistic + AdamW in Spark == the same loop in numpy
+    (torch AdamW semantics: decoupled decay, bias-corrected moments)."""
+    import numpy as np
+
+    rows = [(i, i, [float(i % 3), 1.0], i % 2) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "src long, dst long, features array<double>, label int")
+    res = train_edge_scorer(df, dim=2, epochs=3, lr=0.1, val_frac=0.0,
+                            optimizer="adamw", weight_decay=0.01)
+
+    X = np.array([r[2] for r in rows])
+    y = np.array([r[3] for r in rows], dtype=float)
+    w, b = np.zeros(2), 0.0
+    m = np.zeros(3); v = np.zeros(3)
+    for t in range(1, 4):
+        z = np.clip(X @ w + b, -30, 30)
+        p = 1 / (1 + np.exp(-z))
+        err = p - y
+        g = np.concatenate([(err @ X) / len(y), [err.mean()]])
+        params = np.concatenate([w, [b]])
+        params = params - 0.1 * 0.01 * params
+        m = 0.9 * m + 0.1 * g
+        v = 0.999 * v + 0.001 * g * g
+        params = params - 0.1 * (m / (1 - 0.9 ** t)) / (
+            np.sqrt(v / (1 - 0.999 ** t)) + 1e-8)
+        w, b = params[:2], params[2]
+    assert res.weights == pytest.approx(list(w), rel=1e-9)
+    assert res.bias == pytest.approx(b, rel=1e-9)
+
+
+def test_link_projection_joint_training(spark):
+    """The projection+decoder trainer drives BCE down on a task the raw
+    dot-product decoder gets wrong: labels follow -e_src·e_dst, so W must
+    LEARN a rotation. Deterministic across runs."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    es = rng.normal(size=(300, 2)); ed = rng.normal(size=(300, 2))
+    lab = ((es * ed).sum(axis=1) < 0).astype(int)   # anti-correlated rule
+    df = spark.createDataFrame(
+        [(i, i, [float(a) for a in es[i]], [float(d) for d in ed[i]],
+          int(lab[i])) for i in range(300)],
+        "src long, dst long, e_src array<double>, e_dst array<double>, label int")
+    from rel_db_to_graph_spark.ml.train import train_link_projection
+    res = train_link_projection(df, hidden=2, epochs=25, lr=0.3)
+    assert res.history[-1]["train_loss"] < res.history[0]["train_loss"]
+    assert res.history[-1]["train_acc"] > 0.8
+    again = train_link_projection(df, hidden=2, epochs=25, lr=0.3)
+    assert res.weights == again.weights and res.bias == again.bias
 
 
 def test_graph_roundtrip(spark):
