@@ -41,10 +41,34 @@ def _leaky_relu(x, alpha: float = 0.2):
     return F.when(x > 0, x).otherwise(x * F.lit(alpha))
 
 
+#: resolution of the content-addressed dropout draw
+_DROP_MOD = 1_000_000
+
+
+def batch_norm(emb_df: DataFrame, dim: int, eps: float = 1e-5) -> DataFrame:
+    """BatchNorm over an (node_id, emb array<double>) frame: per-dim
+    (x - mean) / sqrt(var + eps), batch statistics computed JVM-side as
+    one aggregation and broadcast back (the GATConfig norm='BatchNorm'
+    option, model.py:10-24 / params.yaml). Affine params are the torch
+    init (gamma=1, beta=0); like the attention weights they are seeded,
+    not trained."""
+    stats = emb_df.agg(
+        *[F.avg(F.element_at("emb", i + 1)).alias(f"_m{i}")
+          for i in range(dim)],
+        *[F.var_pop(F.element_at("emb", i + 1)).alias(f"_v{i}")
+          for i in range(dim)])
+    return emb_df.crossJoin(F.broadcast(stats)).select(
+        "node_id",
+        F.array(*[(F.element_at("emb", i + 1) - F.col(f"_m{i}"))
+                  / F.sqrt(F.col(f"_v{i}") + F.lit(eps))
+                  for i in range(dim)]).alias("emb"))
+
+
 def gat_layer(edges: DataFrame, feats: DataFrame, w_l: np.ndarray,
               w_r: np.ndarray, a: np.ndarray,
               activation: str = "sigmoid",
-              dst_feats: DataFrame | None = None) -> DataFrame:
+              dst_feats: DataFrame | None = None,
+              dropout: float = 0.0, dropout_seed: int = 0) -> DataFrame:
     """One GATv2 attention layer: (node_id, emb) -> (node_id, emb').
 
     Homogeneous by default; pass ``dst_feats`` for the bipartite /
@@ -53,6 +77,14 @@ def gat_layer(edges: DataFrame, feats: DataFrame, w_l: np.ndarray,
     Nodes with no in-edges keep a zero embedding of the output width
     (they receive no messages — callers concat or sum self features,
     as gat_forward / hetero_forward do).
+
+    ``dropout`` is PyG's attention-coefficient dropout (GATConfig
+    dropout=0.15, params.yaml): each normalized α_ij is zeroed with
+    probability p and the survivors scaled by 1/(1-p) (inverted
+    dropout). The mask is CONTENT-ADDRESSED — xxhash64(src, dst,
+    dropout_seed) — so it is a pure function of the edge, reproducible
+    on any partitioning, and a fresh draw per (layer, edge type) via
+    the seed.
     """
     out_dim = w_l.shape[0]
     dstf = feats if dst_feats is None else dst_feats
@@ -85,6 +117,15 @@ def gat_layer(edges: DataFrame, feats: DataFrame, w_l: np.ndarray,
     alphas = (weighted.join(z, "dst")
               .withColumn("_alpha", F.col("_w") / F.col("_z")))
 
+    if dropout > 0.0:
+        keep = (F.pmod(F.xxhash64("src", "dst", F.lit(int(dropout_seed))),
+                       F.lit(_DROP_MOD))
+                >= F.lit(int(dropout * _DROP_MOD)))
+        alphas = alphas.withColumn(
+            "_alpha",
+            F.when(keep, F.col("_alpha") / F.lit(1.0 - dropout))
+            .otherwise(F.lit(0.0)))
+
     # α-weighted message aggregation, per (node, dim) — partial-agg
     per_dim = (
         alphas.select("dst", "_alpha", F.posexplode("_s").alias("pos", "x"))
@@ -110,18 +151,25 @@ def gat_layer(edges: DataFrame, feats: DataFrame, w_l: np.ndarray,
 
 
 def gat_forward(edges: DataFrame, features: DataFrame, hidden: int = 4,
-                layers: int = 2, seed: int = 42) -> DataFrame:
+                layers: int = 2, seed: int = 42,
+                dropout: float = 0.0, norm: str | None = None) -> DataFrame:
     """Multi-layer GATv2 forward with deterministic seeded parameters.
     Self features are concatenated into each layer's input so nodes
-    without in-edges still carry signal."""
+    without in-edges still carry signal. ``dropout``/``norm`` are the
+    GATConfig knobs (model.py:10-24): attention dropout per layer
+    (fresh content-addressed mask each layer) and norm='batch' for
+    BatchNorm between layers."""
     rng = np.random.default_rng(seed)
     emb = features
     in_dim = len(emb.select("emb").first()["emb"])
-    for _ in range(layers):
+    for layer in range(layers):
         w_l = rng.normal(0, 0.5, size=(hidden, in_dim))
         w_r = rng.normal(0, 0.5, size=(hidden, in_dim))
         a = rng.normal(0, 0.5, size=hidden)
-        emb = gat_layer(edges, emb, w_l, w_r, a)
+        emb = gat_layer(edges, emb, w_l, w_r, a,
+                        dropout=dropout, dropout_seed=seed + layer)
+        if norm == "batch":
+            emb = batch_norm(emb, hidden)
         emb = emb.localCheckpoint(eager=False)
         in_dim = hidden
     return emb

@@ -54,8 +54,17 @@ def node_features_normalized(
 
 
 def hetero_gat_forward(graph: dict, hidden: int = 4, layers: int = 1,
-                       seed: int = 42) -> dict[str, DataFrame]:
-    """Heterogeneous multi-layer forward: {node_type: (node_id, emb)}."""
+                       seed: int = 42, dropout: float = 0.0,
+                       norm: str | None = None) -> dict[str, DataFrame]:
+    """Heterogeneous multi-layer forward: {node_type: (node_id, emb)}.
+
+    ``dropout`` (attention-coefficient dropout, a fresh content-
+    addressed mask per layer × edge type) and ``norm='batch'``
+    (per-type BatchNorm after each layer) mirror the reference's
+    GATConfig dropout=0.15 / norm='BatchNorm' (model.py:10-24,
+    params.yaml)."""
+    from rel_db_to_graph_spark.ml.gat import batch_norm
+
     rng = np.random.default_rng(seed)
     feats = node_features_normalized(graph["nodes"])
 
@@ -72,12 +81,14 @@ def hetero_gat_forward(graph: dict, hidden: int = 4, layers: int = 1,
     for _layer in range(layers):
         # per-edge-type attention messages into the dst type
         incoming: dict[str, list[DataFrame]] = {t: [] for t in emb}
-        for (s, rel, d) in edge_types:
+        for ti, (s, rel, d) in enumerate(edge_types):
             w_l = rng.normal(0, 0.5, size=(hidden, hidden))
             w_r = rng.normal(0, 0.5, size=(hidden, hidden))
             a = rng.normal(0, 0.5, size=hidden)
             msg = gat_layer(graph["edges"][(s, rel, d)], emb[s],
-                            w_l, w_r, a, activation=None, dst_feats=emb[d])
+                            w_l, w_r, a, activation=None, dst_feats=emb[d],
+                            dropout=dropout,
+                            dropout_seed=seed + 1000 * _layer + ti)
             incoming[d].append(msg)
 
         new_emb = {}
@@ -97,9 +108,11 @@ def hetero_gat_forward(graph: dict, hidden: int = 4, layers: int = 1,
                                                   lambda x, y: x + y))
                             .alias("emb"))
                 )
-            new_emb[t] = combined.select(
+            out = combined.select(
                 "node_id",
-                F.transform("emb", lambda x: sigmoid(x)).alias("emb")
-            ).localCheckpoint(eager=False)
+                F.transform("emb", lambda x: sigmoid(x)).alias("emb"))
+            if norm == "batch":
+                out = batch_norm(out, hidden)
+            new_emb[t] = out.localCheckpoint(eager=False)
         emb = new_emb
     return emb

@@ -20,7 +20,7 @@ def _toy(spark):
     return edges, feats
 
 
-def _numpy_gat(edges, h, w_l, w_r, a):
+def _numpy_gat(edges, h, w_l, w_r, a, mask=None, p=0.0):
     s = {i: w_l @ np.array(v) for i, v in h.items()}
     t = {i: w_r @ np.array(v) for i, v in h.items()}
 
@@ -37,7 +37,11 @@ def _numpy_gat(edges, h, w_l, w_r, a):
         mx = max(e[ij] for ij in inc)
         ws = {ij: math.exp(e[ij] - mx) for ij in inc}
         z = sum(ws.values())
-        msg = sum(ws[(i, jj)] / z * s[i] for i, jj in inc)
+        alpha = {ij: ws[ij] / z for ij in inc}
+        if mask is not None:
+            alpha = {ij: (alpha[ij] / (1.0 - p) if mask[ij] else 0.0)
+                     for ij in inc}
+        msg = sum(alpha[(i, jj)] * s[i] for i, jj in inc)
         out[j] = 1.0 / (1.0 + np.exp(-msg))
     return out
 
@@ -56,6 +60,74 @@ def test_gat_matches_numpy(spark):
                       w_l, w_r, a)
     for j in want:
         assert np.allclose(got[j], want[j], rtol=1e-10), (j, got[j], want[j])
+
+
+def test_gat_dropout_and_batchnorm_match_numpy(spark):
+    """GATConfig knobs on: attention dropout (content-addressed mask)
+    and BatchNorm, both cross-checked against the numpy twin."""
+    from rel_db_to_graph_spark.ml.gat import _DROP_MOD, batch_norm
+
+    edges_df, feats_df = _toy(spark)
+    rng = np.random.default_rng(3)
+    w_l = rng.normal(0, 0.5, (3, 2))
+    w_r = rng.normal(0, 0.5, (3, 2))
+    a = rng.normal(0, 0.5, 3)
+    p = 0.4
+
+    def mask_for(ds):
+        # the mask the layer will draw (pure function of the edge + seed)
+        return {(r.src, r.dst): bool(r.keep) for r in edges_df.select(
+            "src", "dst",
+            (F.pmod(F.xxhash64("src", "dst", F.lit(ds)), F.lit(_DROP_MOD))
+             >= F.lit(int(p * _DROP_MOD))).alias("keep")).collect()}
+
+    # pick a seed whose draw both keeps and drops (deterministic search)
+    for dseed in range(50):
+        mask = mask_for(dseed)
+        if any(mask.values()) and not all(mask.values()):
+            break
+    else:
+        raise AssertionError("no mixed mask in 50 seeds")
+
+    layer = gat_layer(edges_df, feats_df, w_l, w_r, a,
+                      dropout=p, dropout_seed=dseed)
+    got = {r.node_id: r.emb for r in layer.collect()}
+    want = _numpy_gat([(0, 2), (1, 2), (2, 0)],
+                      {0: [1.0, 0.0], 1: [0.0, 1.0], 2: [1.0, 1.0]},
+                      w_l, w_r, a, mask=mask, p=p)
+    for j in want:
+        assert np.allclose(got[j], want[j], rtol=1e-10), (j, got[j], want[j])
+    # deterministic: the mask is content-addressed, not a random draw
+    again = {r.node_id: r.emb for r in
+             gat_layer(edges_df, feats_df, w_l, w_r, a,
+                       dropout=p, dropout_seed=dseed).collect()}
+    assert got == again
+
+    # BatchNorm over the layer output vs numpy mean/var_pop
+    normed = {r.node_id: r.emb for r in batch_norm(layer, 3).collect()}
+    mat = np.array([want[j] for j in sorted(want)])
+    mu, var = mat.mean(axis=0), mat.var(axis=0)
+    for j in want:
+        expect = (want[j] - mu) / np.sqrt(var + 1e-5)
+        assert np.allclose(normed[j], expect, rtol=1e-8), (j, normed[j], expect)
+
+
+def test_gat_forward_knobs_run(spark):
+    """Forward passes with dropout+BatchNorm stay finite, deterministic,
+    and differ from the knob-free forward."""
+    edges_df, feats_df = _toy(spark)
+    on = gat_forward(edges_df, feats_df, hidden=3, layers=2, seed=5,
+                     dropout=0.15, norm="batch").collect()
+    again = gat_forward(edges_df, feats_df, hidden=3, layers=2, seed=5,
+                        dropout=0.15, norm="batch").collect()
+    off = gat_forward(edges_df, feats_df, hidden=3, layers=2, seed=5).collect()
+    a_on = np.array([e for _, e in sorted((r.node_id, r.emb) for r in on)])
+    a_again = np.array([e for _, e in sorted((r.node_id, r.emb) for r in again)])
+    a_off = np.array([e for _, e in sorted((r.node_id, r.emb) for r in off)])
+    # batch stats sum doubles across partitions -> last-ulp drift allowed
+    assert np.allclose(a_on, a_again, rtol=1e-12)
+    assert not np.allclose(a_on, a_off, rtol=1e-3)
+    assert np.isfinite(a_on).all()
 
 
 def test_gat_forward_shape_and_determinism(spark):
