@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from rel_db_to_graph_spark.functions.skew import salted_join
@@ -89,6 +90,89 @@ def test_grid_search_picks_best(spark):
     again = grid_search(df, dim=2, n_trials=3)
     assert [t.params for t in study.trials] == [t.params for t in again.trials]
     assert study.best.result.weights == again.best.result.weights
+
+
+def test_tpe_deterministic_and_concentrating():
+    """Deterministic TPE over the reference's exact space: reproducible
+    trial-for-trial, and post-startup suggestions concentrate near the
+    synthetic optimum (lr=1e-3, num_layers=4)."""
+    import math
+    import statistics
+
+    from rel_db_to_graph_spark.ml.tuning import (
+        REFERENCE_SPACE, Study, optimize)
+
+    def obj(p):
+        return (-abs(math.log10(p["learning_rate"]) + 3)
+                - 0.3 * abs(p["num_layers"] - 4)
+                - 0.002 * abs(p["hidden_channels"] - 50))
+
+    s1 = optimize(obj, REFERENCE_SPACE, 30, Study("syn"), seed=1)
+    s2 = optimize(obj, REFERENCE_SPACE, 30, Study("syn"), seed=1)
+    assert [t["params"] for t in s1.trials] == \
+           [t["params"] for t in s2.trials]
+    assert s1.best_value >= max(t["value"] for t in s1.trials[:5])
+    d_start = [abs(math.log10(t["params"]["learning_rate"]) + 3)
+               for t in s1.trials[:5]]
+    d_late = [abs(math.log10(t["params"]["learning_rate"]) + 3)
+              for t in s1.trials[-10:]]
+    assert statistics.mean(d_late) < statistics.mean(d_start)
+
+
+def test_study_persistence_and_resume():
+    """S12: the study file persists every trial; resuming a 10-trial
+    study to 15 replays nothing and matches a straight 15-trial run."""
+    import math
+
+    from rel_db_to_graph_spark.ml.tuning import (
+        REFERENCE_SPACE, Study, optimize)
+
+    def obj(p):
+        return -abs(math.log10(p["learning_rate"]) + 3)
+
+    calls = []
+
+    def counting_obj(p):
+        calls.append(p)
+        return obj(p)
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/study.json"
+        st = Study.load_or_create("gnn_v2", path)
+        optimize(counting_obj, REFERENCE_SPACE, 10, st, seed=1)
+        assert len(calls) == 10
+
+        back = Study.load_or_create("gnn_v2", path)
+        assert len(back.trials) == 10
+        assert back.best_value == st.best_value
+
+        optimize(counting_obj, REFERENCE_SPACE, 15, back, seed=1)
+        assert len(calls) == 15           # only 5 new evaluations
+        straight = optimize(obj, REFERENCE_SPACE, 15, Study("gnn_v2"), seed=1)
+        assert [t["params"] for t in back.trials] == \
+               [t["params"] for t in straight.trials]
+
+        # name mismatch refuses to load
+        with pytest.raises(ValueError):
+            Study.load_or_create("other", path)
+
+
+def test_tpe_over_real_train_loop(spark):
+    df = spark.createDataFrame(
+        [(i, i, [float(i % 7) / 7, float(i % 5) / 5],
+          int((i % 7) / 7 + (i % 5) / 5 > 1.0)) for i in range(300)],
+        "src long, dst long, features array<double>, label int")
+    with tempfile.TemporaryDirectory() as d:
+        study = grid_search(df, dim=2, n_trials=3, sampler="tpe",
+                            study_path=f"{d}/s.json")
+        assert len(study.trials) == 3
+        again = grid_search(df, dim=2, n_trials=3, sampler="tpe")
+        assert [t.params for t in study.trials] == \
+               [t.params for t in again.trials]
+        from rel_db_to_graph_spark.ml.tuning import Study
+        stored = Study.load_or_create("edge_scorer", f"{d}/s.json")
+        assert len(stored.trials) == 3
+        assert stored.best_value == study.best.objective
 
 
 def test_stateful_stream_running_sessions(spark):
