@@ -526,6 +526,62 @@ FROM e, q WHERE e.bucket = q.qbucket AND e.vec_id <> 0
 ORDER BY score DESC, vec_id LIMIT 10
 """
 
+def _ivf_sql(k: int = 8, iters: int = 3, nprobe: int = 4,
+             topk: int = 10) -> str:
+    """Twin of operators/ivf.py::ivf_topk — the deterministic k-means
+    unrolled as CTEs: init = k lowest-id vectors (ivf.py:45), each Lloyd
+    iteration = argmin assignment (ties to the lower cluster id,
+    ivf.py:35) + per-cluster per-dimension mean (empty clusters keep the
+    previous centroid, ivf.py:59-62), then one final assignment, an
+    nprobe-nearest-centroid probe, and cosine top-k over the probed
+    clusters only. list_distance is monotone in the squared distance
+    Spark folds, so every argmin/ordering agrees."""
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        ("c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)"
+         " AS cluster, v AS cv"
+         f" FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k}))"),
+    ]
+    prev = "c0"
+    for i in range(iters):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, cluster FROM ("
+            "SELECT e.vec_id, c.cluster, row_number() OVER ("
+            "PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cv), "
+            f"c.cluster) AS rn FROM e CROSS JOIN {prev} c) WHERE rn = 1)")
+        parts.append(
+            f"m{i} AS (SELECT cluster, pos, avg(x) AS m FROM ("
+            "SELECT a.cluster, generate_subscripts(e.v, 1) AS pos, "
+            f"unnest(e.v) AS x FROM e JOIN a{i} a USING (vec_id)) "
+            "GROUP BY cluster, pos)")
+        parts.append(
+            f"cm{i} AS (SELECT cluster, list(m ORDER BY pos) AS cv "
+            f"FROM m{i} GROUP BY cluster)")
+        parts.append(
+            f"c{i + 1} AS (SELECT p.cluster, coalesce(n.cv, p.cv) AS cv "
+            f"FROM {prev} p LEFT JOIN cm{i} n USING (cluster))")
+        prev = f"c{i + 1}"
+    parts.append(
+        "af AS (SELECT vec_id, cluster FROM ("
+        "SELECT e.vec_id, c.cluster, row_number() OVER ("
+        "PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cv), "
+        f"c.cluster) AS rn FROM e CROSS JOIN {prev} c) WHERE rn = 1)")
+    parts.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
+    parts.append(
+        f"probe AS (SELECT c.cluster FROM {prev} c, q "
+        f"ORDER BY list_distance(q.qv, c.cv), c.cluster LIMIT {nprobe})")
+    return "WITH " + ",\n".join(parts) + f"""
+SELECT e.vec_id, round(list_dot_product(e.v, q.qv)
+       / (sqrt(list_dot_product(e.v, e.v))
+          * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+FROM af JOIN e USING (vec_id), q
+WHERE af.cluster IN (SELECT cluster FROM probe) AND e.vec_id <> 0
+ORDER BY score DESC, e.vec_id LIMIT {topk}
+"""
+
+
+ANN_IVF = _ivf_sql()
+
 _COS_AB = ("round(list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * "
            "sqrt(list_dot_product(vb, vb))), 6)")
 
@@ -697,6 +753,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": NGRAM_JACCARD,
     "ann_brute": ANN_BRUTE,
     "ann_lsh": ANN_LSH,
+    "ann_ivf": ANN_IVF,
     "embedding_dedup": EMBEDDING_DEDUP,
     "corpus_clean": CORPUS_CLEAN,
     "events_funnel": EVENTS_FUNNEL,
