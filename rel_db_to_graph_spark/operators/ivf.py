@@ -63,6 +63,53 @@ def build_ivf_index(embeddings: DataFrame, k: int = 16, iters: int = 3,
     return _assign(e, centroids), centroids
 
 
+def write_ivf_index(embeddings: DataFrame, path: str, k: int = 16,
+                    iters: int = 3, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> list[list[float]]:
+    """Materialize the IVF index AS DOCUMENTED for the 100 TB path:
+    vectors parquet-partitioned BY CLUSTER (so a probe query's
+    ``cluster IN (...)`` filter becomes directory-level partition
+    pruning — only nprobe/k of the data is even listed, let alone
+    scanned) plus a centroids sidecar (k×dim doubles — driver-sized by
+    construction). Returns the centroids."""
+    assigned, centroids = build_ivf_index(embeddings, k=k, iters=iters,
+                                          id_col=id_col, vec_col=vec_col)
+    (assigned.write.mode("overwrite").partitionBy("cluster")
+     .parquet(f"{path}/vectors"))
+    spark = embeddings.sparkSession
+    (spark.createDataFrame([(i, c) for i, c in enumerate(centroids)],
+                           "cluster int, cv array<double>")
+     .coalesce(1).write.mode("overwrite").json(f"{path}/centroids"))
+    return centroids
+
+
+def ivf_topk_from_index(spark, path: str, query_id: int, k: int = 10,
+                        nprobe: int = 4, id_col: str = "vec_id") -> DataFrame:
+    """Probe a written IVF index: nearest ``nprobe`` centroids from the
+    sidecar (driver-side, k×dim), then cosine top-k over ONLY those
+    clusters — the ``cluster`` predicate prunes parquet partitions
+    (asserted by tests/test_plans.py) instead of filtering post-scan."""
+    cents = {int(r.cluster): list(r.cv)
+             for r in spark.read.json(f"{path}/centroids").collect()}
+    vectors = spark.read.parquet(f"{path}/vectors")
+    qv = list(vectors.filter(F.col(id_col) == query_id)
+              .select("_v").collect()[0]["_v"])
+
+    def sq(c):
+        return sum((a - b) * (a - b) for a, b in zip(qv, c))
+
+    probe = sorted(cents, key=lambda c: (sq(cents[c]), c))[:nprobe]
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        vectors.filter(F.col("cluster").isin(probe))
+        .filter(F.col(id_col) != query_id)
+        .select(F.col(id_col),
+                F.round(cosine(F.col("_v"), qlit), 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(embeddings: DataFrame, query_id: int, k: int = 10,
              n_clusters: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

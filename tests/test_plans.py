@@ -57,3 +57,27 @@ def test_recommend_broadcasts_basket(spark):
 def test_semi_and_anti_joins(spark):
     assert "LeftSemi" in plan_of(Q.q_semi_join(spark, SF_ORACLE))
     assert "LeftAnti" in plan_of(Q.q_anti_join(spark, SF_ORACLE))
+
+
+def test_ivf_index_probe_is_partition_pruned(spark):
+    """The written IVF index is partitioned by cluster and a probe
+    query's cluster IN (...) predicate lands in PartitionFilters (a
+    directory-pruned read), NOT in the row-level PushedFilters. The
+    probe result matches the in-memory ivf_topk on the same data."""
+    import tempfile
+
+    from rel_db_to_graph_spark.operators.ivf import (
+        ivf_topk, ivf_topk_from_index, write_ivf_index)
+    from rel_db_to_graph_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    with tempfile.TemporaryDirectory() as d:
+        write_ivf_index(emb, d, k=8)
+        probe = ivf_topk_from_index(spark, d, query_id=0, k=10, nprobe=4)
+        p = plan_of(probe)
+        seg = p[p.index("PartitionFilters"):]
+        seg = seg[:seg.index("\n")]
+        assert "cluster" in seg and "PartitionFilters: []" not in seg
+        direct = ivf_topk(emb, query_id=0, k=10, n_clusters=8, nprobe=4)
+        assert [(r.vec_id, r.score) for r in probe.collect()] == \
+               [(r.vec_id, r.score) for r in direct.collect()]
