@@ -81,6 +81,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": Q.q_exact_dedup,
     "minhash": Q.q_minhash,
     "near_dup_pairs": Q.q_near_dup_pairs,
+    "dedup_clusters": Q.q_dedup_clusters,
+    "hash_sample": Q.q_hash_sample,
+    "sample_topk": Q.q_sample_topk,
+    "token_pack": Q.q_token_pack,
+    "chunk_fill": Q.q_chunk_fill,
     "simhash": Q.q_simhash,
     "ngram_jaccard": Q.q_ngram_jaccard,
     "ann_brute": Q.q_ann_brute,

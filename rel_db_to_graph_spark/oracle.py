@@ -463,6 +463,98 @@ FROM j WHERE round(inter / (la + lb - inter), 6) >= {threshold}
 
 NEAR_DUP_PAIRS = _near_dup_sql()
 
+
+def _dedup_clusters_sql() -> str:
+    """Twin of queries.q_dedup_clusters: connected components of the
+    near-dup pair graph via recursive transitive closure (exact but
+    exponential-ish — oracle-only; the Spark side is the log-round
+    label-propagation in operators/components.py)."""
+    return f"""
+WITH RECURSIVE
+nd AS ({_near_dup_sql()}),
+edges AS (SELECT id_a AS a, id_b AS b FROM nd
+          UNION ALL
+          SELECT id_b AS a, id_a AS b FROM nd),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+reach(v, r) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS n_members,
+       CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM comp
+"""
+
+
+DEDUP_CLUSTERS = _dedup_clusters_sql()
+
+
+def _draw_sql(key: str, seed: int) -> str:
+    """Twin of operators/sample.py::hash_draw — md5 of 'key|seed', first
+    8 hex chars Horner-parsed, divided by 2^32 (exact in doubles)."""
+    d = f"md5(CAST({key} AS VARCHAR) || '|{seed}')"
+    return f"({_hex32_sql(d)} / 4294967296.0)"
+
+
+HASH_SAMPLE = f"""
+WITH d AS (SELECT doc_id, lang, {_draw_sql('doc_id', 7)} AS draw,
+                  CASE lang WHEN 'en' THEN CAST(0.25 AS DOUBLE)
+                            WHEN 'de' THEN CAST(1.0 AS DOUBLE)
+                            WHEN 'fr' THEN CAST(0.5 AS DOUBLE)
+                            ELSE CAST(0.1 AS DOUBLE) END AS rate
+           FROM documents)
+SELECT doc_id, lang, draw FROM d WHERE draw < rate
+"""
+
+SAMPLE_TOPK = f"""
+SELECT doc_id, {_draw_sql('doc_id', 3)} AS draw
+FROM documents ORDER BY draw, doc_id LIMIT 50
+"""
+
+#: packed-doc CTE shared by TOKEN_PACK / CHUNK_FILL — twin of
+#: operators/pack.py::pack_documents(budget=512): the bucketed cumsum
+#: collapses to one total-order window in SQL
+_PACKED_512 = f"""
+n AS (SELECT doc_id, {{norm}} AS norm FROM documents),
+t AS (SELECT doc_id,
+             CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+             {hash_bucket_sql('doc_id', 64)} AS b
+      FROM n),
+p AS (SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY b, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start_offset
+      FROM t),
+packed AS (SELECT doc_id, n_tokens, start_offset,
+                  CAST(floor(start_offset / 512.0) AS BIGINT) AS first_chunk,
+                  CAST(floor((start_offset + greatest(n_tokens - 1, 0)) / 512.0)
+                       AS BIGINT) AS last_chunk
+           FROM p)
+"""
+
+TOKEN_PACK = f"""
+WITH {_PACKED_512.format(norm=_NORM_TEXT)}
+SELECT doc_id, n_tokens, start_offset, first_chunk, last_chunk,
+       CAST(last_chunk - first_chunk + 1 AS BIGINT) AS n_chunks
+FROM packed
+"""
+
+CHUNK_FILL = f"""
+WITH {_PACKED_512.format(norm=_NORM_TEXT)},
+spans AS (SELECT n_tokens, start_offset,
+                 unnest(range(first_chunk, last_chunk + 1)) AS chunk
+          FROM packed)
+SELECT chunk, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(greatest(
+            least(start_offset + n_tokens, (chunk + 1) * 512)
+            - greatest(start_offset, chunk * 512), 0)) AS BIGINT) AS n_tokens
+FROM spans
+GROUP BY chunk
+"""
+
 _HEX = "0123456789abcdef"
 
 
@@ -749,6 +841,11 @@ ORACLES: dict[str, str] = {
     "exact_dedup": EXACT_DEDUP,
     "minhash": MINHASH,
     "near_dup_pairs": NEAR_DUP_PAIRS,
+    "dedup_clusters": DEDUP_CLUSTERS,
+    "hash_sample": HASH_SAMPLE,
+    "sample_topk": SAMPLE_TOPK,
+    "token_pack": TOKEN_PACK,
+    "chunk_fill": CHUNK_FILL,
     "simhash": SIMHASH,
     "ngram_jaccard": NGRAM_JACCARD,
     "ann_brute": ANN_BRUTE,

@@ -501,6 +501,67 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_table(load_table(spark, sf_dir, "documents"))
 
 
+def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk token packing (budget 512) over whitespace
+    token counts — per-doc placement via the bucketed no-total-sort
+    cumsum (operators/pack.py)."""
+    from rel_db_to_graph_spark.operators.pack import pack_documents
+    d = load_table(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id", T.token_count(T.normalize(F.col("text"))).alias("n_tokens"))
+    return (pack_documents(counted, "n_tokens", "doc_id", budget=512)
+            .withColumnRenamed("key", "doc_id"))
+
+
+def q_chunk_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report: per 512-token chunk, resident doc
+    count and exact token attribution (straddlers contribute their
+    overlap)."""
+    from rel_db_to_graph_spark.operators.pack import chunk_fill, pack_documents
+    d = load_table(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id", T.token_count(T.normalize(F.col("text"))).alias("n_tokens"))
+    return chunk_fill(pack_documents(counted, "n_tokens", "doc_id",
+                                     budget=512), budget=512)
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified content-addressed corpus sample: per-language keep
+    rates compiled to one map-only CASE filter (operators/sample.py).
+    The draw is md5-derived over a 2^32 denominator, so the emitted
+    double is bit-identical in DuckDB."""
+    from rel_db_to_graph_spark.operators.sample import hash_draw, stratified_sample
+    d = load_table(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        d, strata_col="lang",
+        rates={"en": 0.25, "de": 1.0, "fr": 0.5},
+        key_col="doc_id", default_rate=0.1, seed=7)
+    return sampled.select(
+        "doc_id", "lang", hash_draw(F.col("doc_id"), 7).alias("draw"))
+
+
+def q_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic sample (reservoir twin): 50 smallest
+    content-addressed draws — runs as TakeOrdered, no total sort."""
+    from rel_db_to_graph_spark.operators.sample import sample_topk
+    d = load_table(spark, sf_dir, "documents")
+    return sample_topk(d, k=50, key_col="doc_id", seed=3).select(
+        "doc_id", "draw")
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> duplicate CLUSTERS: connected components over
+    the LSH+Jaccard pair graph, canonical survivor per cluster. The
+    step that makes the dedup pipeline actionable (drop every doc with
+    keep = 0). Oracle: recursive-CTE transitive closure in DuckDB."""
+    from rel_db_to_graph_spark.operators.components import duplicate_clusters
+    pairs = D.near_duplicate_pairs(load_table(spark, sf_dir, "documents"),
+                                   threshold=0.5)
+    return duplicate_clusters(pairs).select(
+        "doc_id", "cluster_id", "n_members",
+        F.col("keep").cast("int").alias("keep"))
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard between consecutive doc pairs (id, id+1) —
     the token-level similarity measure, linear in corpus size."""
