@@ -144,55 +144,41 @@ def dense_ids_scalable(df: DataFrame, pk: str,
                     .alias("node_id")))
 
 
-def scalable_ids_with_offsets(df: DataFrame, pk: str, offsets: list[int],
-                              num_buckets: int = DEFAULT_ID_BUCKETS) -> DataFrame:
-    """``dense_ids_scalable`` with the per-bucket offsets precomputed by
-    the caller (exclusive prefix sums of bucket sizes) and embedded as a
-    literal array — no offsets branch, no broadcast join: the id plan is
-    one shuffle + one window + a literal lookup. ``build_graph`` batches
-    the offset computation for ALL node tables into a single job and
-    then builds each table's ids through here. Assumes ``pk`` unique.
+def _node_frame_bucketed(df: DataFrame, table: str,
+                         num_buckets: int = DEFAULT_ID_BUCKETS) -> DataFrame:
+    """Fused scan → bucket → rank → offset node frame: the build_graph
+    fast path. Produces EXACTLY ``node_frame(scalable_ids=True)`` (same
+    id formula: bucket offset + in-bucket rank - 1) but as ONE plan:
 
-    Produces EXACTLY the ids of ``dense_ids_scalable`` (same formula:
-    offset of bucket + in-bucket rank - 1)."""
-    bucketed = (df.select(F.col(pk).alias("pk"))
+      * the feature columns ride along through the bucket shuffle, so
+        there is no separate id subplan and no id-map join back (the
+        join costs a second shuffle — or a broadcast whose size grows
+        with the node table, the thing you can't rely on at 100 TB);
+      * the per-bucket offsets branch is built from the SAME
+        ranked/bucketed subtree, so Catalyst reuses the shuffle
+        exchange (ReusedExchange) instead of rescanning parquet, and
+        the 64 offset rows broadcast-join back for free. No driver
+        collect anywhere — one pass over the table, total.
+    """
+    pk = pk_cols_of(table)[0]
+    feats = numeric_feature_cols(df, table)
+    bucketed = (df.select(F.col(pk).alias("pk"),
+                          *[F.col(c).cast("double").alias(c) for c in feats])
                 .withColumn("_b", hash_bucket(F.col("pk"), num_buckets)))
     w_rank = Window.partitionBy("_b").orderBy("pk")
-    off_lit = F.array(*[F.lit(int(o)) for o in offsets])
-    return (bucketed
-            .withColumn("_rk", F.row_number().over(w_rank))
-            .select("pk",
-                    (F.element_at(off_lit, F.col("_b").cast("int") + 1)
-                     + F.col("_rk") - 1).cast("long").alias("node_id")))
-
-
-def bucket_offsets(spark: SparkSession, tables: dict[str, tuple[DataFrame, str]],
-                   num_buckets: int = DEFAULT_ID_BUCKETS) -> dict[str, list[int]]:
-    """One job: per-bucket pk counts for every table at once (union of
-    tagged groupBys, ≤ n_tables × num_buckets result rows), turned into
-    exclusive prefix sums. At 100 TB this is the only full pass the id
-    assignment needs beyond the ranking shuffle itself."""
-    frames = []
-    for t, (df, pk) in tables.items():
-        frames.append(
-            df.select(F.col(pk).alias("pk"))
-            .withColumn("_b", hash_bucket(F.col("pk"), num_buckets))
-            .groupBy("_b").agg(F.count("*").alias("_n"))
-            .select(F.lit(t).alias("_t"), "_b", "_n"))
-    u = frames[0]
-    for f in frames[1:]:
-        u = u.unionAll(f)
-    sizes: dict[str, list[int]] = {t: [0] * num_buckets for t in tables}
-    for r in u.collect():
-        sizes[r._t][int(r._b)] = int(r._n)
-    out = {}
-    for t, ns in sizes.items():
-        acc, offs = 0, []
-        for n in ns:
-            offs.append(acc)
-            acc += n
-        out[t] = offs
-    return out
+    w_bucket = Window.partitionBy("_b")
+    ranked = (bucketed
+              .withColumn("_rk", F.row_number().over(w_rank))
+              .withColumn("_n", F.count("*").over(w_bucket)))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (ranked.filter(F.col("_rk") == 1).select("_b", "_n")
+               .select("_b",
+                       F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+                       .alias("_off")))
+    return (ranked.join(F.broadcast(offsets), "_b")
+            .select((F.col("_off") + F.col("_rk") - 1).cast("long")
+                    .alias("node_id"),
+                    "pk", *feats))
 
 
 def node_frame(spark: SparkSession, sf_dir: str, table: str,
@@ -331,26 +317,20 @@ def build_graph(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
             scans[name] = load_table(spark, sf_dir, name)
         return scans[name]
 
-    # batched id offsets: ONE job computes every table's per-bucket pk
-    # counts (vs a per-table offsets subplan — 9 extra jobs of pure
-    # scheduling overhead at small SF, and one saved pass at 100 TB)
-    offsets = None
-    if scalable_ids:
-        offsets = bucket_offsets(
-            spark, {t: (tbl(t), pk_cols_of(t)[0]) for t in ntabs})
-
     ids = {}
     nodes = {}
     for t in ntabs:
         # persist the node frame: the id map is re-read by every incident
         # edge remap, the degree join, and self-loops — without a cache
-        # each consumer would redo the dense-id sort. (At 100 TB this
-        # cache is the out_dir parquet sink instead.)
-        id_map = (scalable_ids_with_offsets(tbl(t), pk_cols_of(t)[0],
-                                            offsets[t])
-                  if scalable_ids else None)
-        nf = node_frame(spark, sf_dir, t, scalable_ids=scalable_ids,
-                        df=tbl(t), ids=id_map).persist()
+        # each consumer would redo the dense-id assignment. (At 100 TB
+        # this cache is the out_dir parquet sink instead.)
+        # scalable path: the fused bucketed frame — one pass, one
+        # shuffle, exchange-reused offsets, no id-map join (ids are
+        # bit-identical to node_frame(scalable_ids=True), pinned by
+        # tests). No driver-side offset collect.
+        nf = (_node_frame_bucketed(tbl(t), t) if scalable_ids
+              else node_frame(spark, sf_dir, t, scalable_ids=False,
+                              df=tbl(t))).persist()
         ids[t] = nf.select("pk", "node_id")
         nodes[t] = nf
 
