@@ -86,6 +86,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_topk": Q.q_sample_topk,
     "token_pack": Q.q_token_pack,
     "chunk_fill": Q.q_chunk_fill,
+    "doc_chunks": Q.q_doc_chunks,
+    "repetition": Q.q_repetition,
+    "corpus_mix": Q.q_corpus_mix,
+    "corpus_stats": Q.q_corpus_stats,
+    "corpus_stats_approx": Q.q_corpus_stats_approx,
+    "term_topk": Q.q_term_topk,
     "simhash": Q.q_simhash,
     "ngram_jaccard": Q.q_ngram_jaccard,
     "ann_brute": Q.q_ann_brute,

@@ -1,0 +1,87 @@
+"""Corpus statistics — the profiling pass a training-data pipeline runs
+before and after every curation step (what's in the corpus, how long are
+the docs, which terms dominate), in two tiers:
+
+  * EXACT tier (oracle-checked): distinct counts, exact percentiles,
+    decimal-exact means, exact heavy hitters. Affordable up to the
+    billions-of-rows range (one shuffle each); the correctness anchor.
+  * APPROX tier (the 100 TB path): HyperLogLog distinct
+    (approx_count_distinct), t-digest-ish percentiles
+    (percentile_approx). One map pass + an O(sketch) merge — no
+    full shuffle of the data, bounded memory per executor. Tested
+    against the exact tier with relative-error bounds, not an oracle
+    (sketches are estimation, not computation).
+
+Percentile parity note: exact percentiles are only oracle-safe at
+DYADIC quantiles (0.25/0.5/0.75) over integer-valued columns — the
+interpolation ``a + f*(b-a)`` then produces exactly-representable
+doubles, so Spark's and DuckDB's (possibly differently-associated)
+formulas agree bit-for-bit. Arbitrary quantiles over floats would
+diverge in the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rel_db_to_graph_spark.operators.text import normalize, token_count, tokens
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One exact profile row: doc/lang/source cardinalities, token-count
+    quartiles (dyadic — see module note), decimal-exact mean, extremes.
+    Single aggregation = one shuffle of partial aggregates."""
+    staged = docs.select(
+        "lang", "source",
+        token_count(normalize(F.col(text_col))).cast("long").alias("_nt"))
+    return staged.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("_nt").alias("total_tokens"),
+        F.percentile("_nt", 0.25).alias("tok_p25"),
+        F.percentile("_nt", 0.5).alias("tok_p50"),
+        F.percentile("_nt", 0.75).alias("tok_p75"),
+        (F.sum("_nt") / F.count("*")).alias("tok_mean"),
+        F.min("_nt").alias("tok_min"),
+        F.max("_nt").alias("tok_max"),
+    )
+
+
+def corpus_stats_approx(docs: DataFrame, text_col: str = "text",
+                        rsd: float = 0.05) -> DataFrame:
+    """Sketch twin of corpus_stats: HLL cardinalities (relative std dev
+    ``rsd``) and approximate quartiles. The plan is map-side sketches +
+    one tiny merge — the profile you can afford on every 100 TB
+    snapshot. Accuracy is pinned by tests against the exact tier."""
+    staged = docs.select(
+        "lang", "source",
+        token_count(normalize(F.col(text_col))).cast("long").alias("_nt"))
+    return staged.agg(
+        F.count("*").alias("n_docs"),
+        F.approx_count_distinct("lang", rsd).alias("n_langs"),
+        F.approx_count_distinct("source", rsd).alias("n_sources"),
+        F.sum("_nt").alias("total_tokens"),
+        F.percentile_approx("_nt", F.array(F.lit(0.25), F.lit(0.5),
+                                           F.lit(0.75)), 10_000)
+        .alias("tok_quartiles"),
+        F.min("_nt").alias("tok_min"),
+        F.max("_nt").alias("tok_max"),
+    )
+
+
+def term_topk(docs: DataFrame, k: int = 20,
+              text_col: str = "text") -> DataFrame:
+    """Exact heavy hitters: top-k terms by frequency with a total
+    (count desc, term) tie-break. explode → partial-agg groupBy (map-
+    side combine shrinks the shuffle to distinct terms per partition) →
+    TakeOrdered of k rows. The exact baseline a count-min/SpaceSaving
+    sketch would approximate at stream scale."""
+    terms = (docs
+             .select(F.explode(tokens(normalize(F.col(text_col))))
+                     .alias("term"))
+             .filter(F.col("term") != ""))
+    return (terms.groupBy("term").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "term")
+            .limit(int(k)))

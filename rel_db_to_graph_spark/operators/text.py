@@ -104,3 +104,39 @@ def lang_id(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """Normalized-content md5 — the exact-dedup key."""
     return F.md5(normalize(text))
+
+
+def chunk_spans(norm: Column, size: int, overlap: int) -> Column:
+    """array<struct<chunk_id,chunk_text>>: fixed-size character windows
+    with ``overlap`` shared chars between consecutive windows — the
+    standard doc-splitting step before embedding/indexing. Map-only
+    (explode downstream): stride = size - overlap; the last window may
+    be short; a doc shorter than one stride yields one window.
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap {overlap} must be < size {size}")
+    stride = size - overlap
+    n = (F.ceil((F.greatest(F.length(norm) - overlap, F.lit(1)))
+                / F.lit(float(stride)))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.substring(norm, i * stride + 1, size).alias("chunk_text")))
+
+
+def repetition_ratios(toks: Column) -> tuple[Column, Column]:
+    """(dup_2gram_ratio, dup_3gram_ratio): fraction of word n-grams that
+    are repeats of an earlier occurrence — the Gopher-style repetition
+    quality signal (high ratio = boilerplate/spam). ``toks`` must be a
+    BOUND token-array column (same re-evaluation caveat as word_ngrams).
+    Pure per-row list arithmetic: 1 - |distinct grams| / |grams|.
+    """
+    from rel_db_to_graph_spark.operators.dedup import word_ngrams
+
+    def ratio(n: int) -> Column:
+        grams = word_ngrams(toks, n)
+        return F.round(
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 6)
+
+    return ratio(2), ratio(3)

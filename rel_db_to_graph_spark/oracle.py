@@ -535,6 +535,74 @@ packed AS (SELECT doc_id, n_tokens, start_offset,
            FROM p)
 """
 
+DOC_CHUNKS = f"""
+WITH n AS (SELECT doc_id, {_NORM_TEXT} AS norm FROM documents),
+c AS (SELECT doc_id, norm,
+             unnest(range(0, CAST(ceil(greatest(length(norm) - 50, 1)
+                                       / 150.0) AS BIGINT))) AS chunk_id
+      FROM n)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       substr(norm, CAST(chunk_id * 150 + 1 AS INTEGER), 200) AS chunk_text,
+       CAST(length(substr(norm, CAST(chunk_id * 150 + 1 AS INTEGER), 200))
+            AS BIGINT) AS n_chars
+FROM c
+"""
+
+
+def _dup_ratio_sql(n: int) -> str:
+    parts = ", ".join(f"toks[i + {j}]" for j in range(n))
+    grams = (f"list_transform(range(1, greatest(len(toks) - {n - 1}, 1) + 1), "
+             f"i -> concat_ws(' ', {parts}))")
+    return (f"round(1.0 - CAST(len(list_distinct({grams})) AS DOUBLE) "
+            f"/ len({grams}), 6)")
+
+
+REPETITION = f"""
+WITH n AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS toks FROM documents)
+SELECT doc_id, {_dup_ratio_sql(2)} AS dup_2gram_ratio,
+       {_dup_ratio_sql(3)} AS dup_3gram_ratio
+FROM n
+"""
+
+CORPUS_MIX = f"""
+WITH b AS (SELECT doc_id, source, {hash_bucket_sql('doc_id', 64)} AS b
+           FROM documents),
+o AS (SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY b, doc_id)
+                  - 1 AS BIGINT) AS ordinal
+      FROM b)
+SELECT doc_id, source, ordinal,
+       CAST(ordinal * (CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2
+                       ELSE 4 END) AS BIGINT) AS pass
+FROM o ORDER BY pass, source, ordinal LIMIT 200
+"""
+
+CORPUS_STATS = f"""
+WITH n AS (SELECT doc_id, lang, source, {_NORM_TEXT} AS norm FROM documents),
+t AS (SELECT lang, source,
+             CAST(len(string_split(norm, ' ')) AS BIGINT) AS nt
+      FROM n)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       quantile_cont(nt, 0.25) AS tok_p25,
+       quantile_cont(nt, 0.5) AS tok_p50,
+       quantile_cont(nt, 0.75) AS tok_p75,
+       (CAST(sum(nt) AS DOUBLE) / count(*)) AS tok_mean,
+       CAST(min(nt) AS BIGINT) AS tok_min,
+       CAST(max(nt) AS BIGINT) AS tok_max
+FROM t
+"""
+
+TERM_TOPK = f"""
+WITH n AS (SELECT {_NORM_TEXT} AS norm FROM documents),
+terms AS (SELECT unnest(string_split(norm, ' ')) AS term FROM n)
+SELECT term, CAST(count(*) AS BIGINT) AS n
+FROM terms WHERE term <> ''
+GROUP BY term ORDER BY n DESC, term LIMIT 20
+"""
+
 TOKEN_PACK = f"""
 WITH {_PACKED_512.format(norm=_NORM_TEXT)}
 SELECT doc_id, n_tokens, start_offset, first_chunk, last_chunk,
@@ -846,6 +914,11 @@ ORACLES: dict[str, str] = {
     "sample_topk": SAMPLE_TOPK,
     "token_pack": TOKEN_PACK,
     "chunk_fill": CHUNK_FILL,
+    "corpus_stats": CORPUS_STATS,
+    "term_topk": TERM_TOPK,
+    "doc_chunks": DOC_CHUNKS,
+    "repetition": REPETITION,
+    "corpus_mix": CORPUS_MIX,
     "simhash": SIMHASH,
     "ngram_jaccard": NGRAM_JACCARD,
     "ann_brute": ANN_BRUTE,

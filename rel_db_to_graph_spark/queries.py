@@ -501,6 +501,66 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_table(load_table(spark, sf_dir, "documents"))
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character chunks (size 200, overlap 50) —
+    the doc-splitting step before embedding/indexing; map-only explode."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", T.normalize(F.col("text")).alias("_norm"))
+    staged = staged.localCheckpoint(eager=True)   # bind _norm (HOF caveat)
+    return (staged
+            .select("doc_id",
+                    F.explode(T.chunk_spans(F.col("_norm"), 200, 50))
+                    .alias("c"))
+            .select("doc_id", F.col("c.chunk_id").alias("chunk_id"),
+                    F.col("c.chunk_text").alias("chunk_text"))
+            .withColumn("n_chars",
+                        F.length("chunk_text").cast("long")))
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: duplicate word-n-gram
+    ratios per doc (high = boilerplate)."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id",
+                      T.tokens(T.normalize(F.col("text"))).alias("_toks"))
+    staged = staged.localCheckpoint(eager=True)   # bind _toks
+    r2, r3 = T.repetition_ratios(F.col("_toks"))
+    return staged.select("doc_id", r2.alias("dup_2gram_ratio"),
+                         r3.alias("dup_3gram_ratio"))
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-scheduled weighted source interleave (src0 4x, src1 2x,
+    rest 1x): first 200 stream items via TakeOrdered over the integer
+    (pass, source, ordinal) order."""
+    from rel_db_to_graph_spark.operators.mix import corpus_mix, mix_prefix
+    d = load_table(spark, sf_dir, "documents")
+    mixed = corpus_mix(d, "source", {"src0": 4, "src1": 2}, "doc_id")
+    return (mix_prefix(mixed, 200)
+            .select(F.col("key").alias("doc_id"), "source", "ordinal", "pass"))
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact one-row corpus profile (operators/stats.py). Percentiles
+    at dyadic quantiles over integer token counts — bit-exact vs
+    DuckDB's quantile_cont."""
+    from rel_db_to_graph_spark.operators.stats import corpus_stats
+    return corpus_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch tier (HLL + approx percentiles) — rows-only by design:
+    sketches estimate; accuracy is pinned by tests vs the exact tier."""
+    from rel_db_to_graph_spark.operators.stats import corpus_stats_approx
+    return corpus_stats_approx(load_table(spark, sf_dir, "documents"))
+
+
+def q_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over the corpus vocabulary."""
+    from rel_db_to_graph_spark.operators.stats import term_topk
+    return term_topk(load_table(spark, sf_dir, "documents"), k=20)
+
+
 def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk token packing (budget 512) over whitespace
     token counts — per-doc placement via the bucketed no-total-sort

@@ -1,0 +1,97 @@
+"""Corpus stats — sketch tier pinned against the exact tier with
+relative-error bounds; heavy-hitter plan is TakeOrdered."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rel_db_to_graph_spark.operators.stats import (
+    corpus_stats,
+    corpus_stats_approx,
+    term_topk,
+)
+from tests.conftest import SF_ORACLE
+from tests.test_plans import plan_of
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+
+
+def test_approx_within_error_bounds(spark):
+    exact = corpus_stats(_docs(spark)).collect()[0]
+    approx = corpus_stats_approx(_docs(spark)).collect()[0]
+    assert approx.n_docs == exact.n_docs            # plain count, exact
+    assert approx.total_tokens == exact.total_tokens
+    # HLL at rsd=0.05 on tiny cardinalities is essentially exact
+    assert abs(approx.n_langs - exact.n_langs) <= 1
+    assert abs(approx.n_sources - exact.n_sources) <= 1
+    # percentile_approx with accuracy 10k: within one rank-step
+    p25, p50, p75 = approx.tok_quartiles
+    assert abs(p50 - exact.tok_p50) / max(exact.tok_p50, 1) < 0.05
+    assert p25 <= p50 <= p75
+    assert approx.tok_min == exact.tok_min and approx.tok_max == exact.tok_max
+
+
+def test_exact_stats_sane(spark):
+    r = corpus_stats(_docs(spark)).collect()[0]
+    assert r.n_docs == 500
+    assert r.tok_min <= r.tok_p25 <= r.tok_p50 <= r.tok_p75 <= r.tok_max
+    assert r.tok_min <= r.tok_mean <= r.tok_max
+
+
+def test_term_topk_exact_and_ordered(spark):
+    rows = term_topk(_docs(spark), k=10).collect()
+    assert len(rows) == 10
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    # tie-break total order: equal counts sorted by term
+    for a, b in zip(rows, rows[1:]):
+        if a.n == b.n:
+            assert a.term < b.term
+
+
+def test_term_topk_plan_is_take_ordered(spark):
+    p = plan_of(term_topk(_docs(spark), k=10))
+    assert "TakeOrderedAndProject" in p
+    # map-side combine: partial agg below the exchange
+    assert p.count("HashAggregate") >= 2
+
+
+def test_chunk_spans_overlap_and_coverage(spark):
+    from rel_db_to_graph_spark.operators.text import chunk_spans
+
+    text = "abcdefghijklmnopqrstuvwxyz" * 10   # 260 chars
+    df = spark.createDataFrame([(1, text)], "id long, norm string")
+    rows = (df.select(F.explode(chunk_spans(F.col("norm"), 100, 20)).alias("c"))
+            .select("c.chunk_id", "c.chunk_text").collect())
+    # stride 80: ceil((260-20)/80) = 3 chunks
+    assert [r.chunk_id for r in rows] == [0, 1, 2]
+    for a, b in zip(rows, rows[1:]):
+        assert a.chunk_text[-20:] == b.chunk_text[:20]   # shared overlap
+    # stitched-back chunks reconstruct the original
+    stitched = rows[0].chunk_text + "".join(r.chunk_text[20:] for r in rows[1:])
+    assert stitched == text
+
+
+def test_chunk_spans_short_doc_single_window(spark):
+    from rel_db_to_graph_spark.operators.text import chunk_spans
+
+    df = spark.createDataFrame([(1, "tiny")], "id long, norm string")
+    rows = (df.select(F.explode(chunk_spans(F.col("norm"), 100, 20)).alias("c"))
+            .collect())
+    assert len(rows) == 1 and rows[0].c.chunk_text == "tiny"
+
+
+def test_repetition_ratio_extremes(spark):
+    from rel_db_to_graph_spark.operators.text import repetition_ratios
+
+    df = spark.createDataFrame(
+        [(1, ["spam"] * 40),                        # fully repeated
+         (2, [f"w{i}" for i in range(40)])],        # all unique
+        "id long, toks array<string>")
+    r2, r3 = repetition_ratios(F.col("toks"))
+    rows = {r.id: r for r in
+            df.select("id", r2.alias("d2"), r3.alias("d3")).collect()}
+    assert rows[1].d2 > 0.97 and rows[1].d3 > 0.97
+    assert rows[2].d2 == 0.0 and rows[2].d3 == 0.0

@@ -32,3 +32,48 @@ def test_stream_matches_batch(spark):
 def test_watermark_present(spark):
     stream = hourly_counts_stream(read_events_stream(spark, SF_SMOKE))
     assert stream.isStreaming
+
+
+def _drain_append(stream_df, name: str) -> None:
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def test_stream_dedup_matches_batch_digests(spark):
+    from rel_db_to_graph_spark.operators.text import fingerprint
+    from rel_db_to_graph_spark.streaming.dedup import dedup_stream, read_docs_stream
+
+    _drain_append(dedup_stream(read_docs_stream(spark, SF_SMOKE)),
+                  "dedup_stream_test")
+    streamed = spark.table("dedup_stream_test")
+
+    batch = (load_table(spark, SF_SMOKE, "documents")
+             .select(fingerprint(F.col("text")).alias("fingerprint")))
+    n_distinct = batch.distinct().count()
+    # one survivor per digest, digest sets identical to batch
+    assert streamed.count() == n_distinct
+    assert streamed.select("fingerprint").distinct().count() == n_distinct
+    assert (streamed.select("fingerprint")
+            .exceptAll(batch.distinct()).count() == 0)
+
+
+def test_stream_dedup_watermarked_bounded_state(spark):
+    from rel_db_to_graph_spark.streaming.dedup import (
+        dedup_stream_watermarked,
+        read_docs_stream,
+    )
+
+    docs = (read_docs_stream(spark, SF_SMOKE)
+            .withColumn("event_time",
+                        F.timestamp_micros((F.col("doc_id") + 86_400)
+                                           * 1_000_000)))
+    out = dedup_stream_watermarked(docs, "event_time", horizon="1 hour")
+    assert out.isStreaming
+    _drain_append(out, "dedup_wm_test")
+    streamed = spark.table("dedup_wm_test")
+    # all synthetic timestamps fall inside one horizon -> exact dedup
+    from rel_db_to_graph_spark.operators.text import fingerprint
+    n_distinct = (load_table(spark, SF_SMOKE, "documents")
+                  .select(fingerprint(F.col("text"))).distinct().count())
+    assert streamed.count() == n_distinct
