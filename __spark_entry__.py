@@ -89,6 +89,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": Q.q_doc_chunks,
     "repetition": Q.q_repetition,
     "corpus_mix": Q.q_corpus_mix,
+    "pii_scrub": Q.q_pii_scrub,
+    "incremental_dedup": Q.q_incremental_dedup,
+    "pagerank": Q.q_pagerank,
+    "retention_cohorts": Q.q_retention_cohorts,
     "corpus_stats": Q.q_corpus_stats,
     "corpus_stats_approx": Q.q_corpus_stats_approx,
     "term_topk": Q.q_term_topk,

@@ -1,0 +1,78 @@
+"""PageRank over an edge list — the canonical iterative graph-analytics
+operator, as a BSP DataFrame loop (same superstep shape as
+operators/components.py).
+
+Determinism design (what makes an ITERATIVE FLOAT algorithm
+oracle-checkable): every per-iteration contribution is quantized to
+DECIMAL(38,12) before the sum, so accumulation is exact and
+order-independent — the same ranks to the last digit on any
+partitioning, any engine. The DuckDB twin unrolls the fixed iteration
+count as stacked CTEs (the IVF-oracle pattern) with the identical
+quantized arithmetic.
+
+Per iteration: one equi-join of (node, rank/out_deg) onto edges + one
+groupBy(dst) sum — shuffles (vertex, decimal) pairs only; dangling-node
+mass is redistributed uniformly (the standard correction) via a 1-row
+aggregate that Spark broadcasts. Lineage is cut per superstep with
+localCheckpoint (a parquet barrier at scale). Driver state: none but
+the loop counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: quantized-decimal type for order-independent accumulation
+_DEC = "decimal(38,12)"
+
+
+def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """(v, rank) after ``n_iter`` synchronous iterations from a uniform
+    start; rank mass sums to ~1. Vertex set = every endpoint. Ranks are
+    rounded to 6 places on output (internal arithmetic is exact
+    12-place decimal)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    verts = (e.select(F.col("a").alias("v"))
+             .unionByName(e.select(F.col("b").alias("v")))
+             .distinct().localCheckpoint(eager=True))
+    n = verts.count()
+    if n == 0:
+        return verts.select("v", F.lit(0.0).alias("rank"))
+
+    out_deg = e.groupBy("a").agg(F.count("*").alias("_deg"))
+    # edges annotated with the src out-degree, reused every iteration
+    e_deg = e.join(out_deg, "a").localCheckpoint(eager=True)
+
+    # All scalar math is DOUBLE with a fixed expression shape (the
+    # oracle mirrors it operation-for-operation, so IEEE gives the same
+    # bits); only the per-vertex SUMS run in decimal, which is what
+    # makes them order/partitioning-independent.
+    d = F.lit(float(damping))
+    base = F.lit((1.0 - damping) / n)
+    ranks = verts.select(
+        "v", F.lit(1.0 / n).cast(_DEC).alias("rank"))
+
+    for _ in range(n_iter):
+        contrib = (e_deg.join(ranks.withColumnRenamed("v", "a"), "a")
+                   .select(F.col("b").alias("v"),
+                           (F.col("rank").cast("double") / F.col("_deg"))
+                           .cast(_DEC).alias("_c")))
+        summed = contrib.groupBy("v").agg(F.sum("_c").alias("_in"))
+        # dangling mass: rank held by vertices with no out-edges,
+        # redistributed uniformly (1-row aggregate, broadcast join)
+        dangling = (ranks.join(out_deg.withColumnRenamed("a", "v"),
+                               "v", "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0).cast(_DEC))
+                         .alias("_dm")))
+        new_rank = (base + d * (
+            F.coalesce(F.col("_in").cast("double"), F.lit(0.0))
+            + F.col("_dm").cast("double") / F.lit(float(n))))
+        ranks = (verts.join(summed, "v", "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select("v", new_rank.cast(_DEC).alias("rank"))
+                 .localCheckpoint(eager=True))
+
+    return ranks.select("v", F.round(F.col("rank").cast("double"), 6)
+                        .alias("rank"))

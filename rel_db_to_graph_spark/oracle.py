@@ -564,6 +564,98 @@ SELECT doc_id, {_dup_ratio_sql(2)} AS dup_2gram_ratio,
 FROM n
 """
 
+def _pagerank_sql(n_iter: int = 5) -> str:
+    """Twin of queries.q_pagerank — the fixed iteration count unrolls
+    into stacked CTEs (the IVF-oracle pattern). Scalar math is DOUBLE
+    with the exact expression shape of operators/pagerank.py (IEEE →
+    same bits); the per-vertex sums accumulate in DECIMAL(38,12), so
+    they are order-independent in both engines."""
+    parts = ["""
+edges AS (
+    SELECT 'o:' || CAST(o_orderkey AS VARCHAR) AS a,
+           'c:' || CAST(o_custkey AS VARCHAR) AS b FROM orders
+    UNION ALL
+    SELECT 'c:' || CAST(c_custkey AS VARCHAR),
+           'n:' || CAST(c_nationkey AS VARCHAR) FROM customer),
+verts AS (SELECT DISTINCT v FROM
+          (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+outdeg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+edeg AS (SELECT e.a, e.b, o.deg FROM edges e JOIN outdeg o USING (a)),
+r0 AS (SELECT v, CAST(CAST(1.0 AS DOUBLE) / nn.n AS DECIMAL(38,12)) AS rank
+       FROM verts, nn)"""]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(f"""
+c{i} AS (SELECT e.b AS v,
+               CAST(CAST(r.rank AS DOUBLE) / e.deg AS DECIMAL(38,12)) AS c
+        FROM edeg e JOIN r{p} r ON e.a = r.v),
+s{i} AS (SELECT v, sum(c) AS s FROM c{i} GROUP BY v),
+dm{i} AS (SELECT coalesce(sum(r.rank), CAST(0 AS DECIMAL(38,12))) AS dm
+         FROM r{p} r
+         WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.a = r.v)),
+r{i} AS (SELECT verts.v,
+               CAST((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                    + CAST(0.85 AS DOUBLE)
+                      * (coalesce(CAST(s{i}.s AS DOUBLE), 0.0)
+                         + CAST(dm{i}.dm AS DOUBLE) / nn.n)
+                    AS DECIMAL(38,12)) AS rank
+        FROM verts LEFT JOIN s{i} USING (v), nn, dm{i})""")
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT v, round(CAST(rank AS DOUBLE), 6) AS rank FROM r{n_iter}
+"""
+
+
+PAGERANK = _pagerank_sql()
+
+RETENTION_COHORTS = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+first AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, week FROM e)
+SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM act a JOIN first f USING (user_id)
+GROUP BY f.cohort_week, a.week - f.cohort_week
+"""
+
+
+def _pii_scrub_sql() -> str:
+    """Twin of queries.q_pii_scrub — same planted PII, same pattern
+    order (operators/scrub.py::PII_PATTERNS), DuckDB regexp_replace
+    with the 'g' flag for replace-all parity."""
+    from rel_db_to_graph_spark.operators.scrub import PII_PATTERNS
+    planted = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+               "'@example.com via http://host.io/d/' || "
+               "CAST(doc_id AS VARCHAR) || ' from 10.0.0.1'")
+    scrub = planted
+    counts = []
+    for token, pat in PII_PATTERNS:
+        counts.append(
+            f"len(regexp_extract_all({scrub}, '{pat}'))")
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    total = " + ".join(counts)
+    return f"""
+SELECT doc_id, md5({scrub}) AS scrub_digest,
+       CAST({total} AS BIGINT) AS n_redactions
+FROM documents
+"""
+
+
+PII_SCRUB = _pii_scrub_sql()
+
+INCREMENTAL_DEDUP = f"""
+WITH fp AS (SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents),
+new_docs AS (SELECT * FROM fp WHERE doc_id >= 400),
+old_docs AS (SELECT * FROM fp WHERE doc_id < 400),
+fresh AS (SELECT n.* FROM new_docs n
+          WHERE NOT EXISTS (SELECT 1 FROM old_docs o
+                            WHERE o.fingerprint = n.fingerprint))
+SELECT min(doc_id) AS doc_id, fingerprint
+FROM fresh GROUP BY fingerprint
+"""
+
 CORPUS_MIX = f"""
 WITH b AS (SELECT doc_id, source, {hash_bucket_sql('doc_id', 64)} AS b
            FROM documents),
@@ -919,6 +1011,10 @@ ORACLES: dict[str, str] = {
     "doc_chunks": DOC_CHUNKS,
     "repetition": REPETITION,
     "corpus_mix": CORPUS_MIX,
+    "pii_scrub": PII_SCRUB,
+    "incremental_dedup": INCREMENTAL_DEDUP,
+    "pagerank": PAGERANK,
+    "retention_cohorts": RETENTION_COHORTS,
     "simhash": SIMHASH,
     "ngram_jaccard": NGRAM_JACCARD,
     "ann_brute": ANN_BRUTE,

@@ -529,6 +529,73 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                          r3.alias("dup_3gram_ratio"))
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 iterations, d=0.85) over the orders->customer->nation
+    chain — the BSP iterative-analytics capstone. Decimal-quantized
+    sums make the iteration order/partitioning-independent, so the
+    unrolled DuckDB twin matches to the last digit."""
+    from rel_db_to_graph_spark.operators.pagerank import pagerank
+    o = load_table(spark, sf_dir, "orders").select(
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("dst"))
+    c = load_table(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("dst"))
+    return pagerank(o.unionByName(c), n_iter=5)
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts over events: users grouped by first-
+    active week, distinct-user counts per week offset — the standard
+    growth-analytics matrix. Two shuffles (per-user min, then per-cell
+    distinct count); µs domain for DuckDB comparability."""
+    e = (load_table(spark, sf_dir, "events")
+         .select("user_id", F.expr("(ts div 1000) div 604800000000")
+                 .alias("week")))
+    first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = e.distinct()
+    return (act.join(first, "user_id")
+            .groupBy("cohort_week",
+                     (F.col("week") - F.col("cohort_week"))
+                     .alias("week_offset"))
+            .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit. The synthetic corpus carries no natural
+    PII, so the query plants a deterministic email/URL/IP per row
+    (pure concat — identical in DuckDB) and scrubs; output is the
+    scrubbed-text digest + redaction count per doc."""
+    from rel_db_to_graph_spark.operators.scrub import redaction_counts, scrub_pii
+    d = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com via http://host.io/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" from 10.0.0.1"))
+    return d.select(
+        "doc_id",
+        F.md5(scrub_pii(planted)).alias("scrub_digest"),
+        redaction_counts(planted).alias("n_redactions"))
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot dedup: docs with doc_id >= 400 are the 'new
+    arrivals'; drop any whose fingerprint already exists in the old
+    corpus (anti-join on digest) or earlier in the new batch (min
+    doc_id wins). The composition every append-only corpus runs
+    nightly; shuffles 32-char digests only."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+    old = d.filter(F.col("doc_id") < 400)
+    new = d.filter(F.col("doc_id") >= 400)
+    fresh = new.join(old.select("fingerprint"), "fingerprint", "left_anti")
+    return (fresh.groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", "fingerprint"))
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stride-scheduled weighted source interleave (src0 4x, src1 2x,
     rest 1x): first 200 stream items via TakeOrdered over the integer

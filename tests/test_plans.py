@@ -81,3 +81,41 @@ def test_ivf_index_probe_is_partition_pruned(spark):
         direct = ivf_topk(emb, query_id=0, k=10, n_clusters=8, nprobe=4)
         assert [(r.vec_id, r.score) for r in probe.collect()] == \
                [(r.vec_id, r.score) for r in direct.collect()]
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Co-located join: both sides bucketed+sorted on the key -> the
+    SortMergeJoin has NO Exchange under it (and no per-task Sort), and
+    results equal the plain shuffle join."""
+    from pyspark.sql import functions as F
+
+    from rel_db_to_graph_spark.sources.bucketed import cobucket_pair
+    from rel_db_to_graph_spark.sources.catalog import load_table
+
+    orders = load_table(spark, SF_ORACLE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    lineitem = load_table(spark, SF_ORACLE, "lineitem").select(
+        "l_orderkey", "l_quantity")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo, bl = cobucket_pair(spark, orders, lineitem,
+                               "o_orderkey", "l_orderkey", 8)
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey).select(
+            "o_orderkey", "l_quantity")
+        p = plan_of(joined)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p               # the point: no shuffle
+        assert p.count("Bucketed: true") == 2
+        plain = orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey).select(
+            "o_orderkey", "l_quantity")
+        assert joined.count() == plain.count()
+        s1 = joined.agg(F.sum("l_quantity").alias("s")).collect()[0].s
+        s2 = plain.agg(F.sum("l_quantity").alias("s")).collect()[0].s
+        assert s1 == s2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS cobkt_l")
+        spark.sql("DROP TABLE IF EXISTS cobkt_r")
