@@ -93,6 +93,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": Q.q_incremental_dedup,
     "pagerank": Q.q_pagerank,
     "retention_cohorts": Q.q_retention_cohorts,
+    "salted_agg": Q.q_salted_agg,
+    "degree_histogram": Q.q_degree_histogram,
     "corpus_stats": Q.q_corpus_stats,
     "corpus_stats_approx": Q.q_corpus_stats_approx,
     "term_topk": Q.q_term_topk,

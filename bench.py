@@ -54,6 +54,10 @@ HEADLINE = {
     "ann_brute": lambda s, d: Q.q_ann_brute(s, d).collect(),
     "events_sessionize": lambda s, d: Q.q_events_sessionize(s, d).count(),
     "eval_metrics": lambda s, d: Q.q_eval_metrics(s, d).collect(),
+    # north-star curation/analytics ops (round 2 additions)
+    "token_pack": lambda s, d: Q.q_token_pack(s, d).count(),
+    "dedup_clusters": lambda s, d: Q.q_dedup_clusters(s, d).count(),
+    "pagerank": lambda s, d: Q.q_pagerank(s, d).count(),
 }
 
 

@@ -28,11 +28,18 @@ _DEC = "decimal(38,12)"
 
 
 def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85,
-             src: str = "src", dst: str = "dst") -> DataFrame:
+             src: str = "src", dst: str = "dst",
+             checkpoint_every: int = 2) -> DataFrame:
     """(v, rank) after ``n_iter`` synchronous iterations from a uniform
     start; rank mass sums to ~1. Vertex set = every endpoint. Ranks are
     rounded to 6 places on output (internal arithmetic is exact
-    12-place decimal)."""
+    12-place decimal).
+
+    ``checkpoint_every`` trades barrier cost against plan depth: the
+    superstep barrier (an eager materialization) is paid every k-th
+    iteration instead of every one; between barriers the plan grows by
+    two joins per iteration, which Catalyst absorbs fine for small k.
+    Results are identical for any k (the arithmetic is exact)."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     verts = (e.select(F.col("a").alias("v"))
              .unionByName(e.select(F.col("b").alias("v")))
@@ -44,6 +51,17 @@ def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85,
     out_deg = e.groupBy("a").agg(F.count("*").alias("_deg"))
     # edges annotated with the src out-degree, reused every iteration
     e_deg = e.join(out_deg, "a").localCheckpoint(eager=True)
+    # the dangling vertex SET is static — compute the anti-join once;
+    # each iteration then only re-aggregates its (small) rank mass via
+    # a broadcast semi-join instead of a full shuffle anti-join
+    dangling_verts = (verts.join(out_deg.withColumnRenamed("a", "v"),
+                                 "v", "left_anti")
+                      .localCheckpoint(eager=True))
+    # forcing the broadcast is only right while the set is small; a
+    # web-graph-shaped input (most pages dangling) falls back to a
+    # plain shuffle semi-join
+    if dangling_verts.count() <= 1_000_000:
+        dangling_verts = F.broadcast(dangling_verts)
 
     # All scalar math is DOUBLE with a fixed expression shape (the
     # oracle mirrors it operation-for-operation, so IEEE gives the same
@@ -54,7 +72,7 @@ def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85,
     ranks = verts.select(
         "v", F.lit(1.0 / n).cast(_DEC).alias("rank"))
 
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contrib = (e_deg.join(ranks.withColumnRenamed("v", "a"), "a")
                    .select(F.col("b").alias("v"),
                            (F.col("rank").cast("double") / F.col("_deg"))
@@ -62,8 +80,7 @@ def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85,
         summed = contrib.groupBy("v").agg(F.sum("_c").alias("_in"))
         # dangling mass: rank held by vertices with no out-edges,
         # redistributed uniformly (1-row aggregate, broadcast join)
-        dangling = (ranks.join(out_deg.withColumnRenamed("a", "v"),
-                               "v", "left_anti")
+        dangling = (ranks.join(dangling_verts, "v", "left_semi")
                     .agg(F.coalesce(F.sum("rank"), F.lit(0).cast(_DEC))
                          .alias("_dm")))
         new_rank = (base + d * (
@@ -71,8 +88,9 @@ def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85,
             + F.col("_dm").cast("double") / F.lit(float(n))))
         ranks = (verts.join(summed, "v", "left")
                  .crossJoin(F.broadcast(dangling))
-                 .select("v", new_rank.cast(_DEC).alias("rank"))
-                 .localCheckpoint(eager=True))
+                 .select("v", new_rank.cast(_DEC).alias("rank")))
+        if (it + 1) % max(checkpoint_every, 1) == 0 or it == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
 
     return ranks.select("v", F.round(F.col("rank").cast("double"), 6)
                         .alias("rank"))

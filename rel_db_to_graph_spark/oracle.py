@@ -564,6 +564,20 @@ SELECT doc_id, {_dup_ratio_sql(2)} AS dup_2gram_ratio,
 FROM n
 """
 
+SALTED_AGG = f"""
+SELECT o_orderpriority,
+       {_dec_sum('l_extendedprice * (1.0 - l_discount)', 'revenue')},
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+DEGREE_HISTOGRAM = f"""
+WITH d AS ({DEGREE})
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM d GROUP BY degree
+"""
+
+
 def _pagerank_sql(n_iter: int = 5) -> str:
     """Twin of queries.q_pagerank — the fixed iteration count unrolls
     into stacked CTEs (the IVF-oracle pattern). Scalar math is DOUBLE
@@ -572,11 +586,9 @@ def _pagerank_sql(n_iter: int = 5) -> str:
     they are order-independent in both engines."""
     parts = ["""
 edges AS (
-    SELECT 'o:' || CAST(o_orderkey AS VARCHAR) AS a,
-           'c:' || CAST(o_custkey AS VARCHAR) AS b FROM orders
+    SELECT o_orderkey * 4 AS a, o_custkey * 4 + 1 AS b FROM orders
     UNION ALL
-    SELECT 'c:' || CAST(c_custkey AS VARCHAR),
-           'n:' || CAST(c_nationkey AS VARCHAR) FROM customer),
+    SELECT c_custkey * 4 + 1, c_nationkey * 4 + 2 FROM customer),
 verts AS (SELECT DISTINCT v FROM
           (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
@@ -1015,6 +1027,8 @@ ORACLES: dict[str, str] = {
     "incremental_dedup": INCREMENTAL_DEDUP,
     "pagerank": PAGERANK,
     "retention_cohorts": RETENTION_COHORTS,
+    "salted_agg": SALTED_AGG,
+    "degree_histogram": DEGREE_HISTOGRAM,
     "simhash": SIMHASH,
     "ngram_jaccard": NGRAM_JACCARD,
     "ann_brute": ANN_BRUTE,

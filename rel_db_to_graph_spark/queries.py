@@ -529,18 +529,47 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                          r3.alias("dup_3gram_ratio"))
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted lineitem⋈orders revenue rollup — puts the hot-key
+    join path (functions/skew.py) under the driver's correctness gate:
+    the salted plan must equal the plain join to the last digit
+    (decimal sums; salt only routes rows)."""
+    from rel_db_to_graph_spark.functions.skew import salted_join
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    j = salted_join(li, o, ["l_orderkey"], salt=8)
+    return (j.groupBy("o_orderpriority")
+            .agg(_dec_sum(F.col("l_extendedprice")
+                          * (F.lit(1.0) - F.col("l_discount")), "revenue"),
+                 F.count("*").alias("n_items")))
+
+
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer graph — the graph-health
+    profile (hub detection, skew diagnosis) over the existing degree
+    operator."""
+    return (q_degree(spark, sf_dir)
+            .groupBy("degree")
+            .agg(F.count("*").alias("n_nodes")))
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (5 iterations, d=0.85) over the orders->customer->nation
     chain — the BSP iterative-analytics capstone. Decimal-quantized
     sums make the iteration order/partitioning-independent, so the
     unrolled DuckDB twin matches to the last digit."""
     from rel_db_to_graph_spark.operators.pagerank import pagerank
+    # long vertex ids with the type in the low 2 bits (orders=0,
+    # customer=1, nation=2): long-keyed shuffles hash/compare far
+    # cheaper than 'o:123'-style strings
     o = load_table(spark, sf_dir, "orders").select(
-        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("src"),
-        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("dst"))
+        (F.col("o_orderkey") * 4).alias("src"),
+        (F.col("o_custkey") * 4 + 1).alias("dst"))
     c = load_table(spark, sf_dir, "customer").select(
-        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("dst"))
+        (F.col("c_custkey") * 4 + 1).alias("src"),
+        (F.col("c_nationkey") * 4 + 2).alias("dst"))
     return pagerank(o.unionByName(c), n_iter=5)
 
 

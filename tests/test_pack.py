@@ -67,3 +67,32 @@ def test_no_single_partition_sort_in_plan(spark):
     # the 64 offset rows; a global Sort over the data would show as a
     # Sort with a SinglePartition exchange right above the scan
     assert "rangepartitioning(key" not in p.lower()
+
+
+def test_pack_conservation_hypothesis(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(sizes=st.lists(st.integers(min_value=0, max_value=200),
+                          min_size=1, max_size=60),
+           budget=st.integers(min_value=1, max_value=97))
+    def check(sizes, budget):
+        rows = [(i, n) for i, n in enumerate(sizes)]
+        packed = pack_documents(_counted(spark, rows), "n_tokens",
+                                "doc_id", budget=budget)
+        fills = chunk_fill(packed, budget=budget).collect()
+        assert sum(r.n_tokens for r in fills) == sum(sizes)
+        placed = packed.collect()
+        assert len(placed) == len(sizes)
+        starts = sorted(r.start_offset for r in placed)
+        # starts tile [0, total): exclusive cumsum of the sizes in
+        # canonical order
+        total = 0
+        seen = sorted((r.start_offset, r.n_tokens) for r in placed)
+        for s, n in seen:
+            assert s == total
+            total += n
+
+    check()

@@ -35,3 +35,11 @@ def test_partition_invariance(spark):
 def test_empty_graph(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert pagerank(df).count() == 0
+
+
+def test_checkpoint_interval_does_not_change_results(spark):
+    edges = [(i, (i * 3) % 30) for i in range(100)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r1 = sorted(map(tuple, pagerank(df, n_iter=4, checkpoint_every=1).collect()))
+    r3 = sorted(map(tuple, pagerank(df, n_iter=4, checkpoint_every=3).collect()))
+    assert r1 == r3

@@ -70,3 +70,26 @@ def test_sample_topk_plan_is_take_ordered(spark):
 def test_map_only_no_shuffle(spark):
     p = plan_of(uniform_sample(_docs(spark), 0.5, "doc_id"))
     assert "Exchange" not in p
+
+
+def test_stratified_subset_of_uniform_hypothesis(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rate=st.floats(min_value=0.05, max_value=0.95),
+           seed=st.integers(min_value=0, max_value=50))
+    def check(rate, seed):
+        d = _docs(spark, 400)
+        u = {r.doc_id for r in uniform_sample(d, rate, "doc_id", seed).collect()}
+        # stratified with every stratum at `rate` == uniform at `rate`
+        s = {r.doc_id for r in stratified_sample(
+            d, "lang", {"en": rate, "de": rate}, "doc_id", seed=seed).collect()}
+        assert u == s
+        # monotone: lowering the rate only removes rows
+        lo = {r.doc_id for r in
+              uniform_sample(d, rate / 2, "doc_id", seed).collect()}
+        assert lo <= u
+
+    check()
