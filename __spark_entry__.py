@@ -95,6 +95,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_cohorts": Q.q_retention_cohorts,
     "salted_agg": Q.q_salted_agg,
     "degree_histogram": Q.q_degree_histogram,
+    "decontaminate": Q.q_decontaminate,
+    "frame_sample": Q.q_frame_sample,
     "corpus_stats": Q.q_corpus_stats,
     "corpus_stats_approx": Q.q_corpus_stats_approx,
     "term_topk": Q.q_term_topk,

@@ -282,3 +282,33 @@ def simhash_table(docs: DataFrame, id_col: str = "doc_id",
         staged = staged.localCheckpoint(eager=True)
     return staged.select(F.col(id_col),
                          simhash_bits(F.col("_digests")).alias("simhash"))
+
+
+def decontaminate(train: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 5) -> DataFrame:
+    """Benchmark decontamination — flag training docs sharing any word
+    ``n``-gram with an evaluation/benchmark set (the pass every serious
+    LLM pretraining pipeline runs so test questions don't leak into
+    training data). Returns (id, n_overlapping_grams) for CONTAMINATED
+    docs only; drop them with an anti-join.
+
+    Scale shape: the benchmark gram set is small (eval suites are KBs
+    to MBs) → distinct bench grams build once and the overlap check is
+    an explode → semi-ish equi-join that AQE broadcasts; training-side
+    gram generation is map-only. Nothing shuffles the corpus itself —
+    only (gram, id) pairs that survive the join's runtime filter.
+    """
+    def grams_of(df: DataFrame) -> DataFrame:
+        staged = df.select(F.col(id_col).alias("_id"),
+                           tokens(normalize(F.col(text_col))).alias("_toks"))
+        staged = staged.localCheckpoint(eager=True)   # bind _toks (HOF caveat)
+        return staged.select(
+            "_id",
+            F.explode(F.array_distinct(word_ngrams(F.col("_toks"), n)))
+            .alias("gram"))
+
+    bench_grams = grams_of(benchmark).select("gram").distinct()
+    hits = grams_of(train).join(bench_grams, "gram")
+    return (hits.groupBy(F.col("_id").alias(id_col))
+            .agg(F.count("*").alias("n_overlapping_grams")))

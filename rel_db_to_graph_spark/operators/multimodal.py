@@ -71,3 +71,42 @@ def real_decode(media: DataFrame) -> DataFrame:  # pragma: no cover
     raise NotImplementedError(
         "image/audio decoding libraries are not available in this "
         "environment; use decode_metadata (deterministic stub) instead")
+
+
+FRAMES_SCHEMA = "doc_id long, frame_index int, frame_ts_ms long, frame_md5 string"
+
+
+def sample_frames(media: DataFrame, k: int = 4) -> DataFrame:
+    """Uniform frame sampling for 'video' payloads — k frames per doc at
+    evenly-spaced timestamps (fake duration = byte length in ms). The
+    frame content hash is derived from the payload digest (deterministic
+    stub; a real build decodes the frame at frame_ts_ms with ffmpeg and
+    hashes the pixels — the Arrow plumbing, 1→k row fan-out, and schema
+    stay identical).
+
+    Self-contained worker (cloudpickle-by-value), map-only, output is
+    k× the rows but only metadata-sized columns.
+    """
+    kk = int(k)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_index": [], "frame_ts_ms": [],
+                   "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                digest = hashlib.md5(raw).hexdigest()
+                dur = len(raw)
+                for i in range(kk):
+                    out["doc_id"].append(doc_id)
+                    out["frame_index"].append(i)
+                    out["frame_ts_ms"].append(i * dur // kk)
+                    out["frame_md5"].append(
+                        hashlib.md5(f"{digest}:{i}".encode()).hexdigest())
+            yield _pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)

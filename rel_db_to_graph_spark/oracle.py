@@ -747,6 +747,36 @@ SELECT doc_id, {expr} AS simhash FROM d
 
 SIMHASH = _simhash_sql()
 
+def _grams5(src: str) -> str:
+    return f"""
+SELECT doc_id AS _id,
+       unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 4, 1) + 1),
+           i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2],
+                          toks[i + 3], toks[i + 4])))) AS gram
+FROM (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS toks
+      FROM documents WHERE {src})
+"""
+
+
+FRAME_SAMPLE = """
+WITH base AS (SELECT doc_id, md5(text) AS digest,
+                     octet_length(encode(text)) AS dur FROM documents),
+f AS (SELECT doc_id, digest, dur, unnest(range(0, 4)) AS fi FROM base)
+SELECT doc_id, CAST(fi AS INTEGER) AS frame_index,
+       CAST(fi * dur // 4 AS BIGINT) AS frame_ts_ms,
+       md5(digest || ':' || CAST(fi AS VARCHAR)) AS frame_md5
+FROM f
+"""
+
+DECONTAMINATE = f"""
+WITH bench AS (SELECT DISTINCT gram FROM ({_grams5('doc_id < 10')})),
+train AS ({_grams5('doc_id >= 10')})
+SELECT t._id AS doc_id, CAST(count(*) AS BIGINT) AS n_overlapping_grams
+FROM train t JOIN bench USING (gram)
+GROUP BY t._id
+"""
+
 NGRAM_JACCARD = f"""
 WITH n AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS toks FROM documents),
      g AS (SELECT doc_id,
@@ -1029,6 +1059,8 @@ ORACLES: dict[str, str] = {
     "retention_cohorts": RETENTION_COHORTS,
     "salted_agg": SALTED_AGG,
     "degree_histogram": DEGREE_HISTOGRAM,
+    "decontaminate": DECONTAMINATE,
+    "frame_sample": FRAME_SAMPLE,
     "simhash": SIMHASH,
     "ngram_jaccard": NGRAM_JACCARD,
     "ann_brute": ANN_BRUTE,

@@ -681,6 +681,24 @@ def q_chunk_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      budget=512), budget=512)
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: 4 evenly-spaced 'frames' per payload
+    via Arrow-batched mapInPandas (1→k fan-out; deterministic stub
+    hashes — see operators/multimodal.py)."""
+    from rel_db_to_graph_spark.operators.multimodal import sample_frames
+    d = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_payload(d), k=4)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id < 10 act as the
+    'eval set'; training docs (id >= 10) sharing any word 5-gram with
+    it are flagged with their overlap count."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.decontaminate(d.filter(F.col("doc_id") >= 10),
+                           d.filter(F.col("doc_id") < 10), n=5)
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified content-addressed corpus sample: per-language keep
     rates compiled to one map-only CASE filter (operators/sample.py).

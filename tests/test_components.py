@@ -98,3 +98,21 @@ def test_duplicate_clusters_shape(spark):
 def test_empty_edges(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert connected_components(df).count() == 0
+
+
+def test_decontaminate_planted_overlap(spark):
+    from rel_db_to_graph_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(10, "headline the quick brown fox jumps right now"),  # 5-gram hit
+         (11, "completely unrelated text with no shared phrases at all"),
+         (12, "quick brown fox jumps over and over again")],     # hit
+        "doc_id long, text string")
+    out = {r.doc_id: r.n_overlapping_grams
+           for r in decontaminate(train, bench, n=5).collect()}
+    assert 10 in out and 12 in out and 11 not in out
+    # doc 10 shares exactly one distinct 5-gram window
+    assert out[10] == 1

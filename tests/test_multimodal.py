@@ -33,3 +33,27 @@ def test_real_decode_is_stubbed(spark):
     media = attach_payload(load_table(spark, SF_SMOKE, "documents"))
     with pytest.raises(NotImplementedError):
         real_decode(media)
+
+
+def test_frame_sample_fanout_and_determinism(spark):
+    from rel_db_to_graph_spark.operators.multimodal import (
+        attach_payload,
+        sample_frames,
+    )
+    from rel_db_to_graph_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    media = attach_payload(load_table(spark, SF_SMOKE, "documents").limit(20))
+    frames = sample_frames(media, k=4).collect()
+    assert len(frames) == 80                      # exact 1 -> k fan-out
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rows in by_doc.values():
+        idx = sorted(r.frame_index for r in rows)
+        assert idx == [0, 1, 2, 3]
+        ts = [r.frame_ts_ms for r in sorted(rows, key=lambda r: r.frame_index)]
+        assert ts == sorted(ts) and ts[0] == 0    # evenly spaced from 0
+    # repartitioning does not change the sample
+    again = sample_frames(media.repartition(8), k=4).collect()
+    assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
