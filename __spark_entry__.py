@@ -104,6 +104,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": Q.q_ngram_jaccard,
     "ann_brute": Q.q_ann_brute,
     "ann_lsh": Q.q_ann_lsh,
+    "ann_filtered": Q.q_ann_filtered,
+    "ann_batch": Q.q_ann_batch,
     "ann_ivf": Q.q_ann_ivf,
     "embedding_dedup": Q.q_embedding_dedup,
     "corpus_clean": Q.q_corpus_clean,

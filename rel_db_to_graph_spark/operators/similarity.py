@@ -102,3 +102,48 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                 F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("score"))
         .filter(F.col("score") >= threshold)
     )
+
+
+def filtered_topk(embeddings: DataFrame, query_id: int,
+                  predicate, k: int = 10, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Filtered vector search: exact cosine top-k among rows satisfying
+    ``predicate`` (a Column) — metadata-filtered ANN, the query shape
+    every vector store serves ('nearest docs WHERE lang = de'). The
+    predicate is applied BEFORE the distance computation, so it pushes
+    to the scan and the top-k runs over the filtered subset only (pre-
+    filtering — exact, unlike post-filtering a larger unfiltered k)."""
+    e = _with_vec(embeddings, vec_col)
+    q = (e.filter(F.col(id_col) == query_id)
+         .select(F.col("_v").alias("_q")))
+    return (
+        e.filter((F.col(id_col) != query_id) & predicate)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col),
+                F.round(cosine(F.col("_v"), F.col("_q")), 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def batch_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Batched multi-query ANN: top-k per query vector in ONE plan —
+    the q query rows broadcast against a single corpus scan, ranked per
+    query with a window. One pass over the data regardless of |q|
+    (vs |q| sequential scans); the window's partition is the query id,
+    so no global sort. Returns (query_id, vec_id, score, rnk)."""
+    from pyspark.sql import Window
+
+    e = _with_vec(embeddings, vec_col)
+    qs = (e.filter(F.col(id_col).isin([int(i) for i in query_ids]))
+          .select(F.col(id_col).alias("query_id"), F.col("_v").alias("_q")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col),
+                F.round(cosine(F.col("_v"), F.col("_q")), 6).alias("score"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

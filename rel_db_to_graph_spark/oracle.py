@@ -820,6 +820,29 @@ FROM e, q WHERE e.bucket = q.qbucket AND e.vec_id <> 0
 ORDER BY score DESC, vec_id LIMIT 10
 """
 
+ANN_FILTERED = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+     q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id, {_COS} AS score
+FROM e, q WHERE vec_id <> 0 AND label = 3
+ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+ANN_BATCH = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     q AS (SELECT vec_id AS query_id, v AS qv FROM e
+           WHERE vec_id IN (0, 1, 2)),
+     s AS (SELECT q.query_id, e.vec_id, {_COS} AS score
+           FROM e, q WHERE e.vec_id <> q.query_id),
+     r AS (SELECT query_id, vec_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id) AS rnk
+           FROM s)
+SELECT query_id, vec_id, score, CAST(rnk AS INTEGER) AS rnk
+FROM r WHERE rnk <= 5
+"""
+
 def _ivf_sql(k: int = 8, iters: int = 3, nprobe: int = 4,
              topk: int = 10) -> str:
     """Twin of operators/ivf.py::ivf_topk — the deterministic k-means
@@ -1061,6 +1084,8 @@ ORACLES: dict[str, str] = {
     "degree_histogram": DEGREE_HISTOGRAM,
     "decontaminate": DECONTAMINATE,
     "frame_sample": FRAME_SAMPLE,
+    "ann_filtered": ANN_FILTERED,
+    "ann_batch": ANN_BATCH,
     "simhash": SIMHASH,
     "ngram_jaccard": NGRAM_JACCARD,
     "ann_brute": ANN_BRUTE,

@@ -764,6 +764,22 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(load_table(spark, sf_dir, "embeddings"), query_id=0)
 
 
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered exact ANN: nearest neighbours of vec 0 among
+    label=3 vectors only (pre-filtered, pushes to the scan)."""
+    from rel_db_to_graph_spark.operators.similarity import filtered_topk
+    e = load_table(spark, sf_dir, "embeddings")
+    return filtered_topk(e, query_id=0, predicate=F.col("label") == 3, k=10)
+
+
+def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN: top-5 per query for queries {0,1,2} in one corpus
+    pass (broadcast queries + per-query window rank)."""
+    from rel_db_to_graph_spark.operators.similarity import batch_topk
+    e = load_table(spark, sf_dir, "embeddings")
+    return batch_topk(e, query_ids=[0, 1, 2], k=5)
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"),
                                     threshold=0.2)
