@@ -41,64 +41,22 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Dict ORDER is load-bearing: the driver's correctness sweep checks the
+# first 50 entries per round. Rounds 1-3 never rotated, so positions
+# 51-75 (the whole events/ANN/stats tier) went driver-unverified — and
+# that's exactly where the round-3 ts bug hid. Policy: queries that have
+# never earned (or most recently missed) a driver CORRECTNESS row come
+# FIRST; multi-round-green simple queries and the rows-only (no-oracle)
+# entries sit past position 50. Rotate again when new queries land.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "catalog_tables": Q.q_catalog_tables,
-    "edge_catalog": Q.q_edge_catalog,
-    "metadata_union": Q.q_metadata_union,
-    "scan_project": Q.q_scan_project,
-    "filter_like": Q.q_filter_like,
-    "semi_join": Q.q_semi_join,
-    "anti_join": Q.q_anti_join,
-    "three_table_join": Q.q_three_table_join,
-    "json_props": Q.q_json_props,
-    "one_hot": Q.q_one_hot,
-    "topk_orders": Q.q_topk_orders,
-    "pricing_summary": Q.q_pricing_summary,
-    "revenue_by_nation": Q.q_revenue_by_nation,
-    "eval_metrics": Q.q_eval_metrics,
-    "dense_ids": Q.q_dense_ids,
-    "dense_ids_scalable": Q.q_dense_ids_scalable,
-    "node_features": Q.q_node_features,
-    "edges_fk": Q.q_edges_fk,
-    "edges_junction": Q.q_edges_junction,
-    "degree": Q.q_degree,
-    "hetero_counts": Q.q_hetero_counts,
-    "self_loops": Q.q_self_loops,
-    "msg_agg": Q.q_msg_agg,
-    "recommend": Q.q_recommend,
-    "link_split": Q.q_link_split,
-    "neighbor_sample": Q.q_neighbor_sample,
-    "hetero_neighbor_sample": Q.q_hetero_neighbor_sample,
-    "negative_sample": Q.q_negative_sample,
-    "link_pred_train": Q.q_link_pred_train,
-    "hetero_link_train": Q.q_hetero_link_train,
-    "hetero_forward": Q.q_hetero_forward,
-    "recommend_gnn": Q.q_recommend_gnn,
-    "text_stats": Q.q_text_stats,
-    "text_quality": Q.q_text_quality,
-    "lang_id": Q.q_lang_id,
-    "fingerprint": Q.q_fingerprint,
-    "exact_dedup": Q.q_exact_dedup,
-    "minhash": Q.q_minhash,
-    "near_dup_pairs": Q.q_near_dup_pairs,
-    "dedup_clusters": Q.q_dedup_clusters,
-    "hash_sample": Q.q_hash_sample,
-    "sample_topk": Q.q_sample_topk,
-    "token_pack": Q.q_token_pack,
-    "chunk_fill": Q.q_chunk_fill,
-    "doc_chunks": Q.q_doc_chunks,
-    "repetition": Q.q_repetition,
-    "corpus_mix": Q.q_corpus_mix,
-    "pii_scrub": Q.q_pii_scrub,
-    "incremental_dedup": Q.q_incremental_dedup,
-    "pagerank": Q.q_pagerank,
+    # --- never driver-checked before round 4 (all oracle-backed) ---
     "retention_cohorts": Q.q_retention_cohorts,
     "salted_agg": Q.q_salted_agg,
     "degree_histogram": Q.q_degree_histogram,
     "decontaminate": Q.q_decontaminate,
     "frame_sample": Q.q_frame_sample,
     "corpus_stats": Q.q_corpus_stats,
-    "corpus_stats_approx": Q.q_corpus_stats_approx,
+    "corpus_stats_approx_err": Q.q_corpus_stats_approx_err,
     "term_topk": Q.q_term_topk,
     "simhash": Q.q_simhash,
     "ngram_jaccard": Q.q_ngram_jaccard,
@@ -117,6 +75,61 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_attribution": Q.q_events_attribution,
     "rollup_pricing": Q.q_rollup_pricing,
     "topn_per_group": Q.q_topn_per_group,
+    # --- previously-green complex queries (kept inside the window) ---
+    "catalog_tables": Q.q_catalog_tables,
+    "edge_catalog": Q.q_edge_catalog,
+    "metadata_union": Q.q_metadata_union,
+    "pricing_summary": Q.q_pricing_summary,
+    "revenue_by_nation": Q.q_revenue_by_nation,
+    "eval_metrics": Q.q_eval_metrics,
+    "dense_ids_scalable": Q.q_dense_ids_scalable,
+    "node_features": Q.q_node_features,
+    "edges_fk": Q.q_edges_fk,
+    "edges_junction": Q.q_edges_junction,
+    "degree": Q.q_degree,
+    "hetero_counts": Q.q_hetero_counts,
+    "self_loops": Q.q_self_loops,
+    "msg_agg": Q.q_msg_agg,
+    "recommend": Q.q_recommend,
+    "text_stats": Q.q_text_stats,
+    "exact_dedup": Q.q_exact_dedup,
+    "minhash": Q.q_minhash,
+    "near_dup_pairs": Q.q_near_dup_pairs,
+    "dedup_clusters": Q.q_dedup_clusters,
+    "token_pack": Q.q_token_pack,
+    "chunk_fill": Q.q_chunk_fill,
+    "pii_scrub": Q.q_pii_scrub,
+    "incremental_dedup": Q.q_incremental_dedup,
+    "corpus_mix": Q.q_corpus_mix,
+    "pagerank": Q.q_pagerank,
+    # ---------------- position 51+: past the driver window ----------------
+    # multi-round-green simple queries
+    "scan_project": Q.q_scan_project,
+    "filter_like": Q.q_filter_like,
+    "semi_join": Q.q_semi_join,
+    "anti_join": Q.q_anti_join,
+    "three_table_join": Q.q_three_table_join,
+    "json_props": Q.q_json_props,
+    "one_hot": Q.q_one_hot,
+    "topk_orders": Q.q_topk_orders,
+    "dense_ids": Q.q_dense_ids,
+    "text_quality": Q.q_text_quality,
+    "lang_id": Q.q_lang_id,
+    "fingerprint": Q.q_fingerprint,
+    "hash_sample": Q.q_hash_sample,
+    "sample_topk": Q.q_sample_topk,
+    "doc_chunks": Q.q_doc_chunks,
+    "repetition": Q.q_repetition,
+    # rows-only by design (seeded / non-SQL math — no DuckDB twin)
+    "corpus_stats_approx": Q.q_corpus_stats_approx,
+    "link_split": Q.q_link_split,
+    "neighbor_sample": Q.q_neighbor_sample,
+    "hetero_neighbor_sample": Q.q_hetero_neighbor_sample,
+    "negative_sample": Q.q_negative_sample,
+    "link_pred_train": Q.q_link_pred_train,
+    "hetero_link_train": Q.q_hetero_link_train,
+    "hetero_forward": Q.q_hetero_forward,
+    "recommend_gnn": Q.q_recommend_gnn,
 }
 
 

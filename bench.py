@@ -5,12 +5,20 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced with a full materialization (count / collect of the
 final result) so the timing covers scan→shuffle→result, not plan build.
+
+Noise control: the whole headline pass runs $SPARK_GRAFT_BENCH_REPS
+times (default 3) and each query reports its MEDIAN — BASELINE.md
+documents ~1.4x per-query host drift on this box, which single-shot
+timings can't distinguish from real regressions (the round-3 "speedup"
+was 100% noise). The graph cache is cleared between passes so every
+pass sees the same intra-pass cache semantics as a single-shot run.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -74,21 +82,30 @@ def main() -> None:
     # steady-state quantity that matters at 100 TB), not one-time
     # compiler latency. Without this, graph_build pays ~8 s of codegen
     # at ANY data size.
-    spark.range(1000).count()
-    if warm_dir and warm_dir != sf_dir:
-        from rel_db_to_graph_spark.operators.graph_build import _GRAPH_CACHE
-        for name, fn in HEADLINE.items():
-            fn(spark, warm_dir)
-        for g in _GRAPH_CACHE.values():   # free the warm-SF graph cache
+    from rel_db_to_graph_spark.operators.graph_build import _GRAPH_CACHE
+
+    def clear_graph_cache() -> None:
+        for g in _GRAPH_CACHE.values():
             for df in list(g["nodes"].values()) + list(g["edges"].values()):
                 df.unpersist()
         _GRAPH_CACHE.clear()
 
-    timings: dict[str, float] = {}
-    for name, fn in HEADLINE.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir)
-        timings[name] = round(time.perf_counter() - t0, 3)
+    spark.range(1000).count()
+    if warm_dir and warm_dir != sf_dir:
+        for name, fn in HEADLINE.items():
+            fn(spark, warm_dir)
+        clear_graph_cache()
+
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(reps):
+        clear_graph_cache()
+        for name, fn in HEADLINE.items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir)
+            samples[name].append(time.perf_counter() - t0)
+    timings = {name: round(statistics.median(ts), 3)
+               for name, ts in samples.items()}
 
     print(json.dumps({
         "metric": "headline_queries_wall_clock",
@@ -96,6 +113,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_of(sf_dir),
+        "reps": reps,
     }))
 
 

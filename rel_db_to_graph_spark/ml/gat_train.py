@@ -1,0 +1,278 @@
+"""L5 end-to-end: a TRAINED GATv2 attention layer (closes the round-3
+verdict's last fidelity gap — previously only the final projection +
+decoder trained over a frozen seeded GAT).
+
+The reference backprops through every GATv2Conv with torch autograd
+(model.py:84-152, train.py:72-80). The Spark-native decomposition keeps
+the same split as ml/train.py: everything O(|edges| + |examples|) — the
+forward pass, the loss, and every gradient REDUCTION — is a DataFrame
+aggregation; the driver only does AdamW arithmetic on the ~h·(d_s+d_d)+h+1
+parameter scalars, which travel back to executors as literals next epoch.
+
+Model (bipartite GATv2 layer + dot decoder, single head):
+
+    s_i   = W_l x_i                 (src-type projection, h×d_s)
+    t_j   = W_r x_j                 (dst-type projection, h×d_d)
+    q_ij  = s_i + t_j ;  r_ij = LeakyReLU(q_ij) ;  e_ij = a · r_ij
+    α_ij  = softmax over in-edges of j (max-shifted, stable)
+    h_j   = σ( Σ_i α_ij s_i )       (attention message + sigmoid)
+    z_uv  = s_u · h_v + b ;  p = σ(z) ;  BCE loss over labeled pairs
+
+Hand-derived backward, each step one aggregation (n = #examples):
+
+    err        = p − y                                  (per example)
+    ∂L/∂b      = Σ err / n
+    ∂L/∂h_v    = Σ_{(u,v)} err · s_u          → per-node join+groupBy
+    gm_j       = ∂L/∂h_j ⊙ h_j ⊙ (1−h_j)      (sigmoid chain)
+    c_j        = gm_j · m_j                    (softmax couplant; m=Σαs)
+    ∂L/∂e_ij   = α_ij (gm_j·s_i − c_j)         — the softmax Jacobian
+                 collapses to this scalar because every path through
+                 α_kj shares the per-dst couplant c_j
+    ∂L/∂q_ij   = (∂L/∂e_ij) · a ⊙ LeakyReLU'(q_ij)
+    ∂L/∂a      = Σ_edges (∂L/∂e_ij) r_ij       → posexplode/groupBy(pos)
+    ∂L/∂s_i    = Σ_j α_ij gm_j + ∂L/∂q_ij  [msg paths]
+                 + Σ_v err·h_v                  [decoder path]
+    ∂L/∂t_j    = Σ_i ∂L/∂q_ij
+    ∂L/∂W_l    = Σ_i (∂L/∂s_i) x_iᵀ            → groupBy (row, col)
+    ∂L/∂W_r    = Σ_j (∂L/∂t_j) x_jᵀ
+
+Scale shape: shuffles touch (node, dim) or (dst, scalar) pairs only,
+all partially aggregated map-side; no feature matrix is ever collected;
+per-epoch driver traffic is the gradient cells (h·d values). The
+attention softmax costs the same two scalar shuffles as the frozen
+forward (ml/gat.py). Cross-checked against a from-scratch numpy
+forward/backward twin in tests/test_gat_train.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rel_db_to_graph_spark.functions.vector import dot, sigmoid
+from rel_db_to_graph_spark.ml.gnn import linear_layer
+from rel_db_to_graph_spark.ml.train import AdamW, TrainResult
+from rel_db_to_graph_spark.operators.split import hash_split
+
+_LEAKY = 0.2
+
+
+def _arr_lit(vec) -> F.Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def _collect_vec(rows, size: int, val: str = "v") -> list[float]:
+    by_pos = {r.pos: r[val] for r in rows}
+    return [float(by_pos.get(i, 0.0)) for i in range(size)]
+
+
+def _collect_mat(rows, n_rows: int, n_cols: int) -> np.ndarray:
+    out = np.zeros((n_rows, n_cols))
+    for r in rows:
+        out[r.r, r.c] = r.v
+    return out
+
+
+def _gat_epoch(edges: DataFrame, src_feats: DataFrame, dst_feats: DataFrame,
+               examples: DataFrame, Wl: np.ndarray, Wr: np.ndarray,
+               a: np.ndarray, b: float,
+               with_grads: bool = True) -> dict:
+    """One full-batch forward(+backward) pass; returns loss/acc/n and —
+    when ``with_grads`` — the parameter gradients (already /n)."""
+    h = Wl.shape[0]
+    a_lit = _arr_lit(a)
+
+    sp = src_feats.select(
+        F.col("node_id").alias("src"), F.col("emb").alias("_xs"),
+        linear_layer(F.col("emb"), Wl, activation=None).alias("_s"))
+    tp = dst_feats.select(
+        F.col("node_id").alias("dst"), F.col("emb").alias("_xd"),
+        linear_layer(F.col("emb"), Wr, activation=None).alias("_t"))
+
+    ef = (edges.join(sp.drop("_xs"), "src").join(tp.drop("_xd"), "dst")
+          .withColumn("_q", F.zip_with("_s", "_t", lambda s, t: s + t))
+          .withColumn("_r", F.transform(
+              "_q", lambda x: F.when(x > 0, x).otherwise(x * F.lit(_LEAKY))))
+          .withColumn("_e", dot(F.col("_r"), a_lit)))
+
+    mx = ef.groupBy("dst").agg(F.max("_e").alias("_mx"))
+    wtd = ef.join(mx, "dst").withColumn("_w", F.exp(F.col("_e") - F.col("_mx")))
+    z = wtd.groupBy("dst").agg(F.sum("_w").alias("_z"))
+    al = (wtd.join(z, "dst")
+          .withColumn("_alpha", F.col("_w") / F.col("_z"))
+          .localCheckpoint(eager=False))
+
+    per_dim = (al.select("dst", "_alpha", F.posexplode("_s").alias("pos", "x"))
+               .groupBy("dst", "pos")
+               .agg(F.sum(F.col("_alpha") * F.col("x")).alias("v")))
+    M = (per_dim.groupBy("dst")
+         .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                          lambda s: s["v"]).alias("_m"))
+         .withColumn("_h", F.transform("_m", lambda x: sigmoid(x)))
+         .localCheckpoint(eager=False))
+
+    zeros = F.array_repeat(F.lit(0.0), h)
+    ex = (examples
+          .join(sp.select("src", F.col("_s").alias("_su")), "src")
+          .join(M.select(F.col("dst"), F.col("_h").alias("_hv")),
+                "dst", "left")
+          .withColumn("_hv", F.coalesce("_hv", zeros)))
+    zcol = dot(F.col("_su"), F.col("_hv")) + F.lit(float(b))
+    p = sigmoid(F.greatest(F.least(zcol, F.lit(30.0)), F.lit(-30.0)))
+    y = F.col("label").cast("double")
+    ex = ex.select(
+        "src", "dst", "_su", "_hv", y.alias("_y"), (p - y).alias("_err"),
+        (-(y * F.log(p) + (1 - y) * F.log(1 - p))).alias("_loss"),
+        (p > 0.5).cast("int").alias("_yhat"),
+    ).localCheckpoint(eager=False)
+
+    row = ex.agg(
+        F.sum("_loss").alias("loss_sum"), F.sum("_err").alias("gb_sum"),
+        F.count("*").alias("n"),
+        F.sum((F.col("_yhat") == F.col("_y").cast("int")).cast("long"))
+        .alias("correct")).first()
+    n = row.n or 0
+    if n == 0:
+        d_s, d_d = Wl.shape[1], Wr.shape[1]
+        return {"loss": 0.0, "acc": 0.0, "n": 0, "gb": 0.0,
+                "ga": [0.0] * h, "gWl": np.zeros((h, d_s)),
+                "gWr": np.zeros((h, d_d))}
+    stats = {"loss": row.loss_sum / n, "acc": row.correct / n, "n": n,
+             "gb": row.gb_sum / n}
+    if not with_grads:
+        return stats
+
+    # ∂L/∂h per dst node (decoder path), then the sigmoid chain gm + c
+    gd = (ex.select(F.col("dst"),
+                    F.posexplode(F.transform(
+                        "_su", lambda x: F.col("_err") * x))
+                    .alias("pos", "gx"))
+          .groupBy("dst", "pos").agg(F.sum("gx").alias("v")))
+    Gd = (gd.groupBy("dst")
+          .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                           lambda s: s["v"]).alias("_g")))
+    GM = (Gd.join(M, "dst")
+          .withColumn("_gm", F.expr(
+              "zip_with(_g, _h, (g, hh) -> g * hh * (1d - hh))"))
+          .withColumn("_c", dot(F.col("_gm"), F.col("_m")))
+          .select("dst", "_gm", "_c")
+          .localCheckpoint(eager=False))
+
+    # per-edge softmax/attention backward (edges into dsts with no
+    # example-gradient drop out via the inner join — their gm is 0)
+    eb = (al.join(GM, "dst")
+          .withColumn("_ge", F.col("_alpha")
+                      * (dot(F.col("_gm"), F.col("_s")) - F.col("_c")))
+          .withColumn("_dq", F.zip_with(
+              "_q", a_lit,
+              lambda q, ak: F.col("_ge") * ak
+              * F.when(q > 0, F.lit(1.0)).otherwise(F.lit(_LEAKY))))
+          .localCheckpoint(eager=False))
+
+    ga_rows = (eb.select(F.posexplode(F.expr(
+        "zip_with(_r, _q, (r, q) -> _ge * r)")).alias("pos", "gx"))
+        .groupBy("pos").agg(F.sum("gx").alias("v")).collect())
+    ga = [v / n for v in _collect_vec(ga_rows, h)]
+
+    # ∂L/∂s per src node: message paths (α·gm + dq) ⊕ decoder path
+    ds_edges = eb.select(
+        F.col("src").alias("node_id"),
+        F.posexplode(F.expr(
+            "zip_with(transform(_gm, g -> _alpha * g), _dq,"
+            " (mg, dq) -> mg + dq)")).alias("pos", "gx"))
+    ds_dec = ex.select(
+        F.col("src").alias("node_id"),
+        F.posexplode(F.transform("_hv", lambda x: F.col("_err") * x))
+        .alias("pos", "gx"))
+    DS = (ds_edges.unionByName(ds_dec)
+          .groupBy("node_id", "pos").agg(F.sum("gx").alias("gs")))
+    gWl_rows = (DS
+                .join(src_feats.select("node_id", F.col("emb").alias("_x")),
+                      "node_id")
+                .select(F.col("pos").alias("r"), "gs",
+                        F.posexplode("_x").alias("c", "xc"))
+                .groupBy("r", "c")
+                .agg(F.sum(F.col("gs") * F.col("xc")).alias("v")).collect())
+
+    DT = (eb.select(F.col("dst").alias("node_id"),
+                    F.posexplode("_dq").alias("pos", "gx"))
+          .groupBy("node_id", "pos").agg(F.sum("gx").alias("gs")))
+    gWr_rows = (DT
+                .join(dst_feats.select("node_id", F.col("emb").alias("_x")),
+                      "node_id")
+                .select(F.col("pos").alias("r"), "gs",
+                        F.posexplode("_x").alias("c", "xc"))
+                .groupBy("r", "c")
+                .agg(F.sum(F.col("gs") * F.col("xc")).alias("v")).collect())
+
+    stats["ga"] = ga
+    stats["gWl"] = _collect_mat(gWl_rows, h, Wl.shape[1]) / n
+    stats["gWr"] = _collect_mat(gWr_rows, h, Wr.shape[1]) / n
+    return stats
+
+
+def train_gat_link(edges: DataFrame, src_feats: DataFrame,
+                   dst_feats: DataFrame, examples: DataFrame,
+                   hidden: int, epochs: int = 5, lr: float = 0.05,
+                   val_frac: float = 0.2, seed: int = 42,
+                   weight_decay: float = 0.01) -> TrainResult:
+    """End-to-end training of the bipartite GATv2 layer + dot decoder.
+
+    ``edges``: the message graph (src, dst) — typically the positive
+    edges. ``src_feats``/``dst_feats``: (node_id, emb array<double>)
+    per side. ``examples``: (src, dst, label). Full-batch AdamW with
+    best-val-accuracy checkpointing (L9/L11). ``TrainResult.weights``
+    is the flat [Wl, Wr, a] vector (driver-size: h·(d_s+d_d)+h floats)
+    so callers/tests can watch the attention parameters move.
+    """
+    d_s = len(src_feats.select("emb").first()["emb"])
+    d_d = len(dst_feats.select("emb").first()["emb"])
+    rng = np.random.default_rng(seed)
+    Wl = rng.normal(0, 0.5, size=(hidden, d_s))
+    Wr = rng.normal(0, 0.5, size=(hidden, d_d))
+    a = rng.normal(0, 0.5, size=hidden)
+    b = 0.0
+
+    split = hash_split(examples, val_frac=val_frac, test_frac=0.0, seed=seed)
+    train = split.filter(F.col("split") == "train").drop("split").cache()
+    val = split.filter(F.col("split") == "val").drop("split").cache()
+    train.count(), val.count()
+
+    def flat(Wl, Wr, a, b):
+        return ([float(x) for x in Wl.ravel()]
+                + [float(x) for x in Wr.ravel()]
+                + [float(x) for x in a] + [float(b)])
+
+    def unflat(v):
+        nWl = hidden * d_s
+        nWr = hidden * d_d
+        return (np.array(v[:nWl]).reshape(hidden, d_s),
+                np.array(v[nWl:nWl + nWr]).reshape(hidden, d_d),
+                np.array(v[nWl + nWr:nWl + nWr + hidden]),
+                float(v[-1]))
+
+    opt = AdamW(lr=lr, weight_decay=weight_decay)
+    result = TrainResult(weights=flat(Wl, Wr, a, b)[:-1], bias=b)
+    best = (Wl, Wr, a, b)
+    for epoch in range(epochs):
+        stats = _gat_epoch(edges, src_feats, dst_feats, train, Wl, Wr, a, b)
+        gflat = ([float(x) for x in stats["gWl"].ravel()]
+                 + [float(x) for x in stats["gWr"].ravel()]
+                 + list(stats["ga"]) + [stats["gb"]])
+        Wl, Wr, a, b = unflat(opt.step(flat(Wl, Wr, a, b), gflat))
+        vstats = _gat_epoch(edges, src_feats, dst_feats, val, Wl, Wr, a, b,
+                            with_grads=False)
+        result.history.append({
+            "epoch": epoch, "train_loss": stats["loss"],
+            "train_acc": stats["acc"], "val_loss": vstats["loss"],
+            "val_acc": vstats["acc"],
+        })
+        if vstats["acc"] >= result.best_val_acc:
+            result.best_val_acc = vstats["acc"]
+            result.best_epoch = epoch
+            best = (Wl.copy(), Wr.copy(), a.copy(), b)
+    Wl, Wr, a, b = best
+    result.weights, result.bias = flat(Wl, Wr, a, b)[:-1], b
+    train.unpersist(), val.unpersist()
+    return result

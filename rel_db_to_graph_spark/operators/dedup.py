@@ -182,8 +182,14 @@ def exact_duplicate_groups(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+#: default LSH-bucket cap: worst-case candidate fan-out is bounded at
+#: DEFAULT_MAX_BUCKET² pairs per bucket regardless of data pathology.
+DEFAULT_MAX_BUCKET = 1000
+
+
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = DEFAULT_MAX_BUCKET
+                        ) -> DataFrame:
     """Distinct (id_a, id_b) pairs sharing ≥1 LSH band (id_a < id_b).
 
     The posexplode keeps band index in the join key so band-0 of doc x
@@ -196,7 +202,8 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     identical to each other with overwhelming probability and will still
     pair through their OTHER bands, or belong in exact-dedup). The cap
     makes the join's worst-case fan-out max_bucket², independent of data.
-    None = unbounded (the oracle-parity setting).
+    The cap is ON by default (a degenerate bucket is a when-not-if at
+    100 TB); pass ``max_bucket=None`` explicitly for exhaustive pairs.
     """
     exploded = sigs.select(
         F.col(id_col),
@@ -225,11 +232,15 @@ def jaccard(a: Column, b: Column) -> Column:
 
 def near_duplicate_pairs(docs: DataFrame, threshold: float = 0.7,
                          id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         max_bucket: int | None = DEFAULT_MAX_BUCKET
+                         ) -> DataFrame:
     """MinHash-LSH candidates verified by exact shingle Jaccard:
-    (id_a, id_b, jaccard) with jaccard ≥ threshold."""
+    (id_a, id_b, jaccard) with jaccard ≥ threshold. ``max_bucket``
+    (default-capped — see lsh_candidate_pairs) bounds degenerate-bucket
+    fan-out; None restores exhaustive candidate generation."""
     sigs = doc_signatures(docs, id_col, text_col)
-    pairs = lsh_candidate_pairs(sigs)
+    pairs = lsh_candidate_pairs(sigs, id_col, max_bucket=max_bucket)
     sa = sigs.select(F.col(id_col).alias("id_a"),
                      F.col("shingle_set").alias("sh_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"),

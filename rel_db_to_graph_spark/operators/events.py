@@ -1,7 +1,8 @@
 """Event-stream analytics (batch side; streaming/ has the readStream
-variants). The events table carries nanosecond timestamps which Spark
-reads as long (session.py); conversion keeps integer division so no
-precision is lost (ns values overflow double's 53-bit mantissa).
+variants). The events table carries a native ``timestamp`` column
+(parquet timestamp[us]); all ts math goes through ``unix_micros`` so
+the µs domain is explicit and integer-exact (µs values overflow
+double's 53-bit mantissa, so no double arithmetic anywhere).
 
 Both ops are the batch twins of standard streaming shapes:
   * hourly_rollup  — tumbling-window aggregate (watermark+window in the
@@ -22,9 +23,22 @@ from pyspark.sql import functions as F
 SESSION_GAP_SEC = 1800
 
 
+def ts_micros(events: DataFrame, col: str = "ts"):
+    """µs-since-epoch long from the events ts column, robust to the two
+    physical encodings testdata has shipped: native timestamp[us]
+    (current) via unix_micros, or int64 ns-since-epoch (legacy
+    TIMESTAMP(NANOS) read under nanosAsLong) via integer division.
+    Integer ops only — µs/ns magnitudes overflow double's mantissa."""
+    dtype = dict(events.dtypes).get(col, "timestamp")
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(F.col(col))
+    return F.expr(f"{col} div 1000")
+
+
 def with_event_time(events: DataFrame) -> DataFrame:
-    """ns-since-epoch long -> timestamp (integer div: no double rounding)."""
-    return events.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    """Normalize ts -> a proper timestamp column ``event_time``."""
+    return events.withColumn(
+        "event_time", F.timestamp_micros(ts_micros(events)))
 
 
 def hourly_rollup(events: DataFrame) -> DataFrame:
@@ -132,11 +146,11 @@ def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
     duration_sec). A new session starts when the gap to the previous event
     of the same user exceeds ``gap_sec``. Ties on ts are broken by
     event_id so the window order is total and deterministic."""
-    # microsecond domain: DuckDB's parquet reader truncates ns timestamps
-    # to µs, so µs is the finest oracle-comparable resolution
+    # microsecond domain: parquet stores timestamp[us], and µs is the
+    # finest DuckDB-comparable resolution
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     gap_us = F.lit(int(gap_sec) * 1_000_000)
-    flagged = events.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+    flagged = events.withColumn("ts_us", ts_micros(events)).withColumn(
         "_new",
         F.when(F.col("ts_us") - F.lag("ts_us").over(w) > gap_us, F.lit(1))
         .otherwise(F.lit(0)),

@@ -75,7 +75,7 @@ def lsh_topk(embeddings: DataFrame, query_id: int, k: int = 10,
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                              n_bits: int = 8, id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             max_bucket: int | None = None) -> DataFrame:
+                             max_bucket: int | None = 1000) -> DataFrame:
     """(id_a, id_b, score) same-bucket pairs with cosine ≥ threshold.
 
     ``max_bucket`` is the same 100 TB safety valve as
@@ -83,7 +83,7 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
     near-zero embeddings all hashing to bucket 0) otherwise produces
     m²/2 candidate pairs. Buckets larger than the cap are dropped, which
     bounds the join's worst-case fan-out at max_bucket² independent of
-    the data. None = unbounded (the oracle-parity setting).
+    the data. ON by default; pass None explicitly for exhaustive pairs.
     """
     e = _with_vec(embeddings, vec_col).withColumn(
         "_bucket", sign_bucket(F.col("_v"), n_bits))

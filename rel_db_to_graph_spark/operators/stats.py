@@ -71,6 +71,50 @@ def corpus_stats_approx(docs: DataFrame, text_col: str = "text",
     )
 
 
+def corpus_stats_approx_err(docs: DataFrame, text_col: str = "text",
+                            rsd: float = 0.05,
+                            tol: float = 0.15) -> DataFrame:
+    """Driver-visible accuracy audit of the sketch tier: one row per
+    metric with (metric, exact, within_tol). The Spark side computes
+    BOTH tiers in a single aggregation and checks |approx - exact| <=
+    tol * |exact|; the DuckDB twin recomputes the exact side and claims
+    within_tol = TRUE — so a sketch drifting past tolerance flips the
+    boolean and the driver's hash check goes red. This promotes the
+    sketch-accuracy contract from a pytest-only bound to a per-round
+    CORRECTNESS row.
+
+    tol covers both sketches: HLL at rsd=0.05 is ~±15% at 3 sigma;
+    percentile_approx(accuracy=10k) is rank-exact to 1e-4 here.
+    """
+    staged = docs.select(
+        "lang", "source",
+        token_count(normalize(F.col(text_col))).cast("long").alias("_nt"))
+    agg = staged.agg(
+        F.countDistinct("lang").alias("e_langs"),
+        F.approx_count_distinct("lang", rsd).alias("a_langs"),
+        F.countDistinct("source").alias("e_sources"),
+        F.approx_count_distinct("source", rsd).alias("a_sources"),
+        F.percentile("_nt", 0.25).alias("e_p25"),
+        F.percentile("_nt", 0.5).alias("e_p50"),
+        F.percentile("_nt", 0.75).alias("e_p75"),
+        F.percentile_approx("_nt",
+                            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+                            10_000).alias("a_q"),
+    )
+    pairs = agg.select(F.expr(
+        "stack(5,"
+        " 'n_langs', cast(e_langs as double), cast(a_langs as double),"
+        " 'n_sources', cast(e_sources as double), cast(a_sources as double),"
+        " 'tok_p25', cast(e_p25 as double), cast(a_q[0] as double),"
+        " 'tok_p50', cast(e_p50 as double), cast(a_q[1] as double),"
+        " 'tok_p75', cast(e_p75 as double), cast(a_q[2] as double)"
+        ") as (metric, exact, approx)"))
+    return pairs.select(
+        "metric", "exact",
+        (F.abs(F.col("approx") - F.col("exact"))
+         <= F.lit(tol) * F.abs(F.col("exact"))).alias("within_tol"))
+
+
 def term_topk(docs: DataFrame, k: int = 20,
               text_col: str = "text") -> DataFrame:
     """Exact heavy hitters: top-k terms by frequency with a total

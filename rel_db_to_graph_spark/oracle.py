@@ -699,6 +699,26 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
 FROM t
 """
 
+#: exact side of the sketch-accuracy audit; within_tol is asserted TRUE
+#: so a Spark sketch outside tolerance hash-mismatches (driver-red).
+CORPUS_STATS_APPROX_ERR = f"""
+WITH n AS (SELECT lang, source, {_NORM_TEXT} AS norm FROM documents),
+t AS (SELECT lang, source,
+             CAST(len(string_split(norm, ' ')) AS BIGINT) AS nt
+      FROM n),
+m AS (SELECT CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+             CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+             quantile_cont(nt, 0.25) AS tok_p25,
+             quantile_cont(nt, 0.5) AS tok_p50,
+             quantile_cont(nt, 0.75) AS tok_p75
+      FROM t)
+SELECT 'n_langs' AS metric, n_langs AS exact, TRUE AS within_tol FROM m
+UNION ALL SELECT 'n_sources', n_sources, TRUE FROM m
+UNION ALL SELECT 'tok_p25', tok_p25, TRUE FROM m
+UNION ALL SELECT 'tok_p50', tok_p50, TRUE FROM m
+UNION ALL SELECT 'tok_p75', tok_p75, TRUE FROM m
+"""
+
 TERM_TOPK = f"""
 WITH n AS (SELECT {_NORM_TEXT} AS norm FROM documents),
 terms AS (SELECT unnest(string_split(norm, ' ')) AS term FROM n)
@@ -1072,6 +1092,7 @@ ORACLES: dict[str, str] = {
     "token_pack": TOKEN_PACK,
     "chunk_fill": CHUNK_FILL,
     "corpus_stats": CORPUS_STATS,
+    "corpus_stats_approx_err": CORPUS_STATS_APPROX_ERR,
     "term_topk": TERM_TOPK,
     "doc_chunks": DOC_CHUNKS,
     "repetition": REPETITION,

@@ -35,9 +35,9 @@ def get_spark(app_name: str = "rel_db_to_graph_spark",
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet carries TIMESTAMP(NANOS) which the vectorized
-        # reader rejects; read as long (ns since epoch) and convert where
-        # needed (operators/events.py)
+        # harmless for the current timestamp[us] events.parquet; kept so a
+        # TIMESTAMP(NANOS) regeneration loads as long instead of failing
+        # the scan (operators/events.py::ts_micros handles both encodings)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory",

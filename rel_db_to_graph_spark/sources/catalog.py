@@ -76,8 +76,10 @@ def foreign_keys(spark: SparkSession) -> DataFrame:
 
 #: known testdata schemas (FIXTURES.md §1). Supplying the schema skips the
 #: footer-sampling inference job per read — pennies locally, real money at
-#: 100 TB where inference samples many files. events.ts arrives as long
-#: because the session reads TIMESTAMP(NANOS) via nanosAsLong.
+#: 100 TB where inference samples many files. events.ts is a native
+#: parquet timestamp[us]; declaring anything else silently coerces
+#: (timestamp->bigint casts to SECONDS) — tests/test_testdata_schema.py
+#: pins the real dtypes so a testdata regeneration fails loudly.
 TABLE_SCHEMAS: dict[str, str] = {
     "region": "r_regionkey int, r_name string",
     "nation": "n_nationkey int, n_name string, n_regionkey int",
@@ -92,7 +94,7 @@ TABLE_SCHEMAS: dict[str, str] = {
                  "l_linenumber int, l_quantity double, l_extendedprice double, "
                  "l_discount double, l_tax double, l_returnflag string, "
                  "l_linestatus string, l_shipdate timestamp"),
-    "events": ("event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "events": ("event_id bigint, ts timestamp, user_id bigint, event_type string, "
                "value double, props string"),
     "documents": ("doc_id bigint, text string, lang string, source string, "
                   "n_chars bigint"),

@@ -5,10 +5,10 @@ shapes a production pipeline runs: readStream → event-time window with
 watermark → sink. Tests drive them with ``trigger(availableNow=True)``
 against the static parquet so results are comparable to the batch oracle.
 
-Watermark math: the testdata timestamps are ns-longs; we convert to
-timestamp first (same integer-division path as batch) and allow 2 hours
-of lateness — late rows inside the watermark update their window (update
-mode) or are held until the watermark passes (append mode).
+Watermark math: the testdata ts column is a native timestamp[us]; we
+alias it to event_time and allow 2 hours of lateness — late rows inside
+the watermark update their window (update mode) or are held until the
+watermark passes (append mode).
 
 At scale: the windowed aggregate keeps state per (window, event_type) —
 cardinality-bounded state, safe for long-running jobs; the watermark
@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = ("event_id long, ts long, user_id long, "
+EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
                  "event_type string, value double, props string")
 
 
@@ -34,7 +34,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .parquet(sf_dir)
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("event_time", F.col("ts"))
     )
 
 

@@ -18,11 +18,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+# last_ts is µs since epoch — matches the batch sessionize domain
 OUTPUT_SCHEMA = ("user_id long, n_events long, n_sessions long, "
                  "last_ts long")
 STATE_SCHEMA = "n_events long, n_sessions long, last_ts long"
 
-SESSION_GAP_NS = 1800 * 1_000_000_000
+SESSION_GAP_US = 1800 * 1_000_000
 
 
 def _update(key: tuple, pdfs: Iterator[pd.DataFrame],
@@ -30,9 +31,19 @@ def _update(key: tuple, pdfs: Iterator[pd.DataFrame],
     # self-contained: runs on workers with no package on sys.path
     import numpy as np
 
+    gap_us = 1800 * 1_000_000
+
+    def ts_us(series):
+        # datetime64[any-unit] -> µs ints; legacy int64-ns -> µs ints.
+        # Explicit unit normalization: to_numpy(int64) alone would yield
+        # whatever unit pandas stored (ns vs µs varies by version).
+        if series.dtype.kind == "M":
+            return series.to_numpy("datetime64[us]").astype("int64")
+        return series.to_numpy(dtype="int64") // 1000
+
     n_events, n_sessions, last_ts = (
         state.get if state.exists else (0, 0, None))
-    chunks = [pdf["ts"].to_numpy(dtype="int64") for pdf in pdfs]
+    chunks = [ts_us(pdf["ts"]) for pdf in pdfs]
     ts_all = (np.sort(np.concatenate(chunks)) if chunks
               else np.empty(0, dtype="int64"))
     if ts_all.size:
@@ -40,10 +51,10 @@ def _update(key: tuple, pdfs: Iterator[pd.DataFrame],
         # (when no prior state) and wherever the gap to the previous
         # event exceeds the threshold — numpy diff, no per-event loop
         gaps = np.diff(ts_all)
-        n_sessions += int((gaps > 1800 * 1_000_000_000).sum())
+        n_sessions += int((gaps > gap_us).sum())
         if last_ts is None:
             n_sessions += 1
-        elif ts_all[0] - last_ts > 1800 * 1_000_000_000:
+        elif ts_all[0] - last_ts > gap_us:
             n_sessions += 1
         n_events += int(ts_all.size)
         last_ts = int(ts_all[-1])

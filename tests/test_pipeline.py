@@ -40,7 +40,7 @@ def test_convert_train_recommend(spark):
 def test_lsh_bucket_cap(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     sigs = doc_signatures(docs)
-    unbounded = lsh_candidate_pairs(sigs).count()
+    unbounded = lsh_candidate_pairs(sigs, max_bucket=None).count()
     capped = lsh_candidate_pairs(sigs, max_bucket=2).count()
     assert capped <= unbounded
     # cap bounds worst-case fanout: no bucket contributes > C(2,2)=1 pair
