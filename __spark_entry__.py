@@ -57,6 +57,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sample": Q.q_frame_sample,
     "corpus_stats": Q.q_corpus_stats,
     "corpus_stats_approx_err": Q.q_corpus_stats_approx_err,
+    "tfidf_keywords": Q.q_tfidf_keywords,
+    "source_quota": Q.q_source_quota,
+    "event_anomalies": Q.q_event_anomalies,
     "term_topk": Q.q_term_topk,
     "simhash": Q.q_simhash,
     "ngram_jaccard": Q.q_ngram_jaccard,

@@ -141,6 +141,51 @@ def range_join(points: DataFrame, intervals: DataFrame, on: str,
     )
 
 
+def rate_anomalies(events: DataFrame, trailing: int = 6,
+                   z_thresh: float = 2.0) -> DataFrame:
+    """Event-rate anomaly detection: per (event_type, hour) counts
+    z-scored against the TRAILING ``trailing``-hour window of the same
+    type; rows with |z| > z_thresh are flagged. The monitoring query
+    every event pipeline runs against its own throughput.
+
+    Two shuffles total: the (type, hour) count aggregation, then one
+    window partitioned by event_type — hours per type is tiny compared
+    to events, so the window input is already reduced ~|events|/|hours|
+    fold by the pre-aggregation (never window over raw events).
+
+    Variance is computed from INTEGER sums (Σn, Σn², cnt are exact in
+    doubles) via the explicit E[x²]−E[x]² formula rather than
+    var_pop/stddev window functions: both engines then evaluate the
+    same double expression on the same exact inputs, so the z-scores
+    are bit-identical for the oracle gate (incremental Welford-style
+    variance would associate differently per engine). sqrt is IEEE
+    correctly-rounded in both.
+    """
+    hourly = (with_event_time(events)
+              .groupBy("event_type",
+                       F.date_trunc("hour", F.col("event_time"))
+                       .alias("_hour_ts"))
+              .agg(F.count("*").alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("_hour_ts")
+         .rowsBetween(-trailing, -1))
+    scored = (hourly
+              .withColumn("_s", F.sum("n").over(w).cast("double"))
+              .withColumn("_s2", F.sum(F.col("n") * F.col("n")).over(w)
+                          .cast("double"))
+              .withColumn("_c", F.count("n").over(w).cast("double"))
+              .filter(F.col("_c") >= trailing))
+    mean = F.col("_s") / F.col("_c")
+    var = (F.col("_s2") - F.col("_s") * F.col("_s") / F.col("_c")) / F.col("_c")
+    z = (F.col("n") - mean) / F.sqrt(var + F.lit(1e-9))
+    return (scored
+            .withColumn("z", F.round(z, 6))
+            .filter(F.abs(F.col("z")) > F.lit(float(z_thresh)))
+            .select("event_type",
+                    F.date_format("_hour_ts", "yyyy-MM-dd HH:mm:ss")
+                    .alias("hour"),
+                    "n", "z"))
+
+
 def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
     """Gap-based sessions: (user_id, session_id, n_events, session_start,
     duration_sec). A new session starts when the gap to the previous event

@@ -59,6 +59,26 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, float],
     return df.filter(hash_draw(F.col(key_col), seed) < rate)
 
 
+def group_quota(df: DataFrame, group_col: str, cap: int, key_col: str,
+                seed: int = 0) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by content-addressed
+    draw order (ties by key) — the per-domain/per-source cap every
+    curation pipeline applies so one boilerplate-heavy host can't
+    dominate the corpus. One shuffle on the group column; the per-group
+    sort is local to its hash partition and row_number ≤ cap prunes
+    before anything downstream (same scalable top-n shape as
+    q_topn_per_group — never a per-group collect). Deterministic and
+    append-stable per group for the same reasons as hash_draw.
+    """
+    from pyspark.sql import Window
+    w = (Window.partitionBy(group_col)
+         .orderBy("_draw", key_col))
+    return (df.withColumn("_draw", hash_draw(F.col(key_col), seed))
+            .withColumn("_qr", F.row_number().over(w))
+            .filter(F.col("_qr") <= int(cap))
+            .drop("_draw", "_qr"))
+
+
 def sample_topk(df: DataFrame, k: int, key_col: str, seed: int = 0,
                 draw_col: str = "draw") -> DataFrame:
     """Exactly-k deterministic sample: the k smallest draws (ties broken

@@ -115,6 +115,43 @@ def corpus_stats_approx_err(docs: DataFrame, text_col: str = "text",
          <= F.lit(tol) * F.abs(F.col("exact"))).alias("within_tol"))
 
 
+def tfidf_keywords(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Top-k TF-IDF keywords per document: (doc_id, rank, term, score).
+
+    The classic two-pass shape: one groupBy((doc, term)) for term
+    frequencies, one groupBy(term) for document frequencies (distinct
+    docs per term — partial-aggregated, shuffles (term, doc) pairs
+    once), a broadcast-sized N, then a per-doc window rank. At corpus
+    scale the df table is vocabulary-sized (millions, not billions) and
+    broadcast-joins back onto the tf table; nothing reshuffles the
+    corpus itself.
+
+    idf is INTEGER-QUANTIZED — idf_milli = (1000·N) div df, score =
+    tf · idf_milli — rather than a float log: the ranking must be
+    bit-identical across engines for the oracle gate, and last-ulp
+    differences in libm log() would make near-tie ranks engine-
+    dependent. Monotonicity in (tf, 1/df) — all a keyword rank needs —
+    is preserved; ties break by term for a total order.
+    """
+    terms = (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(normalize(F.col(text_col)))).alias("term"))
+        .filter(F.col("term") != ""))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.countDistinct(F.col(id_col)).alias("_n"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (tf.join(df_, "term").crossJoin(F.broadcast(n_docs))
+            .withColumn("score",
+                        F.col("tf")
+                        * F.expr("(1000 * _n) div df").cast("long"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "rank", "term", "score"))
+
+
 def term_topk(docs: DataFrame, k: int = 20,
               text_col: str = "text") -> DataFrame:
     """Exact heavy hitters: top-k terms by frequency with a total

@@ -719,6 +719,58 @@ UNION ALL SELECT 'tok_p50', tok_p50, TRUE FROM m
 UNION ALL SELECT 'tok_p75', tok_p75, TRUE FROM m
 """
 
+#: integer-quantized idf (idf_milli = 1000·N div df) so the keyword
+#: ranking is bit-identical across engines — see stats.py::tfidf_keywords
+TFIDF_KEYWORDS = f"""
+WITH n AS (SELECT doc_id, {_NORM_TEXT} AS norm FROM documents),
+terms AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM n),
+t AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM terms WHERE term <> '' GROUP BY doc_id, term),
+d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY term),
+nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_total
+       FROM documents)
+SELECT doc_id, rank, term, score FROM (
+    SELECT t.doc_id, t.term,
+           t.tf * ((1000 * nn.n_total) // d.df) AS score,
+           CAST(row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY t.tf * ((1000 * nn.n_total) // d.df) DESC,
+                        t.term ASC) AS INT) AS rank
+    FROM t JOIN d USING (term) CROSS JOIN nn
+) WHERE rank <= 3
+"""
+
+SOURCE_QUOTA = f"""
+SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY {_draw_sql('doc_id', 5)}, doc_id)
+           AS qr
+    FROM documents
+) WHERE qr <= 15
+"""
+
+#: variance from integer sums (s, s2, c exact in doubles) — identical
+#: double expression both engines; see events.py::rate_anomalies
+EVENT_ANOMALIES = """
+WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, hour_ts, n,
+             CAST(sum(n) OVER w AS DOUBLE) AS sw,
+             CAST(sum(n * n) OVER w AS DOUBLE) AS sw2,
+             CAST(count(n) OVER w AS DOUBLE) AS cw
+      FROM h
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)),
+z AS (SELECT event_type, hour_ts, n,
+             round((n - sw / cw)
+                   / sqrt((sw2 - sw * sw / cw) / cw + 1e-9), 6) AS z
+      FROM s WHERE cw >= 6)
+SELECT event_type, strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour, n, z
+FROM z WHERE abs(z) > 2.0
+"""
+
 TERM_TOPK = f"""
 WITH n AS (SELECT {_NORM_TEXT} AS norm FROM documents),
 terms AS (SELECT unnest(string_split(norm, ' ')) AS term FROM n)
@@ -1093,6 +1145,9 @@ ORACLES: dict[str, str] = {
     "chunk_fill": CHUNK_FILL,
     "corpus_stats": CORPUS_STATS,
     "corpus_stats_approx_err": CORPUS_STATS_APPROX_ERR,
+    "tfidf_keywords": TFIDF_KEYWORDS,
+    "source_quota": SOURCE_QUOTA,
+    "event_anomalies": EVENT_ANOMALIES,
     "term_topk": TERM_TOPK,
     "doc_chunks": DOC_CHUNKS,
     "repetition": REPETITION,

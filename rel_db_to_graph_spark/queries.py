@@ -657,6 +657,29 @@ def q_corpus_stats_approx_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats_approx_err(load_table(spark, sf_dir, "documents"))
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (integer-quantized idf — see
+    operators/stats.py::tfidf_keywords for why not float log)."""
+    from rel_db_to_graph_spark.operators.stats import tfidf_keywords
+    return tfidf_keywords(load_table(spark, sf_dir, "documents"), k=3)
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap (≤15 docs per source, content-addressed pick) —
+    the anti-boilerplate curation primitive. 15 < the ~25 docs/source
+    in the testdata, so the cap genuinely filters."""
+    from rel_db_to_graph_spark.operators.sample import group_quota
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return group_quota(d, "source", cap=15, key_col="doc_id", seed=5)
+
+
+def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate z-score anomalies vs the trailing 6h window
+    per event_type (operators/events.py::rate_anomalies)."""
+    from rel_db_to_graph_spark.operators.events import rate_anomalies
+    return rate_anomalies(load_table(spark, sf_dir, "events"))
+
+
 def q_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters over the corpus vocabulary."""
     from rel_db_to_graph_spark.operators.stats import term_topk

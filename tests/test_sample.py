@@ -93,3 +93,21 @@ def test_stratified_subset_of_uniform_hypothesis(spark):
         assert lo <= u
 
     check()
+
+
+def test_group_quota_cap_and_determinism(spark):
+    from rel_db_to_graph_spark.operators.sample import group_quota
+
+    d = _docs(spark)  # lang en: 500 rows, de: 1500 rows
+    capped = group_quota(d, "lang", cap=100, key_col="doc_id", seed=5)
+    sizes = {r.lang: r.n for r in
+             capped.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"en": 100, "de": 100}
+    # partition-invariant pick (content-addressed draw)
+    again = group_quota(d.repartition(16), "lang", cap=100,
+                        key_col="doc_id", seed=5)
+    assert {r.doc_id for r in capped.collect()} == \
+           {r.doc_id for r in again.collect()}
+    # a cap above the group size keeps everything
+    assert group_quota(d, "lang", cap=5000, key_col="doc_id",
+                       seed=5).count() == d.count()
