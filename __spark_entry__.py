@@ -133,6 +133,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hetero_link_train": Q.q_hetero_link_train,
     "hetero_forward": Q.q_hetero_forward,
     "recommend_gnn": Q.q_recommend_gnn,
+    "gat_stack_train": Q.q_gat_stack_train,
 }
 
 

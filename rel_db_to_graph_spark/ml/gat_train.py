@@ -212,6 +212,269 @@ def _gat_epoch(edges: DataFrame, src_feats: DataFrame, dst_feats: DataFrame,
     return stats
 
 
+def _to_array(long_df: DataFrame, id_col: str, pos_col: str, val_col: str,
+              out_col: str) -> DataFrame:
+    """(id, pos, val) long-form -> (id, out_col array<double>)."""
+    return (long_df.groupBy(id_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct(pos_col, val_col))),
+                lambda s: s[val_col]).alias(out_col)))
+
+
+def _forward_layer(edges: DataFrame, emb: DataFrame, Wl: np.ndarray,
+                   Wr: np.ndarray, a: np.ndarray):
+    """Homogeneous forward: returns (al, H) where ``al`` is the per-edge
+    frame (src, dst, _s, _q, _r, _alpha) and ``H`` is (node_id, _m, _h)
+    for ALL nodes — zeros for nodes with no in-edges (the gat_layer
+    coalesce convention, which also zeroes their gradient)."""
+    h = Wl.shape[0]
+    a_lit = _arr_lit(a)
+    sp = emb.select(F.col("node_id").alias("src"),
+                    linear_layer(F.col("emb"), Wl, activation=None)
+                    .alias("_s"))
+    tp = emb.select(F.col("node_id").alias("dst"),
+                    linear_layer(F.col("emb"), Wr, activation=None)
+                    .alias("_t"))
+    ef = (edges.join(sp, "src").join(tp, "dst")
+          .withColumn("_q", F.zip_with("_s", "_t", lambda s, t: s + t))
+          .withColumn("_r", F.transform(
+              "_q", lambda x: F.when(x > 0, x).otherwise(x * F.lit(_LEAKY))))
+          .withColumn("_e", dot(F.col("_r"), a_lit)))
+    mx = ef.groupBy("dst").agg(F.max("_e").alias("_mx"))
+    wtd = ef.join(mx, "dst").withColumn("_w",
+                                        F.exp(F.col("_e") - F.col("_mx")))
+    z = wtd.groupBy("dst").agg(F.sum("_w").alias("_z"))
+    al = (wtd.join(z, "dst")
+          .withColumn("_alpha", F.col("_w") / F.col("_z"))
+          .localCheckpoint(eager=False))
+    per_dim = (al.select("dst", "_alpha",
+                         F.posexplode("_s").alias("pos", "x"))
+               .groupBy("dst", "pos")
+               .agg(F.sum(F.col("_alpha") * F.col("x")).alias("v")))
+    zeros = F.array_repeat(F.lit(0.0), h)
+    H = (emb.select("node_id")
+         .join(_to_array(per_dim, "dst", "pos", "v", "_m")
+               .withColumnRenamed("dst", "node_id"), "node_id", "left")
+         .select("node_id",
+                 F.coalesce("_m", zeros).alias("_m"),
+                 F.coalesce(F.transform("_m", lambda x: sigmoid(x)), zeros)
+                 .alias("_h"))
+         .localCheckpoint(eager=False))
+    return al, H
+
+
+def _backward_layer(al: DataFrame, H: DataFrame, G: DataFrame,
+                    emb_in: DataFrame, Wl: np.ndarray, Wr: np.ndarray,
+                    a: np.ndarray, n: int):
+    """Backward through one attention layer given node-level ``G`` =
+    (node_id, _g) = ∂L/∂h (already summed over all downstream paths).
+    Returns (gWl, gWr, ga, DSDT) where DSDT = (node_id, _dsa, _dta) is
+    the node-level (∂L/∂s, ∂L/∂t) pair a deeper layer needs to continue
+    the chain (∂L/∂emb_in = Wlᵀ·_dsa + Wrᵀ·_dta)."""
+    h = Wl.shape[0]
+    a_lit = _arr_lit(a)
+    GM = (G.join(H, "node_id")
+          .withColumn("_gm", F.expr(
+              "zip_with(_g, _h, (g, hh) -> g * hh * (1d - hh))"))
+          .withColumn("_c", dot(F.col("_gm"), F.col("_m")))
+          .select(F.col("node_id").alias("dst"), "_gm", "_c")
+          .localCheckpoint(eager=False))
+    eb = (al.join(GM, "dst")
+          .withColumn("_ge", F.col("_alpha")
+                      * (dot(F.col("_gm"), F.col("_s")) - F.col("_c")))
+          .withColumn("_dq", F.zip_with(
+              "_q", a_lit,
+              lambda q, ak: F.col("_ge") * ak
+              * F.when(q > 0, F.lit(1.0)).otherwise(F.lit(_LEAKY))))
+          .localCheckpoint(eager=False))
+    ga_rows = (eb.select(F.posexplode(F.expr(
+        "zip_with(_r, _q, (r, q) -> _ge * r)")).alias("pos", "gx"))
+        .groupBy("pos").agg(F.sum("gx").alias("v")).collect())
+    ga = [v / n for v in _collect_vec(ga_rows, h)]
+
+    DS = (eb.select(F.col("src").alias("node_id"),
+                    F.posexplode(F.expr(
+                        "zip_with(transform(_gm, g -> _alpha * g), _dq,"
+                        " (mg, dq) -> mg + dq)")).alias("pos", "gx"))
+          .groupBy("node_id", "pos").agg(F.sum("gx").alias("gs")))
+    DT = (eb.select(F.col("dst").alias("node_id"),
+                    F.posexplode("_dq").alias("pos", "gx"))
+          .groupBy("node_id", "pos").agg(F.sum("gx").alias("gs")))
+
+    def w_grad(D, side_feats):
+        rows = (D.join(side_feats.select("node_id",
+                                         F.col("emb").alias("_x")),
+                       "node_id")
+                .select(F.col("pos").alias("r"), "gs",
+                        F.posexplode("_x").alias("c", "xc"))
+                .groupBy("r", "c")
+                .agg(F.sum(F.col("gs") * F.col("xc")).alias("v")).collect())
+        return _collect_mat(rows, h, Wl.shape[1]) / n
+
+    gWl = w_grad(DS, emb_in)
+    gWr = w_grad(DT, emb_in)
+    zeros = F.array_repeat(F.lit(0.0), h)
+    DSDT = (_to_array(DS, "node_id", "pos", "gs", "_dsa")
+            .join(_to_array(DT, "node_id", "pos", "gs", "_dta"),
+                  "node_id", "full")
+            .select("node_id",
+                    F.coalesce("_dsa", zeros).alias("_dsa"),
+                    F.coalesce("_dta", zeros).alias("_dta"))
+            .localCheckpoint(eager=False))
+    return gWl, gWr, ga, DSDT
+
+
+def _stack_epoch(edges: DataFrame, feats: DataFrame, examples: DataFrame,
+                 params: list[tuple], b: float,
+                 with_grads: bool = True) -> dict:
+    """Full forward(+backward) through a k-layer homogeneous GAT stack
+    with a symmetric dot decoder z = h_u·h_v + b over the FINAL
+    embeddings. ``params`` = [(Wl, Wr, a), ...] outermost-first in
+    forward order. Gradients chain down through every layer:
+    ∂L/∂h^{l-1} = Wlᵀ·∂L/∂s^l + Wrᵀ·∂L/∂t^l, the same node-frame
+    linear-map shape as the forward projections."""
+    embs = [feats]           # layer inputs; embs[l] feeds layer l
+    layers = []              # (al, H) per layer
+    for (Wl, Wr, a) in params:
+        al, H = _forward_layer(edges, embs[-1], Wl, Wr, a)
+        layers.append((al, H))
+        embs.append(H.select("node_id", F.col("_h").alias("emb")))
+
+    hdim = params[-1][0].shape[0]
+    zeros = F.array_repeat(F.lit(0.0), hdim)
+    top = embs[-1]
+    ex = (examples
+          .join(top.select(F.col("node_id").alias("src"),
+                           F.col("emb").alias("_hu")), "src", "left")
+          .join(top.select(F.col("node_id").alias("dst"),
+                           F.col("emb").alias("_hv")), "dst", "left")
+          .withColumn("_hu", F.coalesce("_hu", zeros))
+          .withColumn("_hv", F.coalesce("_hv", zeros)))
+    zc = dot(F.col("_hu"), F.col("_hv")) + F.lit(float(b))
+    p = sigmoid(F.greatest(F.least(zc, F.lit(30.0)), F.lit(-30.0)))
+    y = F.col("label").cast("double")
+    ex = ex.select(
+        "src", "dst", "_hu", "_hv", y.alias("_y"), (p - y).alias("_err"),
+        (-(y * F.log(p) + (1 - y) * F.log(1 - p))).alias("_loss"),
+        (p > 0.5).cast("int").alias("_yhat")).localCheckpoint(eager=False)
+    row = ex.agg(
+        F.sum("_loss").alias("loss_sum"), F.sum("_err").alias("gb_sum"),
+        F.count("*").alias("n"),
+        F.sum((F.col("_yhat") == F.col("_y").cast("int")).cast("long"))
+        .alias("correct")).first()
+    n = row.n or 0
+    if n == 0 or not with_grads:
+        out = {"loss": (row.loss_sum / n) if n else 0.0,
+               "acc": (row.correct / n) if n else 0.0, "n": n,
+               "gb": (row.gb_sum / n) if n else 0.0}
+        if with_grads:
+            out["grads"] = [(np.zeros_like(Wl), np.zeros_like(Wr),
+                             [0.0] * len(a)) for (Wl, Wr, a) in params]
+        return out
+
+    # symmetric decoder: ∂L/∂h_x = Σ err·h_other over both endpoint roles
+    gtop_long = (ex.select(F.col("src").alias("node_id"),
+                           F.posexplode(F.transform(
+                               "_hv", lambda x: F.col("_err") * x))
+                           .alias("pos", "gx"))
+                 .unionByName(
+                     ex.select(F.col("dst").alias("node_id"),
+                               F.posexplode(F.transform(
+                                   "_hu", lambda x: F.col("_err") * x))
+                               .alias("pos", "gx")))
+                 .groupBy("node_id", "pos").agg(F.sum("gx").alias("v")))
+    G = _to_array(gtop_long, "node_id", "pos", "v", "_g")
+
+    grads: list[tuple] = [None] * len(params)
+    for li in range(len(params) - 1, -1, -1):
+        Wl, Wr, a = params[li]
+        al, H = layers[li]
+        gWl, gWr, ga, DSDT = _backward_layer(
+            al, H, G, embs[li], Wl, Wr, a, n)
+        grads[li] = (gWl, gWr, ga)
+        if li > 0:
+            # chain to the previous layer's output h^{l-1}
+            G = DSDT.select(
+                "node_id",
+                F.zip_with(
+                    linear_layer(F.col("_dsa"), Wl.T, activation=None),
+                    linear_layer(F.col("_dta"), Wr.T, activation=None),
+                    lambda x, yy: x + yy).alias("_g"))
+    return {"loss": row.loss_sum / n, "acc": row.correct / n, "n": n,
+            "gb": row.gb_sum / n, "grads": grads}
+
+
+def train_gat_stack(edges: DataFrame, feats: DataFrame,
+                    examples: DataFrame, hidden: int, layers: int = 2,
+                    epochs: int = 5, lr: float = 0.05,
+                    val_frac: float = 0.2, seed: int = 42,
+                    weight_decay: float = 0.01) -> TrainResult:
+    """End-to-end training of a k-layer homogeneous GATv2 stack — every
+    layer's W_l/W_r/a learns by backprop (the reference trains all six
+    GATv2Conv layers; this is the full-depth analog of train_gat_link).
+    Decoder: z = h_u·h_v + b over final-layer embeddings.
+    ``TrainResult.weights`` is the flat per-layer [Wl, Wr, a] vector."""
+    d_in = len(feats.select("emb").first()["emb"])
+    rng = np.random.default_rng(seed)
+    params = []
+    dim = d_in
+    for _ in range(layers):
+        params.append((rng.normal(0, 0.5, size=(hidden, dim)),
+                       rng.normal(0, 0.5, size=(hidden, dim)),
+                       rng.normal(0, 0.5, size=hidden)))
+        dim = hidden
+    b = 0.0
+
+    split = hash_split(examples, val_frac=val_frac, test_frac=0.0, seed=seed)
+    train = split.filter(F.col("split") == "train").drop("split").cache()
+    val = split.filter(F.col("split") == "val").drop("split").cache()
+    train.count(), val.count()
+
+    def flat(params, b):
+        out = []
+        for (Wl, Wr, a) in params:
+            out += [float(x) for x in Wl.ravel()]
+            out += [float(x) for x in Wr.ravel()]
+            out += [float(x) for x in a]
+        return out + [float(b)]
+
+    def unflat(v):
+        out, i, dim = [], 0, d_in
+        for _ in range(layers):
+            nW = hidden * dim
+            Wl = np.array(v[i:i + nW]).reshape(hidden, dim); i += nW
+            Wr = np.array(v[i:i + nW]).reshape(hidden, dim); i += nW
+            a = np.array(v[i:i + hidden]); i += hidden
+            out.append((Wl, Wr, a))
+            dim = hidden
+        return out, float(v[i])
+
+    opt = AdamW(lr=lr, weight_decay=weight_decay)
+    result = TrainResult(weights=flat(params, b)[:-1], bias=b)
+    best = (params, b)
+    for epoch in range(epochs):
+        stats = _stack_epoch(edges, feats, train, params, b)
+        gflat = flat([(g[0], g[1], np.array(g[2]))
+                      for g in stats["grads"]], stats["gb"])
+        params, b = unflat(opt.step(flat(params, b), gflat))
+        vstats = _stack_epoch(edges, feats, val, params, b,
+                              with_grads=False)
+        result.history.append({
+            "epoch": epoch, "train_loss": stats["loss"],
+            "train_acc": stats["acc"], "val_loss": vstats["loss"],
+            "val_acc": vstats["acc"],
+        })
+        if vstats["acc"] >= result.best_val_acc:
+            result.best_val_acc = vstats["acc"]
+            result.best_epoch = epoch
+            best = ([(Wl.copy(), Wr.copy(), a.copy())
+                     for (Wl, Wr, a) in params], b)
+    params, b = best
+    result.weights, result.bias = flat(params, b)[:-1], b
+    train.unpersist(), val.unpersist()
+    return result
+
+
 def train_gat_link(edges: DataFrame, src_feats: DataFrame,
                    dst_feats: DataFrame, examples: DataFrame,
                    hidden: int, epochs: int = 5, lr: float = 0.05,

@@ -417,6 +417,58 @@ def q_hetero_link_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epoch int, train_loss double, val_acc double")
 
 
+def q_gat_stack_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 FULL DEPTH (rows-only; iterative): 2-layer homogeneous GATv2
+    stack trained end-to-end — backprop chains through BOTH attention
+    layers (∂L/∂h^{l-1} = Wlᵀ∂s + Wrᵀ∂t, ml/gat_train.py::
+    train_gat_stack; reference trains all conv layers, model.py:84-152).
+    Customer co-purchase graph (customers linked via shared orders →
+    nation loop edges kept small by using the customer→nation edge as
+    the message graph); label = same-nation pairs from a deterministic
+    sample. Returns the epoch history; train BCE must decrease."""
+    from rel_db_to_graph_spark.ml.gat_train import train_gat_stack
+    from rel_db_to_graph_spark.ml.hetero import node_features_normalized
+
+    g = build_graph(spark, sf_dir)
+    cust = g["nodes"]["customer"]
+    feats = node_features_normalized({"customer": cust})["customer"][0]
+    # message graph: customer ring by dense id (deterministic, every
+    # node has in-edges) + the SELF_LOOP edges the graph already carries
+    n_nodes = cust.count()
+    ring = cust.select(
+        F.col("node_id").alias("src"),
+        ((F.col("node_id") + 1) % F.lit(n_nodes)).alias("dst"))
+    loops = g["edges"][("customer", "SELF_LOOP", "customer")]
+    edges = ring.unionByName(loops.select("src", "dst"))
+    # labeled pairs: deterministic stride pairs (i, i+k mod n) — map-only
+    # generation (3n rows, no cross join) + two label joins; positive =
+    # same nation (the FK was dropped from the node frame per P5, so
+    # rejoin it via pk)
+    raw = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pk"), "c_nationkey")
+    cn = (cust.select("node_id", "pk").join(raw, "pk")
+          .select("node_id", F.col("c_nationkey").alias("_nk")))
+    strides = None
+    for k in (1, 7, 13):
+        s = cn.select(F.col("node_id").alias("src"),
+                      ((F.col("node_id") + k) % F.lit(n_nodes)).alias("dst"))
+        strides = s if strides is None else strides.unionByName(s)
+    pairs = (strides
+             .join(cn.select(F.col("node_id").alias("src"),
+                             F.col("_nk").alias("_na")), "src")
+             .join(cn.select(F.col("node_id").alias("dst"),
+                             F.col("_nk").alias("_nb")), "dst")
+             .select("src", "dst",
+                     (F.col("_na") == F.col("_nb")).cast("int")
+                     .alias("label")))
+    res = train_gat_stack(edges, feats, pairs, hidden=2, layers=2,
+                          epochs=3, lr=0.05, seed=42)
+    return spark.createDataFrame(
+        [(h["epoch"], float(h["train_loss"]), float(h["val_acc"]))
+         for h in res.history],
+        "epoch int, train_loss double, val_acc double")
+
+
 def q_recommend_gnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G9+L5+L6+A7 (rows-only; seeded matrix math): the reference's full
     inference path — graph mutation, heterogeneous GNN forward, dot-product

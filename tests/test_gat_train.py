@@ -183,3 +183,155 @@ def test_train_gat_link_learns(spark):
     again = train_gat_link(e_df, sf, df_, ex, hidden=2, epochs=4, lr=0.1,
                            seed=3)
     assert np.allclose(final, np.array(again.weights), rtol=1e-12)
+
+
+# ---------------- multi-layer stack (full-depth backprop) ----------------
+
+S_EDGES = [(0, 1), (1, 2), (2, 0), (3, 2), (0, 3), (2, 3)]
+S_X = {0: [1.0, 0.2], 1: [0.3, -0.5], 2: [-0.7, 0.9], 3: [0.4, 0.4]}
+S_EX = [(0, 1, 1), (1, 2, 0), (2, 3, 1), (3, 0, 0), (0, 2, 1), (1, 3, 0)]
+
+
+def _np_stack_epoch(params, b):
+    """Numpy twin of _stack_epoch: k-layer forward + full backward."""
+    leaky = lambda x: np.where(x > 0, x, 0.2 * x)
+    dleaky = lambda x: np.where(x > 0, 1.0, 0.2)
+    nodes = sorted(S_X)
+    embs = [{i: np.array(v) for i, v in S_X.items()}]
+    fwd = []
+    for (Wl, Wr, a) in params:
+        x = embs[-1]
+        s = {i: Wl @ x[i] for i in nodes}
+        t = {j: Wr @ x[j] for j in nodes}
+        q = {(i, j): s[i] + t[j] for i, j in S_EDGES}
+        e = {ij: float(a @ leaky(q[ij])) for ij in S_EDGES}
+        alpha, m, hh = {}, {}, {}
+        for j in nodes:
+            inc = [ij for ij in S_EDGES if ij[1] == j]
+            if not inc:
+                m[j] = np.zeros(Wl.shape[0])
+                hh[j] = np.zeros(Wl.shape[0])
+                continue
+            mx = max(e[ij] for ij in inc)
+            ws = {ij: np.exp(e[ij] - mx) for ij in inc}
+            zz = sum(ws.values())
+            for ij in inc:
+                alpha[ij] = ws[ij] / zz
+            m[j] = sum(alpha[ij] * s[ij[0]] for ij in inc)
+            hh[j] = _sig(m[j])
+        fwd.append((s, t, q, alpha, m, hh))
+        embs.append(hh)
+
+    top = embs[-1]
+    n = len(S_EX)
+    err, loss, acc = {}, 0.0, 0
+    for (u, v, y) in S_EX:
+        z = float(top[u] @ top[v]) + b
+        p = _sig(np.clip(z, -30, 30))
+        err[(u, v)] = p - y
+        loss += -(y * np.log(p) + (1 - y) * np.log(1 - p))
+        acc += int((p > 0.5) == bool(y))
+    gb = sum(err.values()) / n
+
+    G = {i: np.zeros_like(top[i]) for i in nodes}
+    for (u, v, _y) in S_EX:
+        G[u] += err[(u, v)] * top[v]
+        G[v] += err[(u, v)] * top[u]
+
+    grads = [None] * len(params)
+    for li in range(len(params) - 1, -1, -1):
+        Wl, Wr, a = params[li]
+        s, t, q, alpha, m, hh = fwd[li]
+        gm = {j: G[j] * hh[j] * (1 - hh[j]) for j in nodes}
+        c = {j: float(gm[j] @ m[j]) for j in nodes}
+        ga = np.zeros_like(a)
+        DS = {i: np.zeros_like(s[i]) for i in nodes}
+        DT = {j: np.zeros_like(t[j]) for j in nodes}
+        for (i, j) in S_EDGES:
+            ge = alpha[(i, j)] * (float(gm[j] @ s[i]) - c[j])
+            dq = ge * a * dleaky(q[(i, j)])
+            ga += ge * leaky(q[(i, j)])
+            DS[i] += alpha[(i, j)] * gm[j] + dq
+            DT[j] += dq
+        x = embs[li]
+        gWl = sum(np.outer(DS[i], x[i]) for i in nodes) / n
+        gWr = sum(np.outer(DT[j], x[j]) for j in nodes) / n
+        grads[li] = (gWl, gWr, ga / n)
+        if li > 0:
+            G = {i: Wl.T @ DS[i] + Wr.T @ DT[i] for i in nodes}
+    return {"loss": loss / n, "acc": acc / n, "gb": gb, "grads": grads}
+
+
+def _stack_params(seed=13):
+    rng = np.random.default_rng(seed)
+    return [(rng.normal(0, 0.5, (2, 2)), rng.normal(0, 0.5, (2, 2)),
+             rng.normal(0, 0.5, 2)) for _ in range(2)]
+
+
+def test_stack_gradients_match_numpy(spark):
+    from rel_db_to_graph_spark.ml.gat_train import _stack_epoch
+
+    edges = spark.createDataFrame(S_EDGES, "src long, dst long")
+    feats = spark.createDataFrame(list(S_X.items()),
+                                  "node_id long, emb array<double>")
+    ex = spark.createDataFrame(S_EX, "src long, dst long, label int")
+    params = _stack_params()
+    b = 0.05
+
+    got = _stack_epoch(edges, feats, ex, params, b)
+    want = _np_stack_epoch(params, b)
+    assert np.isclose(got["loss"], want["loss"], rtol=1e-10)
+    assert np.isclose(got["gb"], want["gb"], rtol=1e-10)
+    for li in range(2):
+        gWl, gWr, ga = got["grads"][li]
+        wWl, wWr, wa = want["grads"][li]
+        assert np.allclose(gWl, wWl, rtol=1e-7, atol=1e-12), ("Wl", li)
+        assert np.allclose(gWr, wWr, rtol=1e-7, atol=1e-12), ("Wr", li)
+        assert np.allclose(ga, wa, rtol=1e-7, atol=1e-12), ("a", li)
+
+
+def test_stack_numpy_twin_matches_finite_differences():
+    params = _stack_params(seed=21)
+    b = -0.1
+    base = _np_stack_epoch(params, b)
+    eps = 1e-6
+
+    def loss_at(ps, bb):
+        return _np_stack_epoch(ps, bb)["loss"]
+
+    for li in range(2):
+        for which in range(3):   # Wl, Wr, a
+            arr = params[li][which]
+            it = np.ndindex(*arr.shape)
+            for idx in it:
+                pp = [(Wl.copy(), Wr.copy(), a.copy())
+                      for (Wl, Wr, a) in params]
+                pm = [(Wl.copy(), Wr.copy(), a.copy())
+                      for (Wl, Wr, a) in params]
+                pp[li][which][idx] += eps
+                pm[li][which][idx] -= eps
+                num = (loss_at(pp, b) - loss_at(pm, b)) / (2 * eps)
+                got = base["grads"][li][which][idx]
+                assert np.isclose(got, num, rtol=1e-4, atol=1e-8), \
+                    (li, which, idx, got, num)
+
+
+def test_train_gat_stack_learns(spark):
+    from rel_db_to_graph_spark.ml.gat_train import train_gat_stack
+
+    rng = np.random.default_rng(1)
+    n = 14
+    xs = [(i, [float(rng.normal()), float(rng.normal())]) for i in range(n)]
+    edges = [(i, (i + 1) % n) for i in range(n)] + \
+            [(i, (i + 3) % n) for i in range(n)]
+    examples = [(i, j, int((i + j) % 2 == 0))
+                for i in range(n) for j in range(n) if i != j]
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    f_df = spark.createDataFrame(xs, "node_id long, emb array<double>")
+    ex = spark.createDataFrame(examples, "src long, dst long, label int")
+
+    res = train_gat_stack(e_df, f_df, ex, hidden=2, layers=2, epochs=3,
+                          lr=0.1, seed=3)
+    losses = [h["train_loss"] for h in res.history]
+    assert losses[-1] < losses[0], losses
+    assert len(res.weights) == 2 * (2 * 2 * 2 + 2)   # 2 layers x (2 W + a)
