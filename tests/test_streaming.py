@@ -77,3 +77,29 @@ def test_stream_dedup_watermarked_bounded_state(spark):
     n_distinct = (load_table(spark, SF_SMOKE, "documents")
                   .select(fingerprint(F.col("text"))).distinct().count())
     assert streamed.count() == n_distinct
+
+
+def test_stream_static_enrichment_matches_batch(spark):
+    """Stream-static join: per-(hour, nation) counts from the enriched
+    stream equal the all-batch twin."""
+    from rel_db_to_graph_spark.streaming.enrich import enriched_rates_stream
+
+    # dimension: customer nation keyed by a synthetic user_id range
+    # matching events.user_id (events user ids are small ints)
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_nationkey").alias("nation"))
+
+    stream = enriched_rates_stream(
+        read_events_stream(spark, SF_SMOKE), cust, attr="nation")
+    run_available_now(stream, "enrich_stream_test")
+    streamed = spark.table("enrich_stream_test")
+
+    batch = (load_table(spark, SF_SMOKE, "events")
+             .join(F.broadcast(cust), "user_id", "left")
+             .groupBy(F.date_format(F.date_trunc("hour", F.col("ts")),
+                                    "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                      "nation")
+             .agg(F.count("*").alias("n_events")))
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
