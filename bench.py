@@ -66,6 +66,9 @@ HEADLINE = {
     "token_pack": lambda s, d: Q.q_token_pack(s, d).count(),
     "dedup_clusters": lambda s, d: Q.q_dedup_clusters(s, d).count(),
     "pagerank": lambda s, d: Q.q_pagerank(s, d).count(),
+    # round 4 additions: vocabulary-scale shuffle + the as-of merge join
+    "tfidf_keywords": lambda s, d: Q.q_tfidf_keywords(s, d).count(),
+    "events_asof": lambda s, d: Q.q_events_asof(s, d).count(),
 }
 
 
