@@ -222,19 +222,26 @@ def _to_array(long_df: DataFrame, id_col: str, pos_col: str, val_col: str,
 
 
 def _forward_layer(edges: DataFrame, emb: DataFrame, Wl: np.ndarray,
-                   Wr: np.ndarray, a: np.ndarray):
-    """Homogeneous forward: returns (al, H) where ``al`` is the per-edge
-    frame (src, dst, _s, _q, _r, _alpha) and ``H`` is (node_id, _m, _h)
-    for ALL nodes — zeros for nodes with no in-edges (the gat_layer
-    coalesce convention, which also zeroes their gradient)."""
+                   Wr: np.ndarray, a: np.ndarray,
+                   dst_emb: DataFrame | None = None,
+                   activation: str = "sigmoid"):
+    """One attention layer forward: returns (al, H) where ``al`` is the
+    per-edge frame (src, dst, _s, _q, _r, _alpha) and ``H`` is
+    (node_id, _m, _h) for ALL dst-side nodes — zeros for nodes with no
+    in-edges (the gat_layer coalesce convention, which also zeroes
+    their gradient). ``dst_emb`` switches to the bipartite / hetero
+    per-edge-type case (src projected from ``emb``, dst from
+    ``dst_emb``); ``activation`` 'sigmoid' or 'none' (hetero edge-type
+    messages combine pre-activation, so they run 'none')."""
     h = Wl.shape[0]
     a_lit = _arr_lit(a)
+    demb = emb if dst_emb is None else dst_emb
     sp = emb.select(F.col("node_id").alias("src"),
                     linear_layer(F.col("emb"), Wl, activation=None)
                     .alias("_s"))
-    tp = emb.select(F.col("node_id").alias("dst"),
-                    linear_layer(F.col("emb"), Wr, activation=None)
-                    .alias("_t"))
+    tp = demb.select(F.col("node_id").alias("dst"),
+                     linear_layer(F.col("emb"), Wr, activation=None)
+                     .alias("_t"))
     ef = (edges.join(sp, "src").join(tp, "dst")
           .withColumn("_q", F.zip_with("_s", "_t", lambda s, t: s + t))
           .withColumn("_r", F.transform(
@@ -252,30 +259,37 @@ def _forward_layer(edges: DataFrame, emb: DataFrame, Wl: np.ndarray,
                .groupBy("dst", "pos")
                .agg(F.sum(F.col("_alpha") * F.col("x")).alias("v")))
     zeros = F.array_repeat(F.lit(0.0), h)
-    H = (emb.select("node_id")
+    act = ((lambda c: F.transform(c, lambda x: sigmoid(x)))
+           if activation == "sigmoid" else (lambda c: F.col(c)))
+    H = (demb.select("node_id")
          .join(_to_array(per_dim, "dst", "pos", "v", "_m")
                .withColumnRenamed("dst", "node_id"), "node_id", "left")
          .select("node_id",
                  F.coalesce("_m", zeros).alias("_m"),
-                 F.coalesce(F.transform("_m", lambda x: sigmoid(x)), zeros)
-                 .alias("_h"))
+                 F.coalesce(act("_m"), zeros).alias("_h"))
          .localCheckpoint(eager=False))
     return al, H
 
 
 def _backward_layer(al: DataFrame, H: DataFrame, G: DataFrame,
                     emb_in: DataFrame, Wl: np.ndarray, Wr: np.ndarray,
-                    a: np.ndarray, n: int):
+                    a: np.ndarray, n: int,
+                    dst_emb_in: DataFrame | None = None,
+                    activation: str = "sigmoid"):
     """Backward through one attention layer given node-level ``G`` =
     (node_id, _g) = ∂L/∂h (already summed over all downstream paths).
     Returns (gWl, gWr, ga, DSDT) where DSDT = (node_id, _dsa, _dta) is
     the node-level (∂L/∂s, ∂L/∂t) pair a deeper layer needs to continue
-    the chain (∂L/∂emb_in = Wlᵀ·_dsa + Wrᵀ·_dta)."""
+    the chain (∂L/∂emb_in = Wlᵀ·_dsa + Wrᵀ·_dta). ``dst_emb_in`` /
+    ``activation`` mirror _forward_layer's bipartite + pre-activation
+    modes ('none' → gm = g directly, no sigmoid chain)."""
     h = Wl.shape[0]
     a_lit = _arr_lit(a)
+    demb_in = emb_in if dst_emb_in is None else dst_emb_in
+    gm_expr = (F.expr("zip_with(_g, _h, (g, hh) -> g * hh * (1d - hh))")
+               if activation == "sigmoid" else F.col("_g"))
     GM = (G.join(H, "node_id")
-          .withColumn("_gm", F.expr(
-              "zip_with(_g, _h, (g, hh) -> g * hh * (1d - hh))"))
+          .withColumn("_gm", gm_expr)
           .withColumn("_c", dot(F.col("_gm"), F.col("_m")))
           .select(F.col("node_id").alias("dst"), "_gm", "_c")
           .localCheckpoint(eager=False))
@@ -301,7 +315,7 @@ def _backward_layer(al: DataFrame, H: DataFrame, G: DataFrame,
                     F.posexplode("_dq").alias("pos", "gx"))
           .groupBy("node_id", "pos").agg(F.sum("gx").alias("gs")))
 
-    def w_grad(D, side_feats):
+    def w_grad(D, side_feats, n_cols):
         rows = (D.join(side_feats.select("node_id",
                                          F.col("emb").alias("_x")),
                        "node_id")
@@ -309,10 +323,10 @@ def _backward_layer(al: DataFrame, H: DataFrame, G: DataFrame,
                         F.posexplode("_x").alias("c", "xc"))
                 .groupBy("r", "c")
                 .agg(F.sum(F.col("gs") * F.col("xc")).alias("v")).collect())
-        return _collect_mat(rows, h, Wl.shape[1]) / n
+        return _collect_mat(rows, h, n_cols) / n
 
-    gWl = w_grad(DS, emb_in)
-    gWr = w_grad(DT, emb_in)
+    gWl = w_grad(DS, emb_in, Wl.shape[1])
+    gWr = w_grad(DT, demb_in, Wr.shape[1])
     zeros = F.array_repeat(F.lit(0.0), h)
     DSDT = (_to_array(DS, "node_id", "pos", "gs", "_dsa")
             .join(_to_array(DT, "node_id", "pos", "gs", "_dta"),
@@ -469,6 +483,294 @@ def train_gat_stack(edges: DataFrame, feats: DataFrame,
             result.best_epoch = epoch
             best = ([(Wl.copy(), Wr.copy(), a.copy())
                      for (Wl, Wr, a) in params], b)
+    params, b = best
+    result.weights, result.bias = flat(params, b)[:-1], b
+    train.unpersist(), val.unpersist()
+    return result
+
+
+def _apply_WT(G: DataFrame, W: np.ndarray, col: str = "_g") -> DataFrame:
+    """(node_id, col) -> (node_id, _g = Wᵀ·col) — the chain-rule hop
+    back through a linear projection, as a per-node codegen map."""
+    return G.select("node_id",
+                    linear_layer(F.col(col), W.T, activation=None)
+                    .alias("_g"))
+
+
+def _add_G(g1: DataFrame | None, g2: DataFrame, h: int) -> DataFrame:
+    """Element-wise sum of two (node_id, _g) gradient frames (full outer
+    join, zero-coalesced)."""
+    if g1 is None:
+        return g2
+    zeros = F.array_repeat(F.lit(0.0), h)
+    return (g1.withColumnRenamed("_g", "_g1")
+            .join(g2.withColumnRenamed("_g", "_g2"), "node_id", "full")
+            .select("node_id",
+                    F.zip_with(F.coalesce("_g1", zeros),
+                               F.coalesce("_g2", zeros),
+                               lambda x, y: x + y).alias("_g")))
+
+
+def _node_outer_grad(G: DataFrame, feats: DataFrame, h: int, d: int,
+                     n: int, col: str = "_g") -> np.ndarray:
+    """Σ_nodes g ⊗ x as a (row, col) partial-aggregated reduction —
+    the ∂L/∂W cell sums for any per-node linear map."""
+    rows = (G.select("node_id", F.posexplode(col).alias("r", "gv"))
+            .join(feats.select("node_id", F.col("emb").alias("_x")),
+                  "node_id")
+            .select("r", "gv", F.posexplode("_x").alias("c", "xc"))
+            .groupBy("r", "c")
+            .agg(F.sum(F.col("gv") * F.col("xc")).alias("v")).collect())
+    return _collect_mat(rows, h, d) / n
+
+
+def _hetero_epoch(graph_edges: dict, feats: dict, examples: DataFrame,
+                  params: dict, b: float, src_type: str, dst_type: str,
+                  with_grads: bool = True) -> dict:
+    """Forward(+backward) through the FULL hetero model shape
+    (ml/hetero.py::hetero_gat_forward, reference model.py:92-94):
+
+        h0_t  = σ(W0_t x_t)                      per-type input proj
+        msg_e = GATv2(h0_s → h0_d), no act       per edge type (s,rel,d)
+        h1_d  = σ(Wself_d h0_d + Σ_e→d msg_e)    aggr='sum' + self
+        z     = h1_src·h1_dst + b                link decoder
+
+    Every parameter learns. Backward reuses _backward_layer per edge
+    type (activation='none' — messages combine pre-activation) and
+    chains ∂L/∂h0 through Wself, every attention path, then the input
+    projections. params = {"W0": {t: h×d_t}, "Wself": {t: h×h},
+    "attn": {(s,rel,d): (Wl, Wr, a)}}."""
+    hidden = next(iter(params["Wself"].values())).shape[0]
+    types = sorted(feats)
+    edge_types = sorted(params["attn"])
+
+    h0 = {}
+    for t in types:
+        h0[t] = feats[t].select(
+            "node_id",
+            linear_layer(F.col("emb"), params["W0"][t],
+                         activation="sigmoid").alias("emb")
+        ).localCheckpoint(eager=False)
+
+    layer_cache = {}
+    incoming: dict[str, list] = {t: [] for t in types}
+    for et in edge_types:
+        s, _rel, d = et
+        Wl, Wr, a = params["attn"][et]
+        al, H = _forward_layer(graph_edges[et], h0[s], Wl, Wr, a,
+                               dst_emb=h0[d], activation="none")
+        layer_cache[et] = (al, H)
+        incoming[d].append(H)
+
+    pre = {}   # (node_id, _pre) combined pre-activation per type
+    h1 = {}
+    for t in types:
+        comb = h0[t].select(
+            "node_id",
+            linear_layer(F.col("emb"), params["Wself"][t],
+                         activation=None).alias("_pre"))
+        for H in incoming[t]:
+            comb = (comb.join(H.select("node_id",
+                                       F.col("_h").alias("_m1")),
+                              "node_id", "left")
+                    .select("node_id",
+                            F.when(F.col("_m1").isNull(), F.col("_pre"))
+                            .otherwise(F.zip_with("_pre", "_m1",
+                                                  lambda x, y: x + y))
+                            .alias("_pre")))
+        pre[t] = comb.localCheckpoint(eager=False)
+        h1[t] = pre[t].select(
+            "node_id",
+            F.transform("_pre", lambda x: sigmoid(x)).alias("emb"))
+
+    zeros = F.array_repeat(F.lit(0.0), hidden)
+    ex = (examples
+          .join(h1[src_type].select(F.col("node_id").alias("src"),
+                                    F.col("emb").alias("_hu")),
+                "src", "left")
+          .join(h1[dst_type].select(F.col("node_id").alias("dst"),
+                                    F.col("emb").alias("_hv")),
+                "dst", "left")
+          .withColumn("_hu", F.coalesce("_hu", zeros))
+          .withColumn("_hv", F.coalesce("_hv", zeros)))
+    zc = dot(F.col("_hu"), F.col("_hv")) + F.lit(float(b))
+    p = sigmoid(F.greatest(F.least(zc, F.lit(30.0)), F.lit(-30.0)))
+    y = F.col("label").cast("double")
+    ex = ex.select(
+        "src", "dst", "_hu", "_hv", y.alias("_y"), (p - y).alias("_err"),
+        (-(y * F.log(p) + (1 - y) * F.log(1 - p))).alias("_loss"),
+        (p > 0.5).cast("int").alias("_yhat")).localCheckpoint(eager=False)
+    row = ex.agg(
+        F.sum("_loss").alias("loss_sum"), F.sum("_err").alias("gb_sum"),
+        F.count("*").alias("n"),
+        F.sum((F.col("_yhat") == F.col("_y").cast("int")).cast("long"))
+        .alias("correct")).first()
+    n = row.n or 0
+    stats = {"loss": (row.loss_sum / n) if n else 0.0,
+             "acc": (row.correct / n) if n else 0.0, "n": n,
+             "gb": (row.gb_sum / n) if n else 0.0}
+    if not with_grads or n == 0:
+        return stats
+
+    # decoder → per-type ∂L/∂h1 (src/dst roles may share a type)
+    G1: dict[str, DataFrame | None] = {t: None for t in types}
+    gu = _to_array(
+        ex.select(F.col("src").alias("node_id"),
+                  F.posexplode(F.transform(
+                      "_hv", lambda x: F.col("_err") * x))
+                  .alias("pos", "gx"))
+        .groupBy("node_id", "pos").agg(F.sum("gx").alias("v")),
+        "node_id", "pos", "v", "_g")
+    gv = _to_array(
+        ex.select(F.col("dst").alias("node_id"),
+                  F.posexplode(F.transform(
+                      "_hu", lambda x: F.col("_err") * x))
+                  .alias("pos", "gx"))
+        .groupBy("node_id", "pos").agg(F.sum("gx").alias("v")),
+        "node_id", "pos", "v", "_g")
+    G1[src_type] = _add_G(G1[src_type], gu, hidden)
+    G1[dst_type] = _add_G(G1[dst_type], gv, hidden)
+
+    # sigmoid chain at the combined output: gp = G1 ⊙ h1(1−h1)
+    gp = {}
+    for t in types:
+        if G1[t] is None:
+            continue
+        gp[t] = (G1[t].join(h1[t], "node_id")
+                 .select("node_id", F.expr(
+                     "zip_with(_g, emb, (g, hh) -> g * hh * (1d - hh))")
+                     .alias("_g"))
+                 .localCheckpoint(eager=False))
+
+    grads = {"W0": {}, "Wself": {}, "attn": {}}
+    Gh0: dict[str, DataFrame | None] = {t: None for t in types}
+    for t in types:
+        if t in gp:
+            grads["Wself"][t] = _node_outer_grad(
+                gp[t], h0[t], hidden, hidden, n)
+            Gh0[t] = _add_G(Gh0[t], _apply_WT(gp[t], params["Wself"][t]),
+                            hidden)
+        else:
+            grads["Wself"][t] = np.zeros_like(params["Wself"][t])
+    for et in edge_types:
+        s, _rel, d = et
+        Wl, Wr, a = params["attn"][et]
+        if d not in gp:
+            grads["attn"][et] = (np.zeros_like(Wl), np.zeros_like(Wr),
+                                 [0.0] * hidden)
+            continue
+        al, H = layer_cache[et]
+        gWl, gWr, ga, DSDT = _backward_layer(
+            al, H, gp[d], h0[s], Wl, Wr, a, n,
+            dst_emb_in=h0[d], activation="none")
+        grads["attn"][et] = (gWl, gWr, ga)
+        Gh0[s] = _add_G(Gh0[s], _apply_WT(
+            DSDT.select("node_id", F.col("_dsa").alias("_g")), Wl), hidden)
+        Gh0[d] = _add_G(Gh0[d], _apply_WT(
+            DSDT.select("node_id", F.col("_dta").alias("_g")), Wr), hidden)
+    for t in types:
+        d_t = params["W0"][t].shape[1]
+        if Gh0[t] is None:
+            grads["W0"][t] = np.zeros_like(params["W0"][t])
+            continue
+        gm0 = (Gh0[t].join(h0[t], "node_id")
+               .select("node_id", F.expr(
+                   "zip_with(_g, emb, (g, hh) -> g * hh * (1d - hh))")
+                   .alias("_g")))
+        grads["W0"][t] = _node_outer_grad(gm0, feats[t], hidden, d_t, n)
+    stats["grads"] = grads
+    return stats
+
+
+def train_hetero_gat(graph_edges: dict, feats: dict, examples: DataFrame,
+                     src_type: str, dst_type: str, hidden: int,
+                     epochs: int = 3, lr: float = 0.05,
+                     val_frac: float = 0.2, seed: int = 42,
+                     weight_decay: float = 0.01) -> TrainResult:
+    """End-to-end training of the full heterogeneous model: per-type
+    input projections, per-edge-type GATv2 attention, aggr='sum' +
+    self transform, dot decoder — EVERY parameter learns by backprop
+    (the to_hetero training the reference runs, train.py:72-80).
+    ``graph_edges``: {(src_type, rel, dst_type): (src, dst) DataFrame};
+    ``feats``: {type: (node_id, emb)}; ``examples``: (src, dst, label)
+    between ``src_type`` and ``dst_type`` nodes."""
+    types = sorted(feats)
+    edge_types = sorted(graph_edges)
+    dims = {t: len(feats[t].select("emb").first()["emb"]) for t in types}
+    rng = np.random.default_rng(seed)
+    params = {
+        "W0": {t: rng.normal(0, 0.5, size=(hidden, dims[t]))
+               for t in types},
+        "Wself": {t: rng.normal(0, 0.5, size=(hidden, hidden))
+                  for t in types},
+        "attn": {et: (rng.normal(0, 0.5, size=(hidden, hidden)),
+                      rng.normal(0, 0.5, size=(hidden, hidden)),
+                      rng.normal(0, 0.5, size=hidden))
+                 for et in edge_types},
+    }
+    b = 0.0
+
+    split = hash_split(examples, val_frac=val_frac, test_frac=0.0,
+                       seed=seed)
+    train = split.filter(F.col("split") == "train").drop("split").cache()
+    val = split.filter(F.col("split") == "val").drop("split").cache()
+    train.count(), val.count()
+
+    def flat(ps, bias):
+        out = []
+        for t in types:
+            out += [float(x) for x in ps["W0"][t].ravel()]
+        for t in types:
+            out += [float(x) for x in ps["Wself"][t].ravel()]
+        for et in edge_types:
+            Wl, Wr, a = ps["attn"][et]
+            out += [float(x) for x in Wl.ravel()]
+            out += [float(x) for x in Wr.ravel()]
+            out += [float(x) for x in np.asarray(a).ravel()]
+        return out + [float(bias)]
+
+    def unflat(v):
+        ps = {"W0": {}, "Wself": {}, "attn": {}}
+        i = 0
+        for t in types:
+            k = hidden * dims[t]
+            ps["W0"][t] = np.array(v[i:i + k]).reshape(hidden, dims[t])
+            i += k
+        for t in types:
+            k = hidden * hidden
+            ps["Wself"][t] = np.array(v[i:i + k]).reshape(hidden, hidden)
+            i += k
+        for et in edge_types:
+            k = hidden * hidden
+            Wl = np.array(v[i:i + k]).reshape(hidden, hidden); i += k
+            Wr = np.array(v[i:i + k]).reshape(hidden, hidden); i += k
+            a = np.array(v[i:i + hidden]); i += hidden
+            ps["attn"][et] = (Wl, Wr, a)
+        return ps, float(v[i])
+
+    opt = AdamW(lr=lr, weight_decay=weight_decay)
+    result = TrainResult(weights=flat(params, b)[:-1], bias=b)
+    best = (params, b)
+    for epoch in range(epochs):
+        stats = _hetero_epoch(graph_edges, feats, train, params, b,
+                              src_type, dst_type)
+        g = stats["grads"]
+        gparams = {"W0": g["W0"], "Wself": g["Wself"],
+                   "attn": {et: (gg[0], gg[1], np.asarray(gg[2]))
+                            for et, gg in g["attn"].items()}}
+        params, b = unflat(opt.step(flat(params, b),
+                                    flat(gparams, stats["gb"])))
+        vstats = _hetero_epoch(graph_edges, feats, val, params, b,
+                               src_type, dst_type, with_grads=False)
+        result.history.append({
+            "epoch": epoch, "train_loss": stats["loss"],
+            "train_acc": stats["acc"], "val_loss": vstats["loss"],
+            "val_acc": vstats["acc"],
+        })
+        if vstats["acc"] >= result.best_val_acc:
+            result.best_val_acc = vstats["acc"]
+            result.best_epoch = epoch
+            best = (params, b)
     params, b = best
     result.weights, result.bias = flat(params, b)[:-1], b
     train.unpersist(), val.unpersist()

@@ -335,3 +335,212 @@ def test_train_gat_stack_learns(spark):
     losses = [h["train_loss"] for h in res.history]
     assert losses[-1] < losses[0], losses
     assert len(res.weights) == 2 * (2 * 2 * 2 + 2)   # 2 layers x (2 W + a)
+
+
+# ------------- full hetero model (every parameter trained) -------------
+
+H_TYPES = {"A": {0: [1.0, 0.2], 1: [0.3, -0.5], 2: [-0.7, 0.9]},
+           "B": {10: [0.5, -1.0, 0.1], 11: [1.0, 0.3, -0.2]}}
+H_EDGES = {("A", "r", "B"): [(0, 10), (1, 10), (2, 11), (0, 11)],
+           ("B", "s", "A"): [(10, 0), (11, 1), (10, 2)]}
+H_EX = [(0, 10, 1), (1, 10, 0), (2, 11, 1), (0, 11, 0), (1, 11, 1)]
+
+
+def _np_hetero_epoch(params, b):
+    leaky = lambda x: np.where(x > 0, x, 0.2 * x)
+    dleaky = lambda x: np.where(x > 0, 1.0, 0.2)
+    types = sorted(H_TYPES)
+    ets = sorted(H_EDGES)
+    hid = next(iter(params["Wself"].values())).shape[0]
+
+    x = {t: {i: np.array(v) for i, v in H_TYPES[t].items()} for t in types}
+    h0 = {t: {i: _sig(params["W0"][t] @ v) for i, v in x[t].items()}
+          for t in types}
+
+    msg, fwd = {t: {i: np.zeros(hid) for i in h0[t]} for t in types}, {}
+    for et in ets:
+        s_t, _r, d_t = et
+        Wl, Wr, a = params["attn"][et]
+        s = {i: Wl @ h0[s_t][i] for i in h0[s_t]}
+        tt = {j: Wr @ h0[d_t][j] for j in h0[d_t]}
+        q = {(i, j): s[i] + tt[j] for i, j in H_EDGES[et]}
+        e = {ij: float(a @ leaky(q[ij])) for ij in H_EDGES[et]}
+        alpha, m = {}, {}
+        for j in h0[d_t]:
+            inc = [ij for ij in H_EDGES[et] if ij[1] == j]
+            if not inc:
+                m[j] = np.zeros(hid)
+                continue
+            mx = max(e[ij] for ij in inc)
+            ws = {ij: np.exp(e[ij] - mx) for ij in inc}
+            zz = sum(ws.values())
+            for ij in inc:
+                alpha[ij] = ws[ij] / zz
+            m[j] = sum(alpha[ij] * s[ij[0]] for ij in inc)
+        fwd[et] = (s, tt, q, alpha, m)
+        for j in h0[d_t]:
+            msg[d_t][j] += m[j]
+
+    pre = {t: {i: params["Wself"][t] @ h0[t][i] + msg[t][i]
+               for i in h0[t]} for t in types}
+    h1 = {t: {i: _sig(pre[t][i]) for i in pre[t]} for t in types}
+
+    n = len(H_EX)
+    err, loss, acc = {}, 0.0, 0
+    for (u, v, y) in H_EX:
+        z = float(h1["A"][u] @ h1["B"][v]) + b
+        p = _sig(np.clip(z, -30, 30))
+        err[(u, v)] = p - y
+        loss += -(y * np.log(p) + (1 - y) * np.log(1 - p))
+        acc += int((p > 0.5) == bool(y))
+    gb = sum(err.values()) / n
+
+    G1 = {t: {i: np.zeros(hid) for i in h1[t]} for t in types}
+    for (u, v, _y) in H_EX:
+        G1["A"][u] += err[(u, v)] * h1["B"][v]
+        G1["B"][v] += err[(u, v)] * h1["A"][u]
+    gp = {t: {i: G1[t][i] * h1[t][i] * (1 - h1[t][i]) for i in h1[t]}
+          for t in types}
+
+    grads = {"W0": {}, "Wself": {}, "attn": {}}
+    Gh0 = {t: {i: np.zeros(hid) for i in h0[t]} for t in types}
+    for t in types:
+        grads["Wself"][t] = sum(
+            np.outer(gp[t][i], h0[t][i]) for i in h0[t]) / n
+        for i in h0[t]:
+            Gh0[t][i] += params["Wself"][t].T @ gp[t][i]
+    for et in ets:
+        s_t, _r, d_t = et
+        Wl, Wr, a = params["attn"][et]
+        s, tt, q, alpha, m = fwd[et]
+        gm = gp[d_t]                      # identity activation on msg
+        c = {j: float(gm[j] @ m[j]) for j in h0[d_t]}
+        ga = np.zeros_like(a)
+        DS = {i: np.zeros(hid) for i in h0[s_t]}
+        DT = {j: np.zeros(hid) for j in h0[d_t]}
+        for (i, j) in H_EDGES[et]:
+            ge = alpha[(i, j)] * (float(gm[j] @ s[i]) - c[j])
+            dq = ge * a * dleaky(q[(i, j)])
+            ga += ge * leaky(q[(i, j)])
+            DS[i] += alpha[(i, j)] * gm[j] + dq
+            DT[j] += dq
+        gWl = sum(np.outer(DS[i], h0[s_t][i]) for i in h0[s_t]) / n
+        gWr = sum(np.outer(DT[j], h0[d_t][j]) for j in h0[d_t]) / n
+        grads["attn"][et] = (gWl, gWr, ga / n)
+        for i in h0[s_t]:
+            Gh0[s_t][i] += Wl.T @ DS[i]
+        for j in h0[d_t]:
+            Gh0[d_t][j] += Wr.T @ DT[j]
+    for t in types:
+        gm0 = {i: Gh0[t][i] * h0[t][i] * (1 - h0[t][i]) for i in h0[t]}
+        grads["W0"][t] = sum(
+            np.outer(gm0[i], x[t][i]) for i in h0[t]) / n
+    return {"loss": loss / n, "acc": acc / n, "gb": gb, "grads": grads}
+
+
+def _hetero_params(seed=17):
+    rng = np.random.default_rng(seed)
+    return {
+        "W0": {"A": rng.normal(0, 0.5, (2, 2)),
+               "B": rng.normal(0, 0.5, (2, 3))},
+        "Wself": {"A": rng.normal(0, 0.5, (2, 2)),
+                  "B": rng.normal(0, 0.5, (2, 2))},
+        "attn": {et: (rng.normal(0, 0.5, (2, 2)),
+                      rng.normal(0, 0.5, (2, 2)),
+                      rng.normal(0, 0.5, 2))
+                 for et in sorted(H_EDGES)},
+    }
+
+
+def test_hetero_gradients_match_numpy(spark):
+    from rel_db_to_graph_spark.ml.gat_train import _hetero_epoch
+
+    edges = {et: spark.createDataFrame(rows, "src long, dst long")
+             for et, rows in H_EDGES.items()}
+    feats = {t: spark.createDataFrame(list(d.items()),
+                                      "node_id long, emb array<double>")
+             for t, d in H_TYPES.items()}
+    ex = spark.createDataFrame(H_EX, "src long, dst long, label int")
+    params = _hetero_params()
+    b = 0.1
+
+    got = _hetero_epoch(edges, feats, ex, params, b, "A", "B")
+    want = _np_hetero_epoch(params, b)
+    assert np.isclose(got["loss"], want["loss"], rtol=1e-10)
+    assert np.isclose(got["gb"], want["gb"], rtol=1e-10)
+    for t in ("A", "B"):
+        assert np.allclose(got["grads"]["W0"][t], want["grads"]["W0"][t],
+                           rtol=1e-7, atol=1e-12), ("W0", t)
+        assert np.allclose(got["grads"]["Wself"][t],
+                           want["grads"]["Wself"][t],
+                           rtol=1e-7, atol=1e-12), ("Wself", t)
+    for et in sorted(H_EDGES):
+        for k in range(3):
+            assert np.allclose(got["grads"]["attn"][et][k],
+                               want["grads"]["attn"][et][k],
+                               rtol=1e-7, atol=1e-12), (et, k)
+
+
+def test_hetero_numpy_twin_matches_finite_differences():
+    params = _hetero_params(seed=23)
+    b = -0.05
+    base = _np_hetero_epoch(params, b)
+    eps = 1e-6
+
+    def clone(ps):
+        return {"W0": {t: w.copy() for t, w in ps["W0"].items()},
+                "Wself": {t: w.copy() for t, w in ps["Wself"].items()},
+                "attn": {et: tuple(w.copy() for w in ws)
+                         for et, ws in ps["attn"].items()}}
+
+    def loss_at(ps, bb):
+        return _np_hetero_epoch(ps, bb)["loss"]
+
+    for group in ("W0", "Wself"):
+        for t, W in params[group].items():
+            for idx in np.ndindex(*W.shape):
+                pp, pm = clone(params), clone(params)
+                pp[group][t][idx] += eps
+                pm[group][t][idx] -= eps
+                num = (loss_at(pp, b) - loss_at(pm, b)) / (2 * eps)
+                assert np.isclose(base["grads"][group][t][idx], num,
+                                  rtol=1e-4, atol=1e-8), (group, t, idx)
+    for et, ws in params["attn"].items():
+        for k, W in enumerate(ws):
+            for idx in np.ndindex(*np.asarray(W).shape):
+                pp, pm = clone(params), clone(params)
+                pp["attn"][et][k][idx] += eps
+                pm["attn"][et][k][idx] -= eps
+                num = (loss_at(pp, b) - loss_at(pm, b)) / (2 * eps)
+                assert np.isclose(base["grads"]["attn"][et][k][idx], num,
+                                  rtol=1e-4, atol=1e-8), (et, k, idx)
+
+
+def test_train_hetero_gat_learns(spark):
+    from rel_db_to_graph_spark.ml.gat_train import train_hetero_gat
+
+    rng = np.random.default_rng(2)
+    na, nb = 10, 6
+    fa = [(i, [float(rng.normal()), float(rng.normal())])
+          for i in range(na)]
+    fb = [(100 + j, [float(rng.normal()), float(rng.normal()),
+                     float(rng.normal())]) for j in range(nb)]
+    e_ab = [(i, 100 + (i % nb)) for i in range(na)]
+    e_ba = [(100 + j, j % na) for j in range(nb)]
+    ex = [(i, 100 + j, int((i + j) % 2 == 0))
+          for i in range(na) for j in range(nb)]
+
+    edges = {("A", "r", "B"): spark.createDataFrame(
+                 e_ab, "src long, dst long"),
+             ("B", "s", "A"): spark.createDataFrame(
+                 e_ba, "src long, dst long")}
+    feats = {"A": spark.createDataFrame(fa,
+                                        "node_id long, emb array<double>"),
+             "B": spark.createDataFrame(fb,
+                                        "node_id long, emb array<double>")}
+    ex_df = spark.createDataFrame(ex, "src long, dst long, label int")
+
+    res = train_hetero_gat(edges, feats, ex_df, "A", "B", hidden=2,
+                           epochs=3, lr=0.1, seed=3)
+    losses = [h["train_loss"] for h in res.history]
+    assert losses[-1] < losses[0], losses
