@@ -77,6 +77,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof": Q.q_events_asof,
     "events_attribution": Q.q_events_attribution,
     "rollup_pricing": Q.q_rollup_pricing,
+    "cube_pricing": Q.q_cube_pricing,
     "topn_per_group": Q.q_topn_per_group,
     # --- previously-green complex queries (kept inside the window) ---
     "catalog_tables": Q.q_catalog_tables,

@@ -1079,6 +1079,15 @@ SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
 ) WHERE rank <= 3
 """
 
+CUBE_PRICING = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
 ROLLUP_PRICING = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -1176,5 +1185,6 @@ ORACLES: dict[str, str] = {
     "events_asof": EVENTS_ASOF,
     "events_attribution": EVENTS_ATTRIBUTION,
     "rollup_pricing": ROLLUP_PRICING,
+    "cube_pricing": CUBE_PRICING,
     "topn_per_group": TOPN_PER_GROUP,
 }

@@ -936,6 +936,23 @@ def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping combinations
+    (both, each alone, grand total) in one pass — same Expand + single
+    hash-agg plan as ROLLUP with one more grouping set. NULL subtotals
+    folded to 'ALL' as in q_rollup_pricing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"),
+             _dec_sum(F.col("l_quantity"), "sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows", "sum_qty")
+    )
+
+
 def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window: each customer's top-3 orders by price. Ties are
     broken by o_orderkey so row_number is total and deterministic. The
