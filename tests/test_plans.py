@@ -119,3 +119,31 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS cobkt_l")
         spark.sql("DROP TABLE IF EXISTS cobkt_r")
+
+
+def test_tfidf_df_table_broadcasts(spark):
+    """The vocabulary-sized df table and the 1-row N must broadcast back
+    onto the tf table — a shuffle join here would reshuffle the corpus
+    per keyword query."""
+    p = plan_of(Q.q_tfidf_keywords(spark, SF_ORACLE))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    # column pruning: only doc_id+text reach the documents scan
+    assert "lang" not in p.split("ReadSchema")[1][:200]
+
+
+def test_event_queries_prune_to_needed_columns(spark):
+    """Event operators must not drag props/value through the shuffle
+    when they only need (ts, event_type, user_id)."""
+    p = plan_of(Q.q_events_sessionize(spark, SF_ORACLE))
+    assert "props" not in p
+    p2 = plan_of(Q.q_event_anomalies(spark, SF_ORACLE))
+    assert "props" not in p2 and "user_id" not in p2
+
+
+def test_source_quota_single_shuffle(spark):
+    """group_quota = one hash exchange on the group column + a local
+    window sort; a second exchange would mean the draw or filter broke
+    partition reuse."""
+    p = plan_of(Q.q_source_quota(spark, SF_ORACLE))
+    assert p.count("Exchange hashpartitioning") <= 1
