@@ -78,6 +78,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_attribution": Q.q_events_attribution,
     "rollup_pricing": Q.q_rollup_pricing,
     "cube_pricing": Q.q_cube_pricing,
+    "funnel_ordered": Q.q_funnel_ordered,
     "topn_per_group": Q.q_topn_per_group,
     # --- previously-green complex queries (kept inside the window) ---
     "catalog_tables": Q.q_catalog_tables,

@@ -1079,6 +1079,27 @@ SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
 ) WHERE rank <= 3
 """
 
+FUNNEL_ORDERED = """
+WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= v.t_view
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t_buy
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+      GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(v.t_view) AS BIGINT) AS n_view,
+       CAST(count(c.t_click) AS BIGINT) AS n_click_after_view,
+       CAST(count(p.t_buy) AS BIGINT) AS n_purchase_after_click
+FROM u LEFT JOIN v USING (user_id)
+       LEFT JOIN c USING (user_id)
+       LEFT JOIN p USING (user_id)
+"""
+
 CUBE_PRICING = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -1186,5 +1207,6 @@ ORACLES: dict[str, str] = {
     "events_attribution": EVENTS_ATTRIBUTION,
     "rollup_pricing": ROLLUP_PRICING,
     "cube_pricing": CUBE_PRICING,
+    "funnel_ordered": FUNNEL_ORDERED,
     "topn_per_group": TOPN_PER_GROUP,
 }

@@ -919,6 +919,34 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICTLY-SEQUENTIAL 3-step funnel: view → first click AT/AFTER
+    that view → first purchase at/after that click (q_events_funnel is
+    the 2-step unordered variant). Each stage is one groupBy(user)
+    min-aggregation seeded by the previous stage's timestamp — k stages
+    = k user-keyed shuffles over progressively smaller frames (each
+    stage filters to users who reached the previous one), the standard
+    product-analytics funnel shape at any scale."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (e.filter(F.col("event_type") == "click").join(v, "user_id")
+         .filter(F.col("ts") >= F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (e.filter(F.col("event_type") == "purchase").join(c, "user_id")
+         .filter(F.col("ts") >= F.col("t_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_buy")))
+    return (e.select("user_id").distinct()
+            .join(v, "user_id", "left")
+            .join(c, "user_id", "left")
+            .join(p, "user_id", "left")
+            .agg(F.count("*").alias("n_users"),
+                 F.count("t_view").alias("n_view"),
+                 F.count("t_click").alias("n_click_after_view"),
+                 F.count("t_buy").alias("n_purchase_after_click")))
+
+
 def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (returnflag, linestatus): per-group, per-flag subtotal
     and grand total in one pass (Catalyst Expand + single hash agg — no
