@@ -32,7 +32,15 @@ def ts_micros(events: DataFrame, col: str = "ts"):
     dtype = dict(events.dtypes).get(col, "timestamp")
     if dtype.startswith("timestamp"):
         return F.unix_micros(F.col(col))
-    return F.expr(f"{col} div 1000")
+    if dtype == "bigint":
+        # ns→µs integral division. Column `/` is double division (µs/ns
+        # magnitudes overflow the 53-bit mantissa), so `div` it is — with
+        # the identifier backtick-quoted, never raw-interpolated.
+        safe = col.replace("`", "``")
+        return F.expr(f"`{safe}` div 1000")
+    raise TypeError(
+        f"events.{col} has dtype {dtype!r}; expected timestamp (µs) or "
+        "bigint (ns-since-epoch). Refusing to guess a time unit.")
 
 
 def with_event_time(events: DataFrame) -> DataFrame:

@@ -109,8 +109,11 @@ def corpus_stats_approx_err(docs: DataFrame, text_col: str = "text",
         " 'tok_p50', cast(e_p50 as double), cast(a_q[1] as double),"
         " 'tok_p75', cast(e_p75 as double), cast(a_q[2] as double)"
         ") as (metric, exact, approx)"))
+    # exact is rounded to 6 dp (matching the other oracle twins): the
+    # raw F.percentile interpolation must otherwise hash-match DuckDB's
+    # quantile_cont bit-for-bit, and the two can diverge in the last ulp.
     return pairs.select(
-        "metric", "exact",
+        "metric", F.round(F.col("exact"), 6).alias("exact"),
         (F.abs(F.col("approx") - F.col("exact"))
          <= F.lit(tol) * F.abs(F.col("exact"))).alias("within_tol"))
 

@@ -708,9 +708,9 @@ t AS (SELECT lang, source,
       FROM n),
 m AS (SELECT CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
              CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
-             quantile_cont(nt, 0.25) AS tok_p25,
-             quantile_cont(nt, 0.5) AS tok_p50,
-             quantile_cont(nt, 0.75) AS tok_p75
+             round(quantile_cont(nt, 0.25), 6) AS tok_p25,
+             round(quantile_cont(nt, 0.5), 6) AS tok_p50,
+             round(quantile_cont(nt, 0.75), 6) AS tok_p75
       FROM t)
 SELECT 'n_langs' AS metric, n_langs AS exact, TRUE AS within_tol FROM m
 UNION ALL SELECT 'n_sources', n_sources, TRUE FROM m

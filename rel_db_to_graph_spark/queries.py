@@ -549,8 +549,12 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_bucket=None: the DuckDB oracle computes EXHAUSTIVE pairs, so the
+    # oracle-gated twin must too — the capped default stays for production
+    # callers (a >max_bucket band bucket would silently drop pairs the
+    # oracle reports, making parity data-dependent).
     return D.near_duplicate_pairs(load_table(spark, sf_dir, "documents"),
-                                  threshold=0.5)
+                                  threshold=0.5, max_bucket=None)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,8 +820,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     step that makes the dedup pipeline actionable (drop every doc with
     keep = 0). Oracle: recursive-CTE transitive closure in DuckDB."""
     from rel_db_to_graph_spark.operators.components import duplicate_clusters
+    # max_bucket=None: oracle twin computes exhaustive pairs (see
+    # q_near_dup_pairs) — keep parity data-independent.
     pairs = D.near_duplicate_pairs(load_table(spark, sf_dir, "documents"),
-                                   threshold=0.5)
+                                   threshold=0.5, max_bucket=None)
     return duplicate_clusters(pairs).select(
         "doc_id", "cluster_id", "n_members",
         F.col("keep").cast("int").alias("keep"))
@@ -868,8 +874,10 @@ def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_bucket=None: oracle twin computes exhaustive same-bucket pairs
+    # (see q_near_dup_pairs) — keep parity data-independent.
     return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"),
-                                    threshold=0.2)
+                                    threshold=0.2, max_bucket=None)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
