@@ -49,6 +49,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # FIRST; multi-round-green simple queries and the rows-only (no-oracle)
 # entries sit past position 50. Rotate again when new queries land.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- new in round 5 (never driver-checked) ---
+    "edges_attr": Q.q_edges_attr,
     # --- never driver-checked before round 4 (all oracle-backed) ---
     "retention_cohorts": Q.q_retention_cohorts,
     "salted_agg": Q.q_salted_agg,

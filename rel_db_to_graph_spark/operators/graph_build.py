@@ -207,24 +207,40 @@ def node_frame(spark: SparkSession, sf_dir: str, table: str,
 
 
 def edge_pairs(spark: SparkSession, sf_dir: str, pair_table: str,
-               src_col: str, dst_col: str, df: DataFrame | None = None) -> DataFrame:
-    """G3 scan: 2-column projection (S7) + null-drop (P9) -> (src_pk, dst_pk)."""
+               src_col: str, dst_col: str, df: DataFrame | None = None,
+               attr_cols: list[str] | None = None) -> DataFrame:
+    """G3 scan: projection (S7) + null-drop (P9) -> (src_pk, dst_pk[, attrs]).
+
+    ``attr_cols`` are optional per-edge feature columns (the reference's
+    edge encoders, convert_to_graph.py:48-53 — `_` at :208, never
+    populated for Chinook but part of the API surface): cast to double,
+    row-aligned with the endpoints. The null-drop applies to ENDPOINTS
+    only — a null attribute survives as NaN after encoding, exactly what
+    a torch encoder over a column with missing values would produce.
+    """
     if df is None:
         df = load_table(spark, sf_dir, pair_table)
+    attrs = [F.col(c).cast("double").alias(c) for c in (attr_cols or [])]
     return (df.select(F.col(src_col).alias("src_pk"),
-                      F.col(dst_col).alias("dst_pk"))
-            .na.drop())
+                      F.col(dst_col).alias("dst_pk"), *attrs)
+            .na.drop(subset=["src_pk", "dst_pk"]))
 
 
 def edges_dense(pairs: DataFrame, src_ids: DataFrame, dst_ids: DataFrame) -> DataFrame:
-    """G3/J5: remap endpoints through the id maps -> (src, dst)."""
+    """G3/J5: remap endpoints through the id maps -> (src, dst[, attrs]).
+
+    Any non-endpoint column on ``pairs`` (edge attributes from
+    ``edge_pairs(attr_cols=...)``) rides through the remap unchanged —
+    the joins touch only the endpoint keys.
+    """
+    attrs = [c for c in pairs.columns if c not in ("src_pk", "dst_pk")]
     return (
         pairs
         .join(src_ids.withColumnsRenamed({"pk": "src_pk", "node_id": "src"}),
               "src_pk")
         .join(dst_ids.withColumnsRenamed({"pk": "dst_pk", "node_id": "dst"}),
               "dst_pk")
-        .select("src", "dst")
+        .select("src", "dst", *attrs)
     )
 
 
@@ -259,7 +275,12 @@ def degree(node_ids: DataFrame,
 
 
 def reverse_edges(edge_type: tuple[str, str, str], edges: DataFrame) -> DataFrame | None:
-    """G6: swapped-endpoint reverse edges; None for self-type edges (C:245)."""
+    """G6: swapped-endpoint reverse edges; None for self-type edges (C:245).
+
+    Edge attributes are intentionally NOT carried onto reverse edges:
+    the reference builds reverse types from edge_index alone
+    (convert_to_graph.py:247) and never copies edge_attr.
+    """
     src_t, _rel, dst_t = edge_type
     if src_t == dst_t:
         return None
@@ -276,13 +297,30 @@ def self_loops(node_ids: DataFrame) -> DataFrame:
 #: inside are persisted; several driver queries (hetero_counts,
 #: hetero_forward, recommend_gnn) need the same graph, and rebuilding it
 #: per query would redo every dense-id sort and edge remap. On insert,
-#: entries from other (stopped) sessions are evicted so persisted frames
-#: bound to dead SparkContexts can't accumulate across sessions.
+#: entries from other (stopped) sessions are evicted, and same-session
+#: entries beyond ``_GRAPH_CACHE_MAX_PER_APP`` are evicted oldest-first;
+#: eviction unpersists every frame so a long-lived multi-sf process
+#: doesn't accumulate persisted RDDs (dict order = insertion order = LRU
+#: enough here: a graph is built once per sf and reused, never rebuilt).
 _GRAPH_CACHE: dict[tuple, dict] = {}
+_GRAPH_CACHE_MAX_PER_APP = 2
+
+
+def _evict_graph(key: tuple) -> None:
+    """Drop a cache entry, unpersisting its frames (best-effort: the
+    owning SparkContext may already be stopped for cross-session keys)."""
+    entry = _GRAPH_CACHE.pop(key)
+    for df in list(entry["nodes"].values()) + list(entry["edges"].values()):
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # dead SparkContext — nothing left to free
 
 
 def build_graph(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
-                scalable_ids: bool = True) -> dict:
+                scalable_ids: bool = True,
+                edge_attrs: dict[tuple[str, str, str], list[str]] | None = None,
+                ) -> dict:
     """G8: full assembly. Returns {'nodes': {t: DF}, 'edges': {(s,r,d): DF}}.
 
     Order matches the reference (C:260-271): infer -> edges -> nodes ->
@@ -295,8 +333,16 @@ def build_graph(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
     sort per node table — the known 100x scale-up killer). Both id
     assignments are deterministic and oracle-pinned; they differ only in
     the id<->pk permutation, which graph semantics never depend on.
+
+    ``edge_attrs`` maps an edge type (src, rel, dst) to the pair-table
+    columns to carry as per-edge double features (C:48-53); reverse and
+    self-loop edge types never carry attributes (C:247).
     """
-    cache_key = (spark.sparkContext.applicationId, sf_dir, scalable_ids)
+    attr_key = (tuple(sorted((k, tuple(v))
+                             for k, v in edge_attrs.items()))
+                if edge_attrs else None)
+    cache_key = (spark.sparkContext.applicationId, sf_dir, scalable_ids,
+                 attr_key)
     if out_dir is None and cache_key in _GRAPH_CACHE:
         return _GRAPH_CACHE[cache_key]
     from rel_db_to_graph_spark.plans.inference import edge_catalog_py, node_tables_py
@@ -338,7 +384,8 @@ def build_graph(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
     for e in ecat:
         key = (e["src_table"], e["relation"], e["dst_table"])
         pairs = edge_pairs(spark, sf_dir, e["pair_table"], e["src_col"],
-                           e["dst_col"], df=tbl(e["pair_table"]))
+                           e["dst_col"], df=tbl(e["pair_table"]),
+                           attr_cols=(edge_attrs or {}).get(key))
         edges[key] = edges_dense(pairs, ids[e["src_table"]],
                                  ids[e["dst_table"]]).persist()
 
@@ -376,8 +423,11 @@ def build_graph(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
     if out_dir is None:
         app_id = spark.sparkContext.applicationId
         for stale in [k for k in _GRAPH_CACHE if k[0] != app_id]:
-            del _GRAPH_CACHE[stale]
+            _evict_graph(stale)
         _GRAPH_CACHE[cache_key] = result
+        mine = [k for k in _GRAPH_CACHE if k[0] == app_id]
+        for old in mine[:-_GRAPH_CACHE_MAX_PER_APP]:
+            _evict_graph(old)
     return result
 
 

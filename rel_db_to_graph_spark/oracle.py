@@ -236,6 +236,18 @@ JOIN pid ON l_partkey = pid.pk
 WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
 """
 
+EDGES_ATTR = f"""
+WITH oid AS ({ids_cte('orders', 'o_orderkey')}),
+     pid AS ({ids_cte('part', 'p_partkey')})
+SELECT oid.node_id AS src, pid.node_id AS dst,
+       CAST(l_quantity AS DOUBLE) AS l_quantity,
+       CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
+FROM lineitem
+JOIN oid ON l_orderkey = oid.pk
+JOIN pid ON l_partkey = pid.pk
+WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+"""
+
 DEGREE = f"""
 WITH cid AS ({ids_cte('customer', 'c_custkey')}),
      oid AS ({ids_cte('orders', 'o_orderkey')}),
@@ -1156,6 +1168,7 @@ ORACLES: dict[str, str] = {
     "node_features": NODE_FEATURES,
     "edges_fk": EDGES_FK,
     "edges_junction": EDGES_JUNCTION,
+    "edges_attr": EDGES_ATTR,
     "degree": DEGREE,
     "hetero_counts": HETERO_COUNTS,
     "self_loops": SELF_LOOPS,

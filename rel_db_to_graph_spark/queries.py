@@ -255,6 +255,20 @@ def q_edges_junction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges_dense(pairs, dense_ids(o, "o_orderkey"), dense_ids(p, "p_partkey"))
 
 
+def q_edges_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-attribute plumbing (C:48-53, the `_` at C:208 populated):
+    the lineitem junction edge carrying (l_quantity, l_extendedprice) as
+    per-edge double features, row-aligned through the dense remap. The
+    attrs ride the endpoint joins untouched — same plan as q_edges_junction
+    plus two projected columns."""
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    pairs = edge_pairs(spark, sf_dir, "lineitem", "l_orderkey", "l_partkey",
+                       attr_cols=["l_quantity", "l_extendedprice"])
+    return edges_dense(pairs, dense_ids(o, "o_orderkey"),
+                       dense_ids(p, "p_partkey"))
+
+
 def q_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5/A2/A3/A5: customer degree feature (forward edges only, +1,
     isolated→1)."""
@@ -934,9 +948,14 @@ def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-aggregation seeded by the previous stage's timestamp — k stages
     = k user-keyed shuffles over progressively smaller frames (each
     stage filters to users who reached the previous one), the standard
-    product-analytics funnel shape at any scale."""
+    product-analytics funnel shape at any scale.
+
+    The 3-column event projection is persisted: four consumers (three
+    stages + the distinct-user base) otherwise each rescan the events
+    parquet — at 100 TB that's 4 full scans for one funnel. The cache is
+    keyed on the logical plan, so repeated calls reuse one entry."""
     e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts")
+        "user_id", "event_type", "ts").persist()
     v = (e.filter(F.col("event_type") == "view")
          .groupBy("user_id").agg(F.min("ts").alias("t_view")))
     c = (e.filter(F.col("event_type") == "click").join(v, "user_id")

@@ -186,3 +186,22 @@ def test_negative_sample_properties(spark):
     # negatives stay inside the node-id domain
     n = c.count()
     assert neg.filter((F.col("dst") < 0) | (F.col("dst") >= n)).count() == 0
+
+
+def test_graph_cache_eviction_unpersists(spark):
+    """Same-app cache entries beyond the cap are evicted AND their
+    persisted frames are freed (VERDICT r4 nit: eviction used to leak
+    persisted RDDs in long-lived multi-sf processes)."""
+    import rel_db_to_graph_spark.operators.graph_build as gb
+
+    gb._GRAPH_CACHE.clear()
+    g1 = build_graph(spark, SF_SMOKE, scalable_ids=True)
+    first_frames = (list(g1["nodes"].values()) + list(g1["edges"].values()))
+    assert any(df.storageLevel.useMemory for df in first_frames)
+    build_graph(spark, SF_SMOKE, scalable_ids=False)
+    build_graph(spark, "/root/testdata/sf0.01", scalable_ids=True)
+    assert len(gb._GRAPH_CACHE) == gb._GRAPH_CACHE_MAX_PER_APP
+    key1 = (spark.sparkContext.applicationId, SF_SMOKE, True, None)
+    assert key1 not in gb._GRAPH_CACHE
+    assert not any(df.storageLevel.useMemory or df.storageLevel.useDisk
+                   for df in first_frames), "evicted frames still persisted"

@@ -147,3 +147,18 @@ def test_source_quota_single_shuffle(spark):
     partition reuse."""
     p = plan_of(Q.q_source_quota(spark, SF_ORACLE))
     assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_funnel_ordered_scans_events_once(spark):
+    """q_funnel_ordered's four consumers (3 stages + distinct users) must
+    read ONE cached events projection, not rescan the parquet — at 100 TB
+    an uncached funnel pays 4 full table scans. Every `Scan parquet` in
+    the executed plan must sit inside an InMemoryTableScan printout (the
+    cached relation's own child); none may execute directly."""
+    df = Q.q_funnel_ordered(spark, SF_ORACLE)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    n_parquet = p.count("Scan parquet")
+    n_cached = p.count("InMemoryTableScan")
+    assert n_cached > 0, "events projection is no longer persisted"
+    assert n_parquet == n_cached, (
+        f"{n_parquet - n_cached} direct parquet scan(s) outside the cache")

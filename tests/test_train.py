@@ -142,3 +142,27 @@ def test_config_reflection():
     assert c.num_val == 0.1 and c.num_test == 0.2 and c.is_undirected is False
     assert TrainConfig().gnn.depth_sizes == [15, 15]
     assert SplitConfig().num_val == 0.15
+
+
+def test_graph_roundtrip_with_edge_attrs(spark):
+    """edge_attrs (C:48-53) thread through build_graph, survive the
+    parquet sink, and do NOT leak onto reverse/self-loop edges (C:247)."""
+    key = ("orders", "hasPart", "part")
+    with tempfile.TemporaryDirectory() as d:
+        g = build_graph(spark, SF_SMOKE, out_dir=d,
+                        edge_attrs={key: ["l_quantity", "l_extendedprice"]})
+        loaded = load_graph(spark, d)
+        cols = loaded["edges"][key].columns
+        assert cols == ["src", "dst", "l_quantity", "l_extendedprice"]
+        assert dict(loaded["edges"][key].dtypes)["l_quantity"] == "double"
+        rev = loaded["edges"][("part", "REVERSE_hasPart", "orders")]
+        assert rev.columns == ["src", "dst"]
+        loops = loaded["edges"][("orders", "SELF_LOOP", "orders")]
+        assert loops.columns == ["src", "dst"]
+        # row-aligned: per-(src,dst) attr multiset matches the raw junction
+        got = (loaded["edges"][key].groupBy().sum("l_quantity").collect()[0][0])
+        from rel_db_to_graph_spark.sources.catalog import load_table as lt
+        want = (lt(spark, SF_SMOKE, "lineitem")
+                .filter("l_orderkey is not null and l_partkey is not null")
+                .groupBy().sum("l_quantity").collect()[0][0])
+        assert abs(got - want) < 1e-6
