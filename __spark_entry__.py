@@ -51,6 +51,7 @@ def entry(spark: SparkSession) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 5 (never driver-checked) ---
     "edges_attr": Q.q_edges_attr,
+    "hetero_link_train_sampled": Q.q_hetero_link_train_sampled,
     # --- never driver-checked before round 4 (all oracle-backed) ---
     "retention_cohorts": Q.q_retention_cohorts,
     "salted_agg": Q.q_salted_agg,

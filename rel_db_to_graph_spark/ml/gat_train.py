@@ -841,3 +841,188 @@ def train_gat_link(edges: DataFrame, src_feats: DataFrame,
     result.weights, result.bias = flat(Wl, Wr, a, b)[:-1], b
     train.unpersist(), val.unpersist()
     return result
+
+
+def _batch_closure(samp: DataFrame, seeds: dict, edge_types: list,
+                   feats: dict) -> tuple[dict, dict]:
+    """(sampled per-type message edges, per-type feature restriction)
+    for one mini-batch: edges grouped back by edge type, and feats cut
+    to the dependency closure (seeds ∪ every endpoint of a sampled
+    edge). Gradients only flow through seed embeddings, so this closure
+    is exactly what the full epoch would touch for these examples."""
+    samp = samp.localCheckpoint(eager=True)   # one sampling pass, k readers
+    sub = {}
+    for (s, rel, d) in edge_types:
+        sub[(s, rel, d)] = (samp.filter(
+            (F.col("src_table") == s) & (F.col("relation") == rel)
+            & (F.col("dst_table") == d))
+            .select("src", "dst").distinct())
+    fcut = {}
+    for t in feats:
+        parts = []
+        if t in seeds:
+            parts.append(seeds[t])
+        parts.append(samp.filter(F.col("src_table") == t)
+                     .select(F.col("src").alias("node_id")))
+        parts.append(samp.filter(F.col("dst_table") == t)
+                     .select(F.col("dst").alias("node_id")))
+        ids = parts[0]
+        for p in parts[1:]:
+            ids = ids.unionAll(p)
+        fcut[t] = feats[t].join(ids.distinct(), "node_id")
+    return sub, fcut
+
+
+def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
+                             examples: DataFrame, src_type: str,
+                             dst_type: str, hidden: int,
+                             fanouts: list[int] | None = None,
+                             batch_size: int = 512,
+                             max_batches: int | None = None,
+                             epochs: int = 3, lr: float = 0.05,
+                             val_frac: float = 0.2, seed: int = 42,
+                             weight_decay: float = 0.01) -> TrainResult:
+    """Sampled MINI-BATCH training of the full hetero model — the
+    LinkNeighborLoader regime the reference actually trains in
+    (dataloader.py:24-51, tuning.py:53: per-layer fanout 15, batch 512,
+    shuffle=True) — composing operators/sampling.py (L2) into the L10
+    trainer. Full-batch ``train_hetero_gat`` keeps one gradient step
+    per epoch over the whole graph; this takes one AdamW step per
+    mini-batch over a sampled dependency subgraph, which is what makes
+    GNN training tractable once the graph no longer fits an epoch.
+
+    Per epoch: batch membership is content-addressed —
+    hash(src, dst, epoch) mod n_batches (ml/train.py's L4 idiom: the
+    per-epoch reshuffle is deterministic yet differs across epochs, and
+    each batch is a FILTER over the cached split, no repartition). Per
+    batch: seeds = the batch's endpoint nodes; the message graph is
+    ``sample_incoming_hetero`` (≤ fanout in-edges per node per edge
+    type, expanding backward through message flow); features are cut to
+    the sampled closure; the existing ``_hetero_epoch`` runs unchanged
+    on the restricted frames. Per-batch shuffle volume is
+    O(fanout × batch_size), independent of |E|.
+
+    Validation runs fanout=-1 (the full graph — the reference's eval
+    mode, dataloader.py:33) with no grads.
+
+    Exactness anchor (tested): with fanout ≥ max in-degree and a single
+    batch, every sampled epoch is bit-for-bit the full-batch epoch —
+    gradients only flow through seed-node embeddings, so the dropped
+    edges are exactly the zero-gradient ones. The numpy/finite-diff
+    crosschecks of ``_hetero_epoch`` therefore cover this path too.
+
+    ``max_batches`` caps gradient steps per epoch (the driver-runtime
+    valve): each epoch then trains on a different content-addressed
+    subset, still valid SGD.
+    """
+    from rel_db_to_graph_spark.operators.sampling import (
+        sample_incoming_hetero,
+    )
+
+    fanouts = list(fanouts) if fanouts is not None else [15]
+    types = sorted(feats)
+    edge_types = sorted(graph_edges)
+    dims = {t: len(feats[t].select("emb").first()["emb"]) for t in types}
+    rng = np.random.default_rng(seed)
+    params = {
+        "W0": {t: rng.normal(0, 0.5, size=(hidden, dims[t]))
+               for t in types},
+        "Wself": {t: rng.normal(0, 0.5, size=(hidden, hidden))
+                  for t in types},
+        "attn": {et: (rng.normal(0, 0.5, size=(hidden, hidden)),
+                      rng.normal(0, 0.5, size=(hidden, hidden)),
+                      rng.normal(0, 0.5, size=hidden))
+                 for et in edge_types},
+    }
+    b = 0.0
+
+    split = hash_split(examples, val_frac=val_frac, test_frac=0.0,
+                       seed=seed)
+    train = split.filter(F.col("split") == "train").drop("split").cache()
+    val = split.filter(F.col("split") == "val").drop("split").cache()
+    n_train = train.count()
+    val.count()
+    n_batches = max(1, -(-n_train // max(1, batch_size)))
+    steps = (n_batches if max_batches is None
+             else min(n_batches, max_batches))
+
+    def flat(ps, bias):
+        out = []
+        for t in types:
+            out += [float(x) for x in ps["W0"][t].ravel()]
+        for t in types:
+            out += [float(x) for x in ps["Wself"][t].ravel()]
+        for et in edge_types:
+            Wl, Wr, a = ps["attn"][et]
+            out += [float(x) for x in Wl.ravel()]
+            out += [float(x) for x in Wr.ravel()]
+            out += [float(x) for x in np.asarray(a).ravel()]
+        return out + [float(bias)]
+
+    def unflat(v):
+        ps = {"W0": {}, "Wself": {}, "attn": {}}
+        i = 0
+        for t in types:
+            k = hidden * dims[t]
+            ps["W0"][t] = np.array(v[i:i + k]).reshape(hidden, dims[t])
+            i += k
+        for t in types:
+            k = hidden * hidden
+            ps["Wself"][t] = np.array(v[i:i + k]).reshape(hidden, hidden)
+            i += k
+        for et in edge_types:
+            k = hidden * hidden
+            Wl = np.array(v[i:i + k]).reshape(hidden, hidden); i += k
+            Wr = np.array(v[i:i + k]).reshape(hidden, hidden); i += k
+            a = np.array(v[i:i + hidden]); i += hidden
+            ps["attn"][et] = (Wl, Wr, a)
+        return ps, float(v[i])
+
+    opt = AdamW(lr=lr, weight_decay=weight_decay)
+    result = TrainResult(weights=flat(params, b)[:-1], bias=b)
+    best = (params, b)
+    for epoch in range(epochs):
+        losses, ns = [], []
+        for bi in range(steps):
+            batch = train.filter(
+                F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
+                       F.lit(n_batches)) == bi)
+            seeds = {src_type: batch.select(F.col("src").alias("node_id"))}
+            dst_seed = batch.select(F.col("dst").alias("node_id"))
+            if dst_type in seeds:
+                seeds[dst_type] = seeds[dst_type].unionAll(dst_seed)
+            else:
+                seeds[dst_type] = dst_seed
+            samp = sample_incoming_hetero(
+                graph_edges, seeds, fanouts,
+                seed=seed + 7919 * epoch + 104729 * bi)
+            sub, fcut = _batch_closure(samp, seeds, edge_types, feats)
+            stats = _hetero_epoch(sub, fcut, batch, params, b,
+                                  src_type, dst_type)
+            if stats["n"] == 0:
+                continue
+            g = stats["grads"]
+            gparams = {"W0": g["W0"], "Wself": g["Wself"],
+                       "attn": {et: (gg[0], gg[1], np.asarray(gg[2]))
+                                for et, gg in g["attn"].items()}}
+            params, b = unflat(opt.step(flat(params, b),
+                                        flat(gparams, stats["gb"])))
+            losses.append(stats["loss"] * stats["n"])
+            ns.append(stats["n"])
+        n_seen = sum(ns)
+        vstats = _hetero_epoch(graph_edges, feats, val, params, b,
+                               src_type, dst_type, with_grads=False)
+        result.history.append({
+            "epoch": epoch,
+            "train_loss": (sum(losses) / n_seen) if n_seen else 0.0,
+            "train_n": n_seen,
+            "val_loss": vstats["loss"], "val_acc": vstats["acc"],
+        })
+        if vstats["acc"] >= result.best_val_acc:
+            result.best_val_acc = vstats["acc"]
+            result.best_epoch = epoch
+            best = (params, b)
+    params, b = best
+    result.weights, result.bias = flat(params, b)[:-1], b
+    train.unpersist(), val.unpersist()
+    return result

@@ -141,3 +141,30 @@ def negative_sample(positives: DataFrame, node_ids: DataFrame,
         neg = neg.unionAll(df)
     neg = neg.join(positives, ["src", "dst"], "left_anti")
     return pos.unionAll(neg)
+
+
+def sample_incoming_hetero(graph_edges: dict, seeds: dict,
+                           fanouts: list[int], seed: int = 42) -> DataFrame:
+    """L2 in the MESSAGE-DEPENDENCY direction (LinkNeighborLoader,
+    dataloader.py:24-51): ≤ fanout IN-edges per target node per edge
+    type, frontier expanding backward through message flow — the
+    neighborhood a GNN layer actually reads to compute the seeds'
+    embeddings. Composes ``sample_hetero_subgraph`` over the
+    edge-reversed graph, then un-reverses the sampled pairs, so the
+    two operators share one sampling/core path.
+
+    Returns (src_table, relation, dst_table, src, dst, hop) rows in
+    ORIGINAL edge orientation: every (src, dst) is an edge of the input
+    graph whose dst lies in the sampled dependency closure of ``seeds``.
+    Per-type per-hop cost: one frontier join + a ≤fanout-bounded per-dst
+    window — shuffle volume scales with fanout × |frontier|, not |E|.
+    """
+    rev = {"edges": {
+        (d, rel, s): df.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))
+        for (s, rel, d), df in graph_edges.items()}}
+    samp = sample_hetero_subgraph(rev, seeds, fanouts, seed=seed)
+    return samp.select(
+        F.col("dst_table").alias("src_table"), "relation",
+        F.col("src_table").alias("dst_table"),
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "hop")

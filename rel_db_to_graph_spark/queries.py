@@ -437,6 +437,42 @@ def q_hetero_link_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epoch int, train_loss double, val_acc double")
 
 
+def q_hetero_link_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2→L10 composed (rows-only; iterative + sampled): mini-batch
+    training of the full hetero model through SAMPLED dependency
+    subgraphs — the LinkNeighborLoader regime (reference
+    dataloader.py:24-51, fanout 15 / batch 512 / shuffle=True) that
+    makes GNN training tractable when the graph no longer fits an
+    epoch. Content-addressed batch membership, ≤15 in-edges per node
+    per edge type per batch (per-batch shuffle volume O(fanout×batch),
+    independent of |E|), full-neighborhood validation. max_batches=2
+    bounds driver runtime; each epoch then sees a different
+    content-addressed subset (still valid SGD). Returns the epoch
+    history; train BCE must decrease."""
+    from rel_db_to_graph_spark.ml.gat_train import train_hetero_gat_sampled
+    from rel_db_to_graph_spark.ml.hetero import node_features_normalized
+
+    g = build_graph(spark, sf_dir)
+    pos = g["edges"][("orders", "hasCust", "customer")]
+    labeled = negative_sample(pos, g["nodes"]["customer"].select("node_id"),
+                              ratio=1, seed=42)
+    feats_raw = node_features_normalized(
+        {t: g["nodes"][t] for t in ("orders", "customer")})
+    feats = {t: feats_raw[t][0] for t in feats_raw}
+    sub_edges = {et: df.select("src", "dst")
+                 for et, df in g["edges"].items()
+                 if et[0] in feats and et[2] in feats}
+    res = train_hetero_gat_sampled(
+        sub_edges, feats, labeled, src_type="orders", dst_type="customer",
+        hidden=2, fanouts=[15], batch_size=512, max_batches=2,
+        epochs=2, lr=0.05, seed=42)
+    return spark.createDataFrame(
+        [(h["epoch"], float(h["train_loss"]), int(h["train_n"]),
+          float(h["val_acc"]))
+         for h in res.history],
+        "epoch int, train_loss double, train_n long, val_acc double")
+
+
 def q_gat_stack_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5 FULL DEPTH (rows-only; iterative): 2-layer homogeneous GATv2
     stack trained end-to-end — backprop chains through BOTH attention

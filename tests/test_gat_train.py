@@ -544,3 +544,90 @@ def test_train_hetero_gat_learns(spark):
                            epochs=3, lr=0.1, seed=3)
     losses = [h["train_loss"] for h in res.history]
     assert losses[-1] < losses[0], losses
+
+
+def _toy_hetero(spark):
+    rng = np.random.default_rng(2)
+    na, nb = 10, 6
+    fa = [(i, [float(rng.normal()), float(rng.normal())])
+          for i in range(na)]
+    fb = [(100 + j, [float(rng.normal()), float(rng.normal()),
+                     float(rng.normal())]) for j in range(nb)]
+    e_ab = [(i, 100 + (i % nb)) for i in range(na)]
+    e_ba = [(100 + j, j % na) for j in range(nb)]
+    ex = [(i, 100 + j, int((i + j) % 2 == 0))
+          for i in range(na) for j in range(nb)]
+    edges = {("A", "r", "B"): spark.createDataFrame(
+                 e_ab, "src long, dst long"),
+             ("B", "s", "A"): spark.createDataFrame(
+                 e_ba, "src long, dst long")}
+    feats = {"A": spark.createDataFrame(fa,
+                                        "node_id long, emb array<double>"),
+             "B": spark.createDataFrame(fb,
+                                        "node_id long, emb array<double>")}
+    ex_df = spark.createDataFrame(ex, "src long, dst long, label int")
+    return edges, feats, ex_df
+
+
+def test_sampled_matches_full_when_fanout_covers_graph(spark):
+    """Exactness anchor: fanout ≥ max in-degree + a single batch ⇒ the
+    sampled trainer IS the full-batch trainer (gradients only flow
+    through seed embeddings, so sampling drops exactly the
+    zero-gradient edges). This transfers the numpy/finite-difference
+    crosschecks of _hetero_epoch to the sampled path."""
+    from rel_db_to_graph_spark.ml.gat_train import (
+        train_hetero_gat,
+        train_hetero_gat_sampled,
+    )
+
+    edges, feats, ex_df = _toy_hetero(spark)
+    full = train_hetero_gat(edges, feats, ex_df, "A", "B", hidden=2,
+                            epochs=2, lr=0.1, seed=3)
+    samp = train_hetero_gat_sampled(edges, feats, ex_df, "A", "B",
+                                    hidden=2, fanouts=[100],
+                                    batch_size=10_000, epochs=2, lr=0.1,
+                                    seed=3)
+    for hf, hs in zip(full.history, samp.history):
+        assert abs(hf["train_loss"] - hs["train_loss"]) < 1e-9, (hf, hs)
+        assert abs(hf["val_loss"] - hs["val_loss"]) < 1e-9
+        assert hf["val_acc"] == hs["val_acc"]
+    assert np.allclose(full.weights, samp.weights, rtol=1e-8, atol=1e-10)
+    assert abs(full.bias - samp.bias) < 1e-9
+
+
+def test_sampled_minibatch_training_learns(spark):
+    """Real sampled regime: small fanout, several mini-batches per
+    epoch — train BCE must still decrease."""
+    from rel_db_to_graph_spark.ml.gat_train import train_hetero_gat_sampled
+
+    edges, feats, ex_df = _toy_hetero(spark)
+    res = train_hetero_gat_sampled(edges, feats, ex_df, "A", "B",
+                                   hidden=2, fanouts=[2], batch_size=16,
+                                   epochs=3, lr=0.1, seed=3)
+    losses = [h["train_loss"] for h in res.history]
+    assert losses[-1] < losses[0], losses
+    assert all(h["train_n"] > 0 for h in res.history)
+
+
+def test_sampled_subgraph_scales_with_fanout_not_edges(spark):
+    """The 100 TB property (VERDICT r5 ask #2): per-batch sampled
+    message edges are ≤ fanout × |seeds| PER EDGE TYPE, no matter how
+    dense the graph — a star node with 500 in-edges contributes at most
+    fanout of them."""
+    from rel_db_to_graph_spark.operators.sampling import (
+        sample_incoming_hetero,
+    )
+
+    hub_edges = [(i, 0) for i in range(500)] + [(i, 1) for i in range(7)]
+    edges = {("A", "r", "B"): spark.createDataFrame(
+        hub_edges, "src long, dst long")}
+    seeds = {"B": spark.createDataFrame([(0,), (1,)], "node_id long")}
+    fanout = 3
+    samp = sample_incoming_hetero(edges, seeds, [fanout], seed=11)
+    rows = samp.collect()
+    assert len(rows) <= fanout * 2
+    per_dst = {}
+    for r in rows:
+        per_dst[r.dst] = per_dst.get(r.dst, 0) + 1
+    assert per_dst[0] == fanout          # hub capped at fanout, not 500
+    assert all((r.src, r.dst) in set(hub_edges) for r in rows)
