@@ -45,25 +45,78 @@ def entry(spark: SparkSession) -> DataFrame:
 # first 50 entries per round. Rounds 1-3 never rotated, so positions
 # 51-75 (the whole events/ANN/stats tier) went driver-unverified — and
 # that's exactly where the round-3 ts bug hid. Policy: queries that have
-# never earned (or most recently missed) a driver CORRECTNESS row come
-# FIRST; multi-round-green simple queries and the rows-only (no-oracle)
-# entries sit past position 50. Rotate again when new queries land.
+# never earned a driver CORRECTNESS row come FIRST, then the stalest
+# (oldest last-green round, derived from the committed
+# CORRECTNESS_r*.json files), then anything whose code changed this
+# round; multi-round-green entries rest past position 50.
+# tests/test_driver_window.py enforces the never-checked invariant —
+# adding a query without window space for it FAILS the suite.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- new in round 5 (never driver-checked) ---
+    # ------- positions 1-50: THE DRIVER CORRECTNESS WINDOW -------
+    # round-5 rotation: never-checked entries first (edges_attr,
+    # hetero_link_train_sampled, gat_stack_train, corpus_stats_approx),
+    # then the rows-only tier (no driver row since r3), the 6
+    # oracle-backed queries that fell past position 50 in r4, the 16
+    # simple r3-green queries, and everything whose code changed this
+    # round. tests/test_driver_window.py ENFORCES the invariant that
+    # never-driver-checked queries sit inside the window.
     "edges_attr": Q.q_edges_attr,
     "hetero_link_train_sampled": Q.q_hetero_link_train_sampled,
-    # --- never driver-checked before round 4 (all oracle-backed) ---
+    "gat_stack_train": Q.q_gat_stack_train,
+    "corpus_stats_approx": Q.q_corpus_stats_approx,
+    "link_split": Q.q_link_split,
+    "neighbor_sample": Q.q_neighbor_sample,
+    "hetero_neighbor_sample": Q.q_hetero_neighbor_sample,
+    "negative_sample": Q.q_negative_sample,
+    "link_pred_train": Q.q_link_pred_train,
+    "hetero_link_train": Q.q_hetero_link_train,
+    "hetero_forward": Q.q_hetero_forward,
+    "recommend_gnn": Q.q_recommend_gnn,
+    "token_pack": Q.q_token_pack,
+    "chunk_fill": Q.q_chunk_fill,
+    "pii_scrub": Q.q_pii_scrub,
+    "incremental_dedup": Q.q_incremental_dedup,
+    "corpus_mix": Q.q_corpus_mix,
+    "pagerank": Q.q_pagerank,
+    "scan_project": Q.q_scan_project,
+    "filter_like": Q.q_filter_like,
+    "semi_join": Q.q_semi_join,
+    "anti_join": Q.q_anti_join,
+    "three_table_join": Q.q_three_table_join,
+    "json_props": Q.q_json_props,
+    "one_hot": Q.q_one_hot,
+    "topk_orders": Q.q_topk_orders,
+    "dense_ids": Q.q_dense_ids,
+    "text_quality": Q.q_text_quality,
+    "lang_id": Q.q_lang_id,
+    "fingerprint": Q.q_fingerprint,
+    "hash_sample": Q.q_hash_sample,
+    "sample_topk": Q.q_sample_topk,
+    "doc_chunks": Q.q_doc_chunks,
+    "repetition": Q.q_repetition,
+    "near_dup_pairs": Q.q_near_dup_pairs,
+    "dedup_clusters": Q.q_dedup_clusters,
+    "embedding_dedup": Q.q_embedding_dedup,
+    "corpus_stats_approx_err": Q.q_corpus_stats_approx_err,
+    "funnel_ordered": Q.q_funnel_ordered,
+    "events_hourly": Q.q_events_hourly,
+    "events_sessionize": Q.q_events_sessionize,
+    "events_asof": Q.q_events_asof,
+    "events_attribution": Q.q_events_attribution,
+    "events_funnel": Q.q_events_funnel,
+    "event_anomalies": Q.q_event_anomalies,
     "retention_cohorts": Q.q_retention_cohorts,
+    "tfidf_keywords": Q.q_tfidf_keywords,
+    "term_topk": Q.q_term_topk,
+    "corpus_stats": Q.q_corpus_stats,
+    "multimodal_meta": Q.q_multimodal_meta,
+    # ------------- position 51+: past the driver window -------------
+    # multi-round-green (r4 and/or r1-r3) entries resting this round
     "salted_agg": Q.q_salted_agg,
     "degree_histogram": Q.q_degree_histogram,
     "decontaminate": Q.q_decontaminate,
     "frame_sample": Q.q_frame_sample,
-    "corpus_stats": Q.q_corpus_stats,
-    "corpus_stats_approx_err": Q.q_corpus_stats_approx_err,
-    "tfidf_keywords": Q.q_tfidf_keywords,
     "source_quota": Q.q_source_quota,
-    "event_anomalies": Q.q_event_anomalies,
-    "term_topk": Q.q_term_topk,
     "simhash": Q.q_simhash,
     "ngram_jaccard": Q.q_ngram_jaccard,
     "ann_brute": Q.q_ann_brute,
@@ -71,19 +124,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_filtered": Q.q_ann_filtered,
     "ann_batch": Q.q_ann_batch,
     "ann_ivf": Q.q_ann_ivf,
-    "embedding_dedup": Q.q_embedding_dedup,
     "corpus_clean": Q.q_corpus_clean,
-    "events_funnel": Q.q_events_funnel,
-    "multimodal_meta": Q.q_multimodal_meta,
-    "events_hourly": Q.q_events_hourly,
-    "events_sessionize": Q.q_events_sessionize,
-    "events_asof": Q.q_events_asof,
-    "events_attribution": Q.q_events_attribution,
     "rollup_pricing": Q.q_rollup_pricing,
     "cube_pricing": Q.q_cube_pricing,
-    "funnel_ordered": Q.q_funnel_ordered,
     "topn_per_group": Q.q_topn_per_group,
-    # --- previously-green complex queries (kept inside the window) ---
     "catalog_tables": Q.q_catalog_tables,
     "edge_catalog": Q.q_edge_catalog,
     "metadata_union": Q.q_metadata_union,
@@ -102,43 +146,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": Q.q_text_stats,
     "exact_dedup": Q.q_exact_dedup,
     "minhash": Q.q_minhash,
-    "near_dup_pairs": Q.q_near_dup_pairs,
-    "dedup_clusters": Q.q_dedup_clusters,
-    "token_pack": Q.q_token_pack,
-    "chunk_fill": Q.q_chunk_fill,
-    "pii_scrub": Q.q_pii_scrub,
-    "incremental_dedup": Q.q_incremental_dedup,
-    "corpus_mix": Q.q_corpus_mix,
-    "pagerank": Q.q_pagerank,
-    # ---------------- position 51+: past the driver window ----------------
-    # multi-round-green simple queries
-    "scan_project": Q.q_scan_project,
-    "filter_like": Q.q_filter_like,
-    "semi_join": Q.q_semi_join,
-    "anti_join": Q.q_anti_join,
-    "three_table_join": Q.q_three_table_join,
-    "json_props": Q.q_json_props,
-    "one_hot": Q.q_one_hot,
-    "topk_orders": Q.q_topk_orders,
-    "dense_ids": Q.q_dense_ids,
-    "text_quality": Q.q_text_quality,
-    "lang_id": Q.q_lang_id,
-    "fingerprint": Q.q_fingerprint,
-    "hash_sample": Q.q_hash_sample,
-    "sample_topk": Q.q_sample_topk,
-    "doc_chunks": Q.q_doc_chunks,
-    "repetition": Q.q_repetition,
-    # rows-only by design (seeded / non-SQL math — no DuckDB twin)
-    "corpus_stats_approx": Q.q_corpus_stats_approx,
-    "link_split": Q.q_link_split,
-    "neighbor_sample": Q.q_neighbor_sample,
-    "hetero_neighbor_sample": Q.q_hetero_neighbor_sample,
-    "negative_sample": Q.q_negative_sample,
-    "link_pred_train": Q.q_link_pred_train,
-    "hetero_link_train": Q.q_hetero_link_train,
-    "hetero_forward": Q.q_hetero_forward,
-    "recommend_gnn": Q.q_recommend_gnn,
-    "gat_stack_train": Q.q_gat_stack_train,
 }
 
 

@@ -1,0 +1,72 @@
+"""Driver-window accounting (ADVICE r4 + VERDICT r4 gap #1): the driver's
+per-round CORRECTNESS sweep checks only the FIRST 50 entries of
+__spark_entry__.QUERIES. Round 3 hid five wrong-answer queries past that
+boundary for two rounds. These tests make the blind spot structural
+instead of procedural: the verified history is derived from the
+committed CORRECTNESS_r*.json files, so the invariant self-updates as
+the driver records new rounds."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+
+
+def _entry_module():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _ever_checked() -> set[str]:
+    names: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        names.update(json.load(open(path)))
+    return names
+
+
+def test_never_checked_queries_sit_inside_the_window():
+    mod = _entry_module()
+    order = list(mod.queries())
+    never = set(order) - _ever_checked()
+    outside = sorted(never - set(order[:WINDOW]))
+    assert not outside, (
+        f"{outside} have never earned a driver CORRECTNESS row but sit "
+        f"past position {WINDOW} — rotate them into the window")
+
+
+def test_every_oracle_has_a_query():
+    mod = _entry_module()
+    missing = sorted(set(mod.oracle_sql()) - set(mod.queries()))
+    assert not missing, f"oracle entries without a query: {missing}"
+
+
+def test_no_oracle_backed_query_is_stale_beyond_two_rounds():
+    """Oracle-backed queries must re-earn a driver row at least every
+    ~2 rounds (VERDICT r4 'keep rotating' ask). 'Stale' = last green row
+    two or more rounds before the latest recorded round AND resting
+    outside the window this round."""
+    mod = _entry_module()
+    order = list(mod.queries())
+    oracled = set(mod.oracle_sql())
+    last_round: dict[str, int] = {}
+    rounds = []
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        r = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+        rounds.append(r)
+        for name in json.load(open(path)):
+            last_round[name] = max(last_round.get(name, 0), r)
+    latest = max(rounds)
+    stale = sorted(
+        n for n in order[WINDOW:]
+        if n in oracled and last_round.get(n, 0) <= latest - 2)
+    assert not stale, (
+        f"oracle-backed queries {stale} last verified in round "
+        f"<= r{latest - 2} yet rest outside the window")
