@@ -62,6 +62,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # never-driver-checked queries sit inside the window.
     "edges_attr": Q.q_edges_attr,
     "hetero_link_train_sampled": Q.q_hetero_link_train_sampled,
+    "layout_compact": Q.q_layout_compact,
     "gat_stack_train": Q.q_gat_stack_train,
     "corpus_stats_approx": Q.q_corpus_stats_approx,
     "link_split": Q.q_link_split,
@@ -109,9 +110,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_keywords": Q.q_tfidf_keywords,
     "term_topk": Q.q_term_topk,
     "corpus_stats": Q.q_corpus_stats,
-    "multimodal_meta": Q.q_multimodal_meta,
     # ------------- position 51+: past the driver window -------------
     # multi-round-green (r4 and/or r1-r3) entries resting this round
+    "multimodal_meta": Q.q_multimodal_meta,
     "salted_agg": Q.q_salted_agg,
     "degree_histogram": Q.q_degree_histogram,
     "decontaminate": Q.q_decontaminate,

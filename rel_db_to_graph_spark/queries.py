@@ -1010,6 +1010,33 @@ def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("t_buy").alias("n_purchase_after_click")))
 
 
+def q_layout_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout maintenance (rows-only; file-layout outcome isn't
+    SQL-expressible): compact the documents table into 4 range-clustered
+    internally-sorted parquet files, then audit the result — one row:
+    (n_files, n_rows, range_overlaps). range_overlaps must be 0: the
+    per-file sort-key [min,max] spans are disjoint, which is exactly
+    what makes parquet row-group pruning effective after compaction.
+    The rewrite is a RangePartitioning exchange + partition-local sorts
+    (plan-pinned in tests/test_layout.py — never a global sort)."""
+    import tempfile
+
+    from rel_db_to_graph_spark.sources.layout import (
+        compact_sorted,
+        layout_stats,
+    )
+    d = load_table(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        out = f"{tmp}/docs_compacted"
+        compact_sorted(d, ["doc_id"], out, n_files=4)
+        stats = layout_stats(spark, out, "doc_id").collect()
+    spans = sorted((r.key_min, r.key_max) for r in stats)
+    overlaps = sum(1 for (a, b) in zip(spans, spans[1:]) if a[1] >= b[0])
+    return spark.createDataFrame(
+        [(len(stats), int(sum(r.n_rows for r in stats)), overlaps)],
+        "n_files int, n_rows long, range_overlaps int")
+
+
 def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (returnflag, linestatus): per-group, per-flag subtotal
     and grand total in one pass (Catalyst Expand + single hash agg — no
