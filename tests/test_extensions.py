@@ -298,3 +298,20 @@ def test_bucket_caps_are_on_by_default():
                embedding_near_dup_pairs):
         default = inspect.signature(fn).parameters["max_bucket"].default
         assert isinstance(default, int) and default > 0, fn.__name__
+
+
+def test_ts_micros_fallback_quoting_and_dtype_guard(spark):
+    """ADVICE r4: the ns fallback must backtick-quote the identifier
+    (names with spaces survive) and refuse non-timestamp, non-bigint
+    dtypes instead of silently guessing a time unit."""
+    import pytest
+
+    from rel_db_to_graph_spark.operators.events import ts_micros
+
+    ns = spark.createDataFrame([(1_700_000_000_123_456_789,)],
+                               "`weird name` long")
+    out = ns.select(ts_micros(ns, "weird name").alias("us")).collect()[0].us
+    assert out == 1_700_000_000_123_456
+    bad = spark.createDataFrame([("x",)], "ts string")
+    with pytest.raises(TypeError, match="Refusing to guess"):
+        ts_micros(bad)
