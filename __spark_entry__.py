@@ -61,6 +61,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. tests/test_driver_window.py ENFORCES the invariant that
     # never-driver-checked queries sit inside the window.
     "edges_attr": Q.q_edges_attr,
+    "msg_agg_weighted": Q.q_msg_agg_weighted,
+    "key_skew": Q.q_key_skew,
+    "zorder_key": Q.q_zorder_key,
     "hetero_link_train_sampled": Q.q_hetero_link_train_sampled,
     "layout_compact": Q.q_layout_compact,
     "gat_stack_train": Q.q_gat_stack_train,
@@ -107,11 +110,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": Q.q_events_funnel,
     "event_anomalies": Q.q_event_anomalies,
     "retention_cohorts": Q.q_retention_cohorts,
+    # ------------- position 51+: past the driver window -------------
+    # multi-round-green (r4 and/or r1-r3) entries resting this round
     "tfidf_keywords": Q.q_tfidf_keywords,
     "term_topk": Q.q_term_topk,
     "corpus_stats": Q.q_corpus_stats,
-    # ------------- position 51+: past the driver window -------------
-    # multi-round-green (r4 and/or r1-r3) entries resting this round
     "multimodal_meta": Q.q_multimodal_meta,
     "salted_agg": Q.q_salted_agg,
     "degree_histogram": Q.q_degree_histogram,

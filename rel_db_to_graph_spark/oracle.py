@@ -319,6 +319,52 @@ SELECT cid.node_id, coalesce(n_msgs, 0) AS n_msgs,
 FROM cid LEFT JOIN msgs ON cid.node_id = msgs.node_id
 """
 
+MSG_AGG_WEIGHTED = f"""
+WITH oid AS ({ids_cte('orders', 'o_orderkey')}),
+     pid AS ({ids_cte('part', 'p_partkey')}),
+     msgs AS (SELECT pid.node_id AS node_id, count(*) AS n_msgs,
+                     {_dec_sum('l_quantity * o_totalprice', 'sum_wmsg')}
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN oid ON l_orderkey = oid.pk
+              JOIN pid ON l_partkey = pid.pk
+              WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+              GROUP BY pid.node_id)
+SELECT pid.node_id, coalesce(n_msgs, 0) AS n_msgs,
+       coalesce(sum_wmsg, 0.0) AS sum_wmsg
+FROM pid LEFT JOIN msgs ON pid.node_id = msgs.node_id
+"""
+
+KEY_SKEW = """
+WITH tot AS (SELECT count(*) AS n FROM events),
+     g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+           FROM events GROUP BY user_id)
+SELECT user_id, n_rows,
+       CAST(floor(n_rows * 1000000.0 / tot.n) AS BIGINT) AS share_ppm
+FROM g, tot
+ORDER BY n_rows DESC, user_id
+LIMIT 20
+"""
+
+
+def _zorder_sql(c1: str, c2: str, bits: int) -> str:
+    """Twin of functions/zorder.py::zorder_key — identical bit shape."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({c1} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({c2} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+ZORDER_KEY = f"""
+SELECT p_partkey, p_size,
+       CAST(p_partkey % 1024 AS BIGINT) AS bucket,
+       CAST({_zorder_sql('CAST(p_size AS BIGINT)',
+                         'CAST(p_partkey % 1024 AS BIGINT)', 10)}
+            AS BIGINT) AS zkey
+FROM part
+"""
+
 RECOMMEND = f"""
 WITH anchor AS (SELECT min(l_orderkey) AS ok FROM lineitem),
      basket AS (SELECT DISTINCT l_partkey FROM lineitem, anchor
@@ -1173,6 +1219,9 @@ ORACLES: dict[str, str] = {
     "hetero_counts": HETERO_COUNTS,
     "self_loops": SELF_LOOPS,
     "msg_agg": MSG_AGG,
+    "msg_agg_weighted": MSG_AGG_WEIGHTED,
+    "key_skew": KEY_SKEW,
+    "zorder_key": ZORDER_KEY,
     "recommend": RECOMMEND,
     "text_stats": TEXT_STATS,
     "text_quality": TEXT_QUALITY,

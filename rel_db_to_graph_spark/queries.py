@@ -323,6 +323,70 @@ def q_msg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("act", F.round(sigmoid(F.col("sum_msg") / 1e6), 6)))
 
 
+def q_msg_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 with EDGE ATTRIBUTES consumed (C:48-53 populated AND used,
+    not just carried): parts aggregate quantity-weighted order
+    totalprice over the lineitem junction edge — message = edge_weight
+    × src_feature, the edge_attr-aware GNN aggregation. Same plan as
+    q_msg_agg plus one projected column riding the remap joins; the
+    weighted sum is decimal-exact (order-independent)."""
+    from rel_db_to_graph_spark.operators.graph_build import edge_pairs
+
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    oid = dense_ids(o, "o_orderkey")
+    pid = dense_ids(p, "p_partkey")
+    pairs = edge_pairs(spark, sf_dir, "lineitem", "l_orderkey", "l_partkey",
+                       attr_cols=["l_quantity"])
+    e = edges_dense(pairs, oid, pid)   # (src, dst, l_quantity)
+    feat = o.join(oid, o.o_orderkey == oid.pk).select(
+        F.col("node_id").alias("src"), "o_totalprice")
+    msgs = (e.join(feat, "src")
+            .groupBy(F.col("dst").alias("node_id"))
+            .agg(F.count("*").alias("n_msgs"),
+                 _dec_sum(F.col("l_quantity") * F.col("o_totalprice"),
+                          "sum_wmsg")))
+    return (pid.select("node_id")
+            .join(msgs, "node_id", "left")
+            .select("node_id",
+                    F.coalesce(F.col("n_msgs"), F.lit(0)).alias("n_msgs"),
+                    F.coalesce(F.col("sum_wmsg"), F.lit(0.0))
+                    .alias("sum_wmsg")))
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic (the measurement half of the skew playbook —
+    salting/AQE are the cure, this is the thermometer): top-20 heaviest
+    user_id keys in events with integer parts-per-million share.
+    One partial-aggregated groupBy + TakeOrdered; ppm is integer math
+    so the row set is bit-identical across engines."""
+    e = load_table(spark, sf_dir, "events")
+    total = e.count()
+    return (e.groupBy("user_id")
+            .agg(F.count("*").alias("n_rows"))
+            .withColumn("share_ppm",
+                        (F.col("n_rows") * F.lit(1_000_000)
+                         / F.lit(int(total))).cast("long"))
+            .orderBy(F.desc("n_rows"), F.col("user_id"))
+            .limit(20))
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key over (p_size, p_partkey mod 1024) — the
+    multi-dimensional clustering key for layout compaction: sorting by
+    the interleaved-bit key keeps BOTH columns' row-group min/max
+    ranges tight, so scans filtering on either dimension prune. Pure
+    codegen bit arithmetic, no UDF."""
+    from rel_db_to_graph_spark.functions.zorder import zorder_key
+
+    p = load_table(spark, sf_dir, "part")
+    return (p.select(
+        "p_partkey", "p_size",
+        F.pmod(F.col("p_partkey"), F.lit(1024)).alias("bucket"))
+        .withColumn("zkey", zorder_key(F.col("p_size"),
+                                       F.col("bucket"), bits=10)))
+
+
 def q_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G9/L6/A7: the flagship recommend query."""
     return recommend_parts(spark, sf_dir, k=10)

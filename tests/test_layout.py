@@ -44,3 +44,52 @@ def test_compact_plan_has_no_single_partition_sort(spark):
     assert "rangepartitioning(doc_id" in plan.lower(), plan
     # `Sort [...], false, 0` = global=false (partition-local sort only)
     assert "Sort [doc_id" in plan and "], false, 0" in plan, plan
+
+
+def test_zorder_compaction_clusters_both_dimensions(spark):
+    """Compacting by the Morton key keeps BOTH dimensions' per-file
+    spans tight — the property that makes parquet min/max stats prune
+    scans filtering on either column. A single-column sort would leave
+    the other dimension's per-file span at ~full range."""
+    from pyspark.sql import functions as F
+
+    from rel_db_to_graph_spark.functions.zorder import zorder_key
+    from rel_db_to_graph_spark.sources.catalog import load_table as lt
+    from rel_db_to_graph_spark.sources.layout import compact_sorted
+
+    p = (lt(spark, SF_SMOKE, "part")
+         .select("p_partkey", "p_size",
+                 F.pmod(F.col("p_partkey"), F.lit(64)).alias("bucket"))
+         .withColumn("zkey", zorder_key(F.col("p_size"),
+                                        F.col("bucket"), bits=7)))
+    full_size = p.agg(F.max("p_size") - F.min("p_size")).collect()[0][0]
+    full_bucket = p.agg(F.max("bucket") - F.min("bucket")).collect()[0][0]
+    with tempfile.TemporaryDirectory() as d:
+        out = f"{d}/part_z"
+        compact_sorted(p, ["zkey"], out, n_files=4)
+        spans = (spark.read.parquet(out)
+                 .groupBy(F.input_file_name().alias("f"))
+                 .agg((F.max("p_size") - F.min("p_size")).alias("s_span"),
+                      (F.max("bucket") - F.min("bucket")).alias("b_span"))
+                 .collect())
+    assert len(spans) >= 2
+    # average per-file span strictly tighter than the full range on
+    # BOTH dimensions (z-curve locality)
+    avg_s = sum(r.s_span for r in spans) / len(spans)
+    avg_b = sum(r.b_span for r in spans) / len(spans)
+    assert avg_s < full_size, (avg_s, full_size)
+    assert avg_b < full_bucket, (avg_b, full_bucket)
+
+
+def test_zorder_key_is_invertible(spark):
+    """Morton interleave is a bijection on the bit domain: distinct
+    (c1, c2) pairs -> distinct keys (no information loss)."""
+    from pyspark.sql import functions as F
+
+    from rel_db_to_graph_spark.functions.zorder import zorder_key
+
+    rows = [(a, b) for a in range(32) for b in range(32)]
+    df = spark.createDataFrame(rows, "a long, b long").withColumn(
+        "z", zorder_key(F.col("a"), F.col("b"), bits=5))
+    assert df.select("z").distinct().count() == len(rows)
+    assert df.agg(F.max("z")).collect()[0][0] == 1023
