@@ -358,15 +358,19 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnostic (the measurement half of the skew playbook —
     salting/AQE are the cure, this is the thermometer): top-20 heaviest
     user_id keys in events with integer parts-per-million share.
-    One partial-aggregated groupBy + TakeOrdered; ppm is integer math
-    so the row set is bit-identical across engines."""
+    One partial-aggregated groupBy + TakeOrdered; the grand total rides
+    the plan as a broadcast 1-row frame (no separate driver action);
+    floor(ppm) is integer-exact so the row set is bit-identical across
+    engines."""
     e = load_table(spark, sf_dir, "events")
-    total = e.count()
+    tot = e.agg(F.count("*").alias("_tot"))
     return (e.groupBy("user_id")
             .agg(F.count("*").alias("n_rows"))
+            .crossJoin(F.broadcast(tot))
             .withColumn("share_ppm",
-                        (F.col("n_rows") * F.lit(1_000_000)
-                         / F.lit(int(total))).cast("long"))
+                        F.floor(F.col("n_rows") * F.lit(1_000_000.0)
+                                / F.col("_tot")).cast("long"))
+            .drop("_tot")
             .orderBy(F.desc("n_rows"), F.col("user_id"))
             .limit(20))
 
