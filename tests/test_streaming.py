@@ -142,3 +142,30 @@ def test_stream_sessions_match_batch_sessionize(spark):
     assert streamed.count() == batch.count()
     assert (streamed.select("user_id", "n_events", "n_sessions", "last_ts")
             .exceptAll(batch).count() == 0)
+
+
+def test_custom_sessionize_matches_builtin_session_window(spark):
+    """Cross-validation against the ENGINE's own sessionization: Spark's
+    built-in session_window aggregate (gap-based, 30 min) must produce
+    the same per-user session count and per-session event counts as the
+    custom lag/cumsum sessionize — two independent implementations, one
+    semantics. (Boundary note: at a gap of EXACTLY 30 min the two
+    differ — sessionize splits on gap > threshold, session_window on
+    gap >= threshold; with µs-resolution event times an exact-1800s gap
+    has negligible probability in generated data, and the oracle-pinned
+    `events_sessionize` defines the engine's contractual semantics.)"""
+    from rel_db_to_graph_spark.operators.events import (
+        sessionize,
+        with_event_time,
+    )
+
+    ev = with_event_time(load_table(spark, SF_SMOKE, "events"))
+    builtin = (ev.groupBy("user_id",
+                          F.session_window("event_time", "30 minutes"))
+               .agg(F.count("*").alias("n_events"))
+               .select("user_id", "n_events"))
+    custom = sessionize(load_table(spark, SF_SMOKE, "events")).select(
+        "user_id", "n_events")
+    assert builtin.count() == custom.count()
+    assert builtin.exceptAll(custom).count() == 0
+    assert custom.exceptAll(builtin).count() == 0
