@@ -65,6 +65,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_skew": Q.q_key_skew,
     "zorder_key": Q.q_zorder_key,
     "hetero_link_train_sampled": Q.q_hetero_link_train_sampled,
+    "gat_stack_train_sampled": Q.q_gat_stack_train_sampled,
     "layout_compact": Q.q_layout_compact,
     "gat_stack_train": Q.q_gat_stack_train,
     "corpus_stats_approx": Q.q_corpus_stats_approx,
@@ -108,10 +109,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof": Q.q_events_asof,
     "events_attribution": Q.q_events_attribution,
     "events_funnel": Q.q_events_funnel,
-    "event_anomalies": Q.q_event_anomalies,
     "retention_cohorts": Q.q_retention_cohorts,
     # ------------- position 51+: past the driver window -------------
     # multi-round-green (r4 and/or r1-r3) entries resting this round
+    "event_anomalies": Q.q_event_anomalies,
     "tfidf_keywords": Q.q_tfidf_keywords,
     "term_topk": Q.q_term_topk,
     "corpus_stats": Q.q_corpus_stats,

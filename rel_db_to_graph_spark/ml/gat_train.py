@@ -1026,3 +1026,120 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
     result.weights, result.bias = flat(params, b)[:-1], b
     train.unpersist(), val.unpersist()
     return result
+
+
+def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
+                            examples: DataFrame, hidden: int,
+                            layers: int = 2,
+                            fanouts: list[int] | None = None,
+                            batch_size: int = 512,
+                            max_batches: int | None = None,
+                            epochs: int = 5, lr: float = 0.05,
+                            val_frac: float = 0.2, seed: int = 42,
+                            weight_decay: float = 0.01) -> TrainResult:
+    """Sampled mini-batch training of the FULL-DEPTH homogeneous GATv2
+    stack — per-layer fanouts through k message-passing layers, the
+    complete `[num_neighbors] * num_layers` LinkNeighborLoader shape
+    (reference dataloader.py:24-51). Same regime as
+    ``train_hetero_gat_sampled``: content-addressed batch membership,
+    per-batch k-hop in-edge closure via ``sample_incoming`` (L2),
+    the unchanged ``_stack_epoch`` over the restricted frames, one
+    AdamW step per batch, full-neighborhood validation. Per-batch
+    shuffle volume is O(Π-bounded fanout tree × hidden), independent of
+    |E|. Exactness anchor (tested): fanouts ≥ max in-degree at every
+    hop + a single batch reproduces full-batch ``train_gat_stack``
+    epochs bit-for-bit — sampling drops exactly the edges outside the
+    seeds' k-hop gradient support."""
+    from rel_db_to_graph_spark.operators.sampling import sample_incoming
+
+    fanouts = list(fanouts) if fanouts is not None else [15] * layers
+    if len(fanouts) != layers:
+        raise ValueError(f"fanouts {fanouts} must have one entry per "
+                         f"layer ({layers})")
+    d_in = len(feats.select("emb").first()["emb"])
+    rng = np.random.default_rng(seed)
+    params = []
+    dim = d_in
+    for _ in range(layers):
+        params.append((rng.normal(0, 0.5, size=(hidden, dim)),
+                       rng.normal(0, 0.5, size=(hidden, dim)),
+                       rng.normal(0, 0.5, size=hidden)))
+        dim = hidden
+    b = 0.0
+
+    split = hash_split(examples, val_frac=val_frac, test_frac=0.0, seed=seed)
+    train = split.filter(F.col("split") == "train").drop("split").cache()
+    val = split.filter(F.col("split") == "val").drop("split").cache()
+    n_train = train.count()
+    val.count()
+    n_batches = max(1, -(-n_train // max(1, batch_size)))
+    steps = (n_batches if max_batches is None
+             else min(n_batches, max_batches))
+
+    def flat(ps, bias):
+        out = []
+        for (Wl, Wr, a) in ps:
+            out += [float(x) for x in Wl.ravel()]
+            out += [float(x) for x in Wr.ravel()]
+            out += [float(x) for x in np.asarray(a).ravel()]
+        return out + [float(bias)]
+
+    def unflat(v):
+        out, i, dim = [], 0, d_in
+        for _ in range(layers):
+            nW = hidden * dim
+            Wl = np.array(v[i:i + nW]).reshape(hidden, dim); i += nW
+            Wr = np.array(v[i:i + nW]).reshape(hidden, dim); i += nW
+            a = np.array(v[i:i + hidden]); i += hidden
+            out.append((Wl, Wr, a))
+            dim = hidden
+        return out, float(v[i])
+
+    opt = AdamW(lr=lr, weight_decay=weight_decay)
+    result = TrainResult(weights=flat(params, b)[:-1], bias=b)
+    best = (params, b)
+    for epoch in range(epochs):
+        losses, ns = [], []
+        for bi in range(steps):
+            batch = train.filter(
+                F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
+                       F.lit(n_batches)) == bi)
+            seeds = (batch.select(F.col("src").alias("node_id"))
+                     .unionAll(batch.select(F.col("dst").alias("node_id")))
+                     .distinct())
+            samp = sample_incoming(
+                edges, seeds, fanouts,
+                seed=seed + 7919 * epoch + 104729 * bi
+            ).localCheckpoint(eager=True)
+            sub = samp.select("src", "dst").distinct()
+            ids = (seeds
+                   .unionAll(samp.select(F.col("src").alias("node_id")))
+                   .unionAll(samp.select(F.col("dst").alias("node_id")))
+                   ).distinct()
+            fcut = feats.join(ids, "node_id")
+            stats = _stack_epoch(sub, fcut, batch, params, b)
+            if stats["n"] == 0:
+                continue
+            gflat = flat([(g[0], g[1], np.array(g[2]))
+                          for g in stats["grads"]], stats["gb"])
+            params, b = unflat(opt.step(flat(params, b), gflat))
+            losses.append(stats["loss"] * stats["n"])
+            ns.append(stats["n"])
+        n_seen = sum(ns)
+        vstats = _stack_epoch(edges, feats, val, params, b,
+                              with_grads=False)
+        result.history.append({
+            "epoch": epoch,
+            "train_loss": (sum(losses) / n_seen) if n_seen else 0.0,
+            "train_n": n_seen,
+            "val_loss": vstats["loss"], "val_acc": vstats["acc"],
+        })
+        if vstats["acc"] >= result.best_val_acc:
+            result.best_val_acc = vstats["acc"]
+            result.best_epoch = epoch
+            best = ([(Wl.copy(), Wr.copy(), a.copy())
+                     for (Wl, Wr, a) in params], b)
+    params, b = best
+    result.weights, result.bias = flat(params, b)[:-1], b
+    train.unpersist(), val.unpersist()
+    return result

@@ -168,3 +168,18 @@ def sample_incoming_hetero(graph_edges: dict, seeds: dict,
         F.col("dst_table").alias("src_table"), "relation",
         F.col("src_table").alias("dst_table"),
         F.col("dst").alias("src"), F.col("src").alias("dst"), "hop")
+
+
+def sample_incoming(edges: DataFrame, seeds: DataFrame,
+                    fanouts: list[int], seed: int = 42) -> DataFrame:
+    """Homogeneous twin of ``sample_incoming_hetero``: ≤ fanout IN-edges
+    per node per hop, frontier expanding backward through message flow
+    (what a k-layer GNN reads to embed the seeds). Composes
+    ``sample_subgraph`` over the reversed edge frame; returns
+    (src, dst, hop) in ORIGINAL orientation. ``seeds`` carries a
+    ``node_id`` column."""
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    samp = sample_subgraph(
+        rev, seeds.select(F.col("node_id").alias("src")), fanouts, seed)
+    return samp.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst"), "hop")

@@ -541,6 +541,57 @@ def q_hetero_link_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epoch int, train_loss double, train_n long, val_acc double")
 
 
+def q_gat_stack_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2→L10 at FULL DEPTH (rows-only; iterative + sampled): the
+    2-layer homogeneous GATv2 stack trained through per-layer sampled
+    in-edge closures — the complete `[num_neighbors] * num_layers`
+    LinkNeighborLoader shape (reference dataloader.py:24-51). Same
+    customer→nation message graph and labels as q_gat_stack_train;
+    fanouts [15, 15], content-addressed batches, max_batches=2 bounds
+    driver runtime. Returns the epoch history; train BCE must
+    decrease."""
+    from rel_db_to_graph_spark.ml.gat_train import train_gat_stack_sampled
+    from rel_db_to_graph_spark.ml.hetero import node_features_normalized
+
+    g = build_graph(spark, sf_dir)
+    cust = g["nodes"]["customer"]
+    feats = node_features_normalized({"customer": cust})["customer"][0]
+    # same deterministic ring + self-loop message graph and stride-pair
+    # labels as q_gat_stack_train (see that docstring)
+    n_nodes = cust.count()
+    ring = cust.select(
+        F.col("node_id").alias("src"),
+        ((F.col("node_id") + 1) % F.lit(n_nodes)).alias("dst"))
+    loops = g["edges"][("customer", "SELF_LOOP", "customer")]
+    edges = ring.unionByName(loops.select("src", "dst"))
+    raw = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pk"), "c_nationkey")
+    cn = (cust.select("node_id", "pk").join(raw, "pk")
+          .select("node_id", F.col("c_nationkey").alias("_nk")))
+    strides = None
+    for k in (1, 7, 13):
+        s = cn.select(F.col("node_id").alias("src"),
+                      ((F.col("node_id") + k) % F.lit(n_nodes)).alias("dst"))
+        strides = s if strides is None else strides.unionByName(s)
+    ex = (strides
+          .join(cn.select(F.col("node_id").alias("src"),
+                          F.col("_nk").alias("_na")), "src")
+          .join(cn.select(F.col("node_id").alias("dst"),
+                          F.col("_nk").alias("_nb")), "dst")
+          .select("src", "dst",
+                  (F.col("_na") == F.col("_nb")).cast("int")
+                  .alias("label")))
+    res = train_gat_stack_sampled(edges, feats, ex, hidden=2, layers=2,
+                                  fanouts=[15, 15], batch_size=512,
+                                  max_batches=2, epochs=2, lr=0.05,
+                                  seed=42)
+    return spark.createDataFrame(
+        [(h["epoch"], float(h["train_loss"]), int(h["train_n"]),
+          float(h["val_acc"]))
+         for h in res.history],
+        "epoch int, train_loss double, train_n long, val_acc double")
+
+
 def q_gat_stack_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5 FULL DEPTH (rows-only; iterative): 2-layer homogeneous GATv2
     stack trained end-to-end — backprop chains through BOTH attention

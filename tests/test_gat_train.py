@@ -631,3 +631,76 @@ def test_sampled_subgraph_scales_with_fanout_not_edges(spark):
         per_dst[r.dst] = per_dst.get(r.dst, 0) + 1
     assert per_dst[0] == fanout          # hub capped at fanout, not 500
     assert all((r.src, r.dst) in set(hub_edges) for r in rows)
+
+
+def _toy_homo(spark):
+    rng = np.random.default_rng(1)
+    n = 14
+    xs = [(i, [float(rng.normal()), float(rng.normal())]) for i in range(n)]
+    edges = [(i, (i + 1) % n) for i in range(n)] + \
+            [(i, (i + 3) % n) for i in range(n)]
+    examples = [(i, j, int((i + j) % 2 == 0))
+                for i in range(n) for j in range(n) if i != j]
+    return (spark.createDataFrame(edges, "src long, dst long"),
+            spark.createDataFrame(xs, "node_id long, emb array<double>"),
+            spark.createDataFrame(examples, "src long, dst long, label int"))
+
+
+def test_stack_sampled_matches_full_when_fanouts_cover_graph(spark):
+    """Full-depth exactness anchor: per-hop fanout ≥ max in-degree + a
+    single batch ⇒ the sampled k-layer trainer IS train_gat_stack
+    (sampling drops exactly the edges outside the seeds' k-hop
+    gradient support)."""
+    from rel_db_to_graph_spark.ml.gat_train import (
+        train_gat_stack,
+        train_gat_stack_sampled,
+    )
+
+    e_df, f_df, ex = _toy_homo(spark)
+    full = train_gat_stack(e_df, f_df, ex, hidden=2, layers=2, epochs=2,
+                           lr=0.1, seed=3)
+    samp = train_gat_stack_sampled(e_df, f_df, ex, hidden=2, layers=2,
+                                   fanouts=[100, 100], batch_size=10_000,
+                                   epochs=2, lr=0.1, seed=3)
+    for hf, hs in zip(full.history, samp.history):
+        assert abs(hf["train_loss"] - hs["train_loss"]) < 1e-9, (hf, hs)
+        assert abs(hf["val_loss"] - hs["val_loss"]) < 1e-9
+    assert np.allclose(full.weights, samp.weights, rtol=1e-8, atol=1e-10)
+    assert abs(full.bias - samp.bias) < 1e-9
+
+
+def test_stack_sampled_minibatch_learns(spark):
+    from rel_db_to_graph_spark.ml.gat_train import train_gat_stack_sampled
+
+    e_df, f_df, ex = _toy_homo(spark)
+    res = train_gat_stack_sampled(e_df, f_df, ex, hidden=2, layers=2,
+                                  fanouts=[2, 2], batch_size=64,
+                                  epochs=3, lr=0.1, seed=3)
+    losses = [h["train_loss"] for h in res.history]
+    assert losses[-1] < losses[0], losses
+    assert all(h["train_n"] > 0 for h in res.history)
+
+
+def test_sample_incoming_multihop_bound(spark):
+    """k-hop in-closure stays fanout-bounded per hop: a 500-in-degree
+    hub contributes ≤ fanout edges at its hop, and hop-1 expansion is
+    bounded by fanout² per seed — never by |E|."""
+    from pyspark.sql import functions as F
+
+    from rel_db_to_graph_spark.operators.sampling import sample_incoming
+
+    hub = [(i, 0) for i in range(500)] + [(500 + i, j)
+                                          for i in range(200)
+                                          for j in range(1, 3)]
+    e_df = spark.createDataFrame(hub, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node_id long")
+    fanout = 3
+    samp = sample_incoming(e_df, seeds, [fanout, fanout], seed=5)
+    rows = samp.collect()
+    h0 = [r for r in rows if r.hop == 0]
+    h1 = [r for r in rows if r.hop == 1]
+    assert len(h0) == fanout                     # hub capped, not 500
+    assert len(h1) <= fanout * fanout
+    assert all(r.dst == 0 for r in h0)
+    edge_set = set(hub)
+    assert all((r.src, r.dst) in edge_set for r in rows)
