@@ -60,6 +60,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # simple r3-green queries, and everything whose code changed this
     # round. tests/test_driver_window.py ENFORCES the invariant that
     # never-driver-checked queries sit inside the window.
+    "semantic_dedup": Q.q_semantic_dedup,
+    "ann_pq": Q.q_ann_pq,
+    "ann_ivfpq": Q.q_ann_ivfpq,
+    "quality_lr_score": Q.q_quality_lr_score,
+    "quality_lr_train": Q.q_quality_lr_train,
+    "corpus_mix_temp": Q.q_corpus_mix_temp,
+    "dense_ids_increment": Q.q_dense_ids_increment,
     "edges_attr": Q.q_edges_attr,
     "msg_agg_weighted": Q.q_msg_agg_weighted,
     "key_skew": Q.q_key_skew,
@@ -103,15 +110,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": Q.q_dedup_clusters,
     "embedding_dedup": Q.q_embedding_dedup,
     "corpus_stats_approx_err": Q.q_corpus_stats_approx_err,
+    # ------------- position 51+: past the driver window -------------
+    # multi-round-green (r4 and/or r1-r3) entries resting this round
+    "events_asof": Q.q_events_asof,
     "funnel_ordered": Q.q_funnel_ordered,
     "events_hourly": Q.q_events_hourly,
     "events_sessionize": Q.q_events_sessionize,
-    "events_asof": Q.q_events_asof,
     "events_attribution": Q.q_events_attribution,
     "events_funnel": Q.q_events_funnel,
     "retention_cohorts": Q.q_retention_cohorts,
-    # ------------- position 51+: past the driver window -------------
-    # multi-round-green (r4 and/or r1-r3) entries resting this round
     "event_anomalies": Q.q_event_anomalies,
     "tfidf_keywords": Q.q_tfidf_keywords,
     "term_topk": Q.q_term_topk,

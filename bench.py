@@ -69,6 +69,10 @@ HEADLINE = {
     # round 4 additions: vocabulary-scale shuffle + the as-of merge join
     "tfidf_keywords": lambda s, d: Q.q_tfidf_keywords(s, d).count(),
     "events_asof": lambda s, d: Q.q_events_asof(s, d).count(),
+    # round 5 additions: iterative k-means tiers + the trained filter scan
+    "semantic_dedup": lambda s, d: Q.q_semantic_dedup(s, d).count(),
+    "ann_pq": lambda s, d: Q.q_ann_pq(s, d).collect(),
+    "quality_lr_score": lambda s, d: Q.q_quality_lr_score(s, d).count(),
 }
 
 

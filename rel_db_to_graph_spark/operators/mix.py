@@ -76,6 +76,53 @@ def corpus_mix(df: DataFrame, source_col: str, weights: dict[str, int],
             .withColumn("pass", (F.col("ordinal") * stride).cast("long")))
 
 
+def temperature_weights(counts: dict[str, int], tau: float = 0.5,
+                        quant: int = 100) -> dict[str, int]:
+    """Integer source weights ∝ (n_s / max_n)^tau — the multilingual-
+    balance standard (mBERT/XLM-R/T5 all sample sources by a tempered
+    count power, tau<1 upsampling small sources so they aren't drowned
+    by the web crawl). Quantized via ceil so every weight is a positive
+    integer.
+
+    Cross-engine exactness: for the oracle-gated tau=0.5 the power is
+    ``math.sqrt`` — IEEE-754 correctly rounded, so DuckDB's ``sqrt``
+    produces the SAME double, and ceil of a double is unambiguous
+    (other tau values go through ``pow``, whose last ulp is libm-
+    dependent — fine for production, not oracle-pinned)."""
+    max_n = max(counts.values())
+    out = {}
+    for s, n in counts.items():
+        frac = n / max_n
+        p = math.sqrt(frac) if tau == 0.5 else frac ** tau
+        out[s] = int(math.ceil(quant * p))
+    return out
+
+
+def corpus_mix_temperature(df: DataFrame, source_col: str, key_col: str,
+                           tau: float = 0.5, quant: int = 100) -> DataFrame:
+    """(key, source, ordinal, weight, vtime) — temperature-scaled
+    weighted-fair-queueing stream order: vtime = (ordinal+1) / weight,
+    the classic WFQ virtual finish time. Consumers sort by
+    (vtime, source, ordinal) — a total order whose prefixes contain
+    sources ∝ their tempered weights.
+
+    vtime is a double, but EXACT for parity purposes: ordinal+1 and
+    weight are small integers, and IEEE division is correctly rounded —
+    both engines produce bit-identical doubles. Per-source counts come
+    back as one |sources|-row collect (driver-sized); ordinals reuse
+    the bucketed no-total-sort rank."""
+    counts = {r[source_col]: r["n"] for r in
+              df.groupBy(source_col).agg(F.count("*").alias("n")).collect()}
+    weights = temperature_weights(counts, tau=tau, quant=quant)
+    wcol = F.lit(None).cast("long")
+    for s, w in sorted(weights.items()):
+        wcol = F.when(F.col("source") == s, F.lit(int(w))).otherwise(wcol)
+    return (source_ordinals(df, source_col, key_col)
+            .withColumn("weight", wcol)
+            .withColumn("vtime",
+                        (F.col("ordinal") + 1) / F.col("weight")))
+
+
 def mix_prefix(mixed: DataFrame, n: int) -> DataFrame:
     """First ``n`` stream items — TakeOrdered on the integer order, no
     total sort."""

@@ -1,0 +1,197 @@
+"""Product quantization (PQ) — compressed-vector ANN, the memory-side
+scale path for similarity search (Jégou, Douze, Schmid, "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+IVF (operators/ivf.py) prunes WHICH vectors a query scans; PQ shrinks
+WHAT each scanned vector costs: the d-dim float vector (4·d bytes) is
+replaced by m subspace code bytes — a 64-dim float32 embedding (256 B)
+becomes m=4 codes (4 B), a 64× compression, which is what lets a
+100 TB embedding corpus live in executor memory as a code table.
+
+Everything is deterministic and DataFrame-native:
+  * training: per subspace s, Lloyd k-means over the slice
+    ``vec[s·dsub : (s+1)·dsub]`` — init = the k lowest-id vectors'
+    subvectors, assignment = argmin over k broadcast centroid literals
+    (ties to the lower code), update = one groupBy(code) per-dimension
+    mean. Codebooks are m·k·dsub doubles — KBs, driver-sized by
+    construction;
+  * encoding: map-only — m argmin expressions per row, emitting
+    ``codes: array<int>``; no shuffle, no UDF;
+  * query (ADC — asymmetric distance): the query stays EXACT; per
+    subspace a k-entry lookup table of squared distances
+    ``‖q_s − c_{s,j}‖²`` is folded into the plan as an array literal,
+    and each row's estimated distance is m ``element_at`` lookups —
+    whole-stage-codegen integer indexing over the code column, then
+    one TakeOrdered(k). The corpus floats are never touched at query
+    time.
+
+Cross-engine determinism (DuckDB oracle): argmin ordering uses squared
+distances that both engines accumulate in index order; ties break to
+the lower code id; the output distance is rounded to 6 dp (queries.py
+determinism rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _sub(vec: Column, s: int, dsub: int) -> Column:
+    return F.slice(vec, s * dsub + 1, dsub)
+
+
+def _assign_sub(df: DataFrame, s: int, dsub: int,
+                codebook: list[list[float]], out: str) -> DataFrame:
+    dists = F.array(*[_sq_dist(_sub(F.col("_v"), s, dsub), c)
+                      for c in codebook])
+    return df.withColumn(
+        out, F.array_position(dists, F.array_min(dists)).cast("int") - 1)
+
+
+def train_pq(embeddings: DataFrame, m: int = 4, k: int = 8, iters: int = 2,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Per-subspace codebooks ``[m][k][dsub]``. Deterministic: init =
+    the k lowest-id vectors' subvectors; ties in argmin break to the
+    lower code. Raises if the dimension is not divisible by ``m``."""
+    e = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"))
+    e = e.localCheckpoint(eager=True)   # m·iters argmin passes re-read _v
+
+    init = e.orderBy("_id").limit(k).collect()
+    dim = len(init[0]["_v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    books: list[list[list[float]]] = [
+        [list(r["_v"])[s * dsub:(s + 1) * dsub] for r in init]
+        for s in range(m)
+    ]
+    for s in range(m):
+        for _ in range(iters):
+            assigned = _assign_sub(e, s, dsub, books[s], "_c")
+            # means rounded to 6 dp so codebooks are BIT-identical with
+            # the DuckDB twin (centroid values flow into the output
+            # distance here, unlike ivf.py where they only pick clusters)
+            agg = (assigned
+                   .select("_c", F.posexplode(_sub(F.col("_v"), s, dsub))
+                           .alias("pos", "x"))
+                   .groupBy("_c", "pos")
+                   .agg(F.round(F.avg("x"), 6).alias("mu"))
+                   .collect())
+            new: dict[int, dict[int, float]] = {j: {} for j in range(k)}
+            for r in agg:
+                new[r._c][r.pos] = r.mu
+            books[s] = [
+                [new[j][p] for p in sorted(new[j])] if new[j] else books[s][j]
+                for j in range(k)
+            ]
+    return books
+
+
+def encode_pq(embeddings: DataFrame, books: list[list[list[float]]],
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<int> of length m) — the compressed corpus.
+    Map-only; at scale this is the frame you persist instead of the
+    float vectors."""
+    m = len(books)
+    dsub = len(books[0][0])
+    e = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"))
+    for s in range(m):
+        e = _assign_sub(e, s, dsub, books[s], f"_c{s}")
+    return e.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_c{s}") for s in range(m)]).alias("codes"))
+
+
+def adc_estimate(books: list[list[list[float]]], qv: list[float]) -> Column:
+    """The ADC distance expression over a ``codes`` column: per-subspace
+    LUT of ||q_s - c_{s,j}||^2 folded into the plan, summed by m
+    element_at lookups (left-associated, index order — matches the
+    oracle's explicit addition chain)."""
+    m, dsub = len(books), len(books[0][0])
+    est = F.lit(0.0)
+    for s in range(m):
+        qs = qv[s * dsub:(s + 1) * dsub]
+        lut = [sum((a - b) * (a - b) for a, b in zip(qs, c))
+               for c in books[s]]
+        est = est + F.element_at(F.array(*[F.lit(float(x)) for x in lut]),
+                                 F.element_at("codes", s + 1) + 1)
+    return est
+
+
+def pq_topk(embeddings: DataFrame, query_id: int, k: int = 10,
+            m: int = 4, n_codes: int = 8, iters: int = 2,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Top-k by ASCENDING estimated squared distance (ADC), ties to the
+    lower id. Returns (id, adist rounded to 6 dp)."""
+    books = train_pq(embeddings, m=m, k=n_codes, iters=iters,
+                     id_col=id_col, vec_col=vec_col)
+    codes = encode_pq(embeddings, books, id_col=id_col, vec_col=vec_col)
+    dsub = len(books[0][0])
+
+    qv = list(
+        embeddings.filter(F.col(id_col) == query_id)
+        .select(F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                .alias("_v"))
+        .collect()[0]["_v"])
+    assert dsub * m == len(qv)
+    return (
+        codes.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col),
+                F.round(adc_estimate(books, qv), 6).alias("adist"))
+        .orderBy("adist", id_col)
+        .limit(k)
+    )
+
+
+def ivfpq_topk(embeddings: DataFrame, query_id: int, k: int = 10,
+               n_clusters: int = 8, nprobe: int = 4, m: int = 4,
+               n_codes: int = 8, iters: int = 2, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF + PQ composed — the FAISS-style shape for web-scale vector
+    search: the coarse quantizer (operators/ivf.py k-means) prunes WHICH
+    rows are scanned (nprobe/n_clusters of the corpus; partition-pruned
+    when the index is written partitionBy(cluster)), and PQ codes shrink
+    WHAT each scanned row costs (m bytes, ADC lookups). Raw-vector PQ
+    (no residual encoding) so the codebooks are shared with ``pq_topk``
+    and the whole composition stays oracle-checkable."""
+    from rel_db_to_graph_spark.operators.ivf import build_ivf_index
+
+    assigned, centroids = build_ivf_index(embeddings, k=n_clusters,
+                                          iters=iters, id_col=id_col,
+                                          vec_col=vec_col)
+    assigned = assigned.localCheckpoint(eager=True)
+    books = train_pq(embeddings, m=m, k=n_codes, iters=iters,
+                     id_col=id_col, vec_col=vec_col)
+    codes = encode_pq(embeddings, books, id_col=id_col, vec_col=vec_col)
+
+    qv = list(assigned.filter(F.col(id_col) == query_id)
+              .collect()[0]["_v"])
+
+    def sq(c):
+        return sum((a - b) * (a - b) for a, b in zip(qv, c))
+
+    probe = sorted(range(len(centroids)),
+                   key=lambda c: (sq(centroids[c]), c))[:nprobe]
+    return (
+        codes.join(assigned.select(id_col, "cluster"), id_col)
+        .filter(F.col("cluster").isin(probe))
+        .filter(F.col(id_col) != query_id)
+        .select(F.col(id_col),
+                F.round(adc_estimate(books, qv), 6).alias("adist"))
+        .orderBy("adist", id_col)
+        .limit(k)
+    )

@@ -739,6 +739,47 @@ SELECT doc_id, source, ordinal,
 FROM o ORDER BY pass, source, ordinal LIMIT 200
 """
 
+#: twin of operators/mix.py::corpus_mix_temperature (tau=0.5, quant=100):
+#: weights = ceil(100*sqrt(n_s/max_n)) (IEEE sqrt — bit-identical), WFQ
+#: virtual time = (ordinal+1)/weight (exact integer-over-integer double
+#: division), top-200 prefix of the (vtime, source, ordinal) order.
+CORPUS_MIX_TEMP = f"""
+WITH b AS (SELECT doc_id, source, {hash_bucket_sql('doc_id', 64)} AS b
+           FROM documents),
+o AS (SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY b, doc_id)
+                  - 1 AS BIGINT) AS ordinal
+      FROM b),
+c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+mx AS (SELECT max(n) AS m FROM c),
+w AS (SELECT source, CAST(ceil(100 * sqrt(CAST(n AS DOUBLE) / m)) AS BIGINT)
+             AS weight
+      FROM c, mx)
+SELECT doc_id, o.source, ordinal, weight,
+       (ordinal + 1) / weight AS vtime
+FROM o JOIN w ON o.source = w.source
+ORDER BY vtime, o.source, ordinal LIMIT 200
+"""
+
+#: twin of queries.py::q_dense_ids_increment — append-only dense ids:
+#: yesterday's snapshot (%3 != 0 keys) keeps its bucketed-order ids;
+#: the remaining keys append above max_id in the same bucketed order.
+DENSE_IDS_INCREMENT = f"""
+WITH old_src AS (SELECT DISTINCT o_orderkey AS pk FROM orders
+                 WHERE o_orderkey % 3 <> 0),
+old_b AS (SELECT pk, {hash_bucket_sql('pk', 64)} AS b FROM old_src),
+old_ids AS (SELECT pk, CAST(row_number() OVER (ORDER BY b, pk) - 1
+                 AS BIGINT) AS node_id FROM old_b),
+new_src AS (SELECT DISTINCT o_orderkey AS pk FROM orders
+            WHERE o_orderkey NOT IN (SELECT pk FROM old_ids)),
+new_b AS (SELECT pk, {hash_bucket_sql('pk', 64)} AS b FROM new_src),
+base AS (SELECT count(*) AS n FROM old_ids),
+new_ids AS (SELECT pk, CAST(n + row_number() OVER (ORDER BY b, pk) - 1
+                 AS BIGINT) AS node_id FROM new_b, base)
+SELECT pk, node_id FROM old_ids
+UNION ALL SELECT pk, node_id FROM new_ids
+"""
+
 CORPUS_STATS = f"""
 WITH n AS (SELECT doc_id, lang, source, {_NORM_TEXT} AS norm FROM documents),
 t AS (SELECT lang, source,
@@ -973,16 +1014,15 @@ SELECT query_id, vec_id, score, CAST(rnk AS INTEGER) AS rnk
 FROM r WHERE rnk <= 5
 """
 
-def _ivf_sql(k: int = 8, iters: int = 3, nprobe: int = 4,
-             topk: int = 10) -> str:
-    """Twin of operators/ivf.py::ivf_topk — the deterministic k-means
-    unrolled as CTEs: init = k lowest-id vectors (ivf.py:45), each Lloyd
-    iteration = argmin assignment (ties to the lower cluster id,
-    ivf.py:35) + per-cluster per-dimension mean (empty clusters keep the
-    previous centroid, ivf.py:59-62), then one final assignment, an
-    nprobe-nearest-centroid probe, and cosine top-k over the probed
-    clusters only. list_distance is monotone in the squared distance
-    Spark folds, so every argmin/ordering agrees."""
+def _kmeans_parts(k: int, iters: int) -> tuple[list[str], str]:
+    """Shared unrolled deterministic k-means (twin of
+    operators/ivf.py::build_ivf_index): init = k lowest-id vectors
+    (ivf.py:45), each Lloyd iteration = argmin assignment (ties to the
+    lower cluster id, ivf.py:35) + per-cluster per-dimension mean (empty
+    clusters keep the previous centroid, ivf.py:59-62), then one final
+    assignment CTE ``af``. list_distance is monotone in the squared
+    distance Spark folds, so every argmin agrees. Returns (CTE parts,
+    name of the final centroid CTE)."""
     parts = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         ("c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)"
@@ -1013,6 +1053,15 @@ def _ivf_sql(k: int = 8, iters: int = 3, nprobe: int = 4,
         "SELECT e.vec_id, c.cluster, row_number() OVER ("
         "PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cv), "
         f"c.cluster) AS rn FROM e CROSS JOIN {prev} c) WHERE rn = 1)")
+    return parts, prev
+
+
+def _ivf_sql(k: int = 8, iters: int = 3, nprobe: int = 4,
+             topk: int = 10) -> str:
+    """Twin of operators/ivf.py::ivf_topk — unrolled k-means
+    (``_kmeans_parts``) + an nprobe-nearest-centroid probe + cosine
+    top-k over the probed clusters only."""
+    parts, prev = _kmeans_parts(k, iters)
     parts.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
     parts.append(
         f"probe AS (SELECT c.cluster FROM {prev} c, q "
@@ -1028,6 +1077,169 @@ ORDER BY score DESC, e.vec_id LIMIT {topk}
 
 
 ANN_IVF = _ivf_sql()
+
+
+def _semantic_dedup_sql(k: int = 8, iters: int = 3,
+                        threshold: float = 0.2) -> str:
+    """Twin of operators/semantic.py::semantic_dedup (max_cluster=None):
+    the same unrolled k-means, then within-cluster pairs (equi-join on
+    cluster id, lower id on the left) with round(cosine, 6) >= threshold
+    marking the HIGHER id as dropped. Cosine is rounded before the
+    compare in both engines so the decision boundary is bit-identical."""
+    parts, _ = _kmeans_parts(k, iters)
+    cos = ("round(list_dot_product(a.v, b.v) / "
+           "(sqrt(list_dot_product(a.v, a.v)) * "
+           "sqrt(list_dot_product(b.v, b.v))), 6)")
+    parts.append(
+        "av AS (SELECT af.vec_id, af.cluster, e.v FROM af "
+        "JOIN e USING (vec_id))")
+    parts.append(
+        "dropped AS (SELECT DISTINCT b.vec_id FROM av a "
+        "JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id "
+        f"WHERE {cos} >= {threshold})")
+    return "WITH " + ",\n".join(parts) + """
+SELECT av.vec_id, av.cluster,
+       (av.vec_id NOT IN (SELECT vec_id FROM dropped)) AS kept
+FROM av
+"""
+
+
+SEMANTIC_DEDUP = _semantic_dedup_sql()
+
+
+def _quality_lr_sql() -> str:
+    """Twin of ml/quality.py::score_quality with the PINNED trained
+    weights — the same centered features, left-associated weighted sum,
+    [-30,30] clamp, sigmoid, round 6."""
+    from rel_db_to_graph_spark.ml.quality import PINNED_BIAS, PINNED_WEIGHTS
+    w, b = PINNED_WEIGHTS, PINNED_BIAS
+    f0 = "(length(replace(norm, ' ', '')) / len(toks) - 4.5)"
+    f1 = ("(5.0 * (len(list_filter(toks, t -> list_contains("
+          f"{_STOPLIST}, t))) / len(toks)))")
+    f2 = ("(5.0 * (length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))"
+          " / length(text)))")
+    f3 = "(len(toks) / 100.0 - 0.5)"
+    z = (f"{b} + {w[0]} * {f0} + {w[1]} * {f1} + {w[2]} * {f2}"
+         f" + {w[3]} * {f3}")
+    z = f"greatest(least({z}, 30.0), -30.0)"
+    return f"""
+WITH n AS (SELECT doc_id, text, {_NORM_TEXT} AS norm FROM documents),
+     t AS (SELECT doc_id, text, string_split(norm, ' ') AS toks, norm
+           FROM n)
+SELECT doc_id, round({SIGMOID.format(z=z)}, 6) AS quality_p FROM t
+"""
+
+
+def _pq_parts(m: int, k: int, iters: int,
+              dim: int) -> tuple[list[str], str, str]:
+    """Per-subspace Lloyd k-means + ADC term CTEs (twin of
+    operators/pq.py::train_pq/encode_pq/adc_estimate): init = k
+    lowest-id subvectors, argmin ties to the lower code, means ROUNDED
+    TO 6 DP exactly like train_pq so the codebooks are bit-identical;
+    per subspace the ADC term is the squared distance between the
+    query's subvector and the row's assigned centroid, written as
+    explicit left-associated additions in index order (matching both
+    Spark's fold and Python's sum). Assumes CTEs ``e`` (vectors) and
+    ``q`` (query vector) are in scope. Returns (parts, total-distance
+    expression, join chain over the per-subspace term CTEs)."""
+    dsub = dim // m
+    parts: list[str] = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(
+            f"sub{s} AS (SELECT vec_id, list_slice(v, {lo}, {hi}) AS v "
+            "FROM e)")
+        parts.append(
+            f"b{s}_0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)"
+            " - 1 AS INT) AS code, v AS cv"
+            f" FROM (SELECT * FROM sub{s} ORDER BY vec_id LIMIT {k}))")
+        prev = f"b{s}_0"
+        for i in range(iters):
+            parts.append(
+                f"s{s}a{i} AS (SELECT vec_id, code FROM ("
+                f"SELECT t.vec_id, b.code, row_number() OVER ("
+                "PARTITION BY t.vec_id ORDER BY list_distance(t.v, b.cv), "
+                f"b.code) AS rn FROM sub{s} t CROSS JOIN {prev} b) "
+                "WHERE rn = 1)")
+            parts.append(
+                f"s{s}m{i} AS (SELECT code, pos, round(avg(x), 6) AS mu "
+                "FROM (SELECT a.code, generate_subscripts(t.v, 1) AS pos, "
+                f"unnest(t.v) AS x FROM sub{s} t JOIN s{s}a{i} a "
+                "USING (vec_id)) GROUP BY code, pos)")
+            parts.append(
+                f"s{s}cm{i} AS (SELECT code, list(mu ORDER BY pos) AS cv "
+                f"FROM s{s}m{i} GROUP BY code)")
+            parts.append(
+                f"b{s}_{i + 1} AS (SELECT p.code, coalesce(n.cv, p.cv) AS cv "
+                f"FROM {prev} p LEFT JOIN s{s}cm{i} n USING (code))")
+            prev = f"b{s}_{i + 1}"
+        parts.append(
+            f"s{s}af AS (SELECT vec_id, code FROM ("
+            f"SELECT t.vec_id, b.code, row_number() OVER ("
+            "PARTITION BY t.vec_id ORDER BY list_distance(t.v, b.cv), "
+            f"b.code) AS rn FROM sub{s} t CROSS JOIN {prev} b) "
+            "WHERE rn = 1)")
+        # squared ADC term: explicit left-assoc additions in index order
+        sq = " + ".join(
+            f"(q.qv[{lo + i}] - b.cv[{i + 1}]) * "
+            f"(q.qv[{lo + i}] - b.cv[{i + 1}])"
+            for i in range(dsub))
+        parts.append(
+            f"t{s} AS (SELECT a.vec_id, ({sq}) AS t "
+            f"FROM s{s}af a JOIN {prev} b USING (code), q)")
+    total = " + ".join(f"t{s}.t" for s in range(m))
+    joins = "t0" + "".join(f" JOIN t{s} USING (vec_id)" for s in range(1, m))
+    return parts, total, joins
+
+
+def _pq_sql(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64,
+            topk: int = 10) -> str:
+    """Twin of operators/pq.py::pq_topk — ``_pq_parts`` + ADC top-k,
+    rounded to 6 dp."""
+    sub, total, joins = _pq_parts(m, k, iters, dim)
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        *sub,
+    ]
+    parts.insert(1, "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
+    return "WITH " + ",\n".join(parts) + f"""
+SELECT vec_id, round(0.0 + {total}, 6) AS adist
+FROM {joins}
+WHERE vec_id <> 0
+ORDER BY adist, vec_id LIMIT {topk}
+"""
+
+
+ANN_PQ = _pq_sql()
+
+
+def _ivfpq_sql(n_clusters: int = 8, nprobe: int = 4, m: int = 4,
+               k: int = 8, iters: int = 2, dim: int = 64,
+               topk: int = 10) -> str:
+    """Twin of operators/pq.py::ivfpq_topk — the coarse k-means
+    (``_kmeans_parts``) picks the nprobe probed clusters, the PQ twin
+    (``_pq_parts``) supplies codebooks + ADC terms, and the final top-k
+    scans only rows whose coarse cluster is probed."""
+    coarse, cprev = _kmeans_parts(n_clusters, iters)
+    sub, total, joins = _pq_parts(m, k, iters, dim)
+    parts = [
+        *coarse,                     # includes the shared ``e`` CTE
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
+        (f"probe AS (SELECT c.cluster FROM {cprev} c, q "
+         f"ORDER BY list_distance(q.qv, c.cv), c.cluster LIMIT {nprobe})"),
+        *sub,
+    ]
+    return "WITH " + ",\n".join(parts) + f"""
+SELECT vec_id, round(0.0 + {total}, 6) AS adist
+FROM {joins} JOIN af USING (vec_id)
+WHERE vec_id <> 0 AND af.cluster IN (SELECT cluster FROM probe)
+ORDER BY adist, vec_id LIMIT {topk}
+"""
+
+
+ANN_IVFPQ = _ivfpq_sql()
+
+QUALITY_LR_SCORE = _quality_lr_sql()
 
 _COS_AB = ("round(list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * "
            "sqrt(list_dot_product(vb, vb))), 6)")
@@ -1244,6 +1456,8 @@ ORACLES: dict[str, str] = {
     "doc_chunks": DOC_CHUNKS,
     "repetition": REPETITION,
     "corpus_mix": CORPUS_MIX,
+    "corpus_mix_temp": CORPUS_MIX_TEMP,
+    "dense_ids_increment": DENSE_IDS_INCREMENT,
     "pii_scrub": PII_SCRUB,
     "incremental_dedup": INCREMENTAL_DEDUP,
     "pagerank": PAGERANK,
@@ -1259,6 +1473,10 @@ ORACLES: dict[str, str] = {
     "ann_brute": ANN_BRUTE,
     "ann_lsh": ANN_LSH,
     "ann_ivf": ANN_IVF,
+    "ann_pq": ANN_PQ,
+    "ann_ivfpq": ANN_IVFPQ,
+    "semantic_dedup": SEMANTIC_DEDUP,
+    "quality_lr_score": QUALITY_LR_SCORE,
     "embedding_dedup": EMBEDDING_DEDUP,
     "corpus_clean": CORPUS_CLEAN,
     "events_funnel": EVENTS_FUNNEL,

@@ -865,6 +865,32 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("key").alias("doc_id"), "source", "ordinal", "pass"))
 
 
+def q_corpus_mix_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (tau=0.5) source mixing: WFQ virtual-time
+    stream order with ceil(100*sqrt(n_s/max_n)) weights — first 200
+    items (operators/mix.py::corpus_mix_temperature)."""
+    from rel_db_to_graph_spark.operators.mix import corpus_mix_temperature
+    d = load_table(spark, sf_dir, "documents")
+    mixed = corpus_mix_temperature(d, "source", "doc_id", tau=0.5)
+    return (mixed.orderBy("vtime", "source", "ordinal").limit(200)
+            .select(F.col("key").alias("doc_id"), "source", "ordinal",
+                    "weight", "vtime"))
+
+
+def q_dense_ids_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only dense-id maintenance (operators/increment.py): the
+    %3!=0 orders keys form yesterday's immutable mapping; today's full
+    table appends the rest above max_id. CDC at 100 TB: incremental
+    cost scales with the batch, not the graph."""
+    from rel_db_to_graph_spark.operators.graph_build import dense_ids_scalable
+    from rel_db_to_graph_spark.operators.increment import dense_ids_append
+    orders = load_table(spark, sf_dir, "orders")
+    snapshot = orders.filter(F.col("o_orderkey") % 3 != 0)
+    existing = dense_ids_scalable(snapshot.select("o_orderkey"),
+                                  "o_orderkey")
+    return dense_ids_append(existing, orders, "o_orderkey")
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact one-row corpus profile (operators/stats.py). Percentiles
     at dyadic quantiles over integer token counts — bit-exact vs
@@ -1055,6 +1081,57 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rel_db_to_graph_spark.operators.ivf import ivf_topk
     return ivf_topk(load_table(spark, sf_dir, "embeddings"), query_id=0,
                     k=10, n_clusters=8, nprobe=4)
+
+
+def q_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter, scoring pass (ml/quality.py): the
+    IRLS-trained logistic classifier folded into the plan as literals —
+    map-only, oracle-exact."""
+    from rel_db_to_graph_spark.ml.quality import score_quality
+    return score_quality(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter, TRAINING pass (rows-only: iterative
+    float math) — IRLS over DataFrame Gram/gradient reductions; returns
+    the per-iteration accuracy history."""
+    from rel_db_to_graph_spark.ml.quality import train_quality_irls
+    m = train_quality_irls(load_table(spark, sf_dir, "documents"), iters=6)
+    return spark.createDataFrame(
+        [(h["iter"], float(h["acc"])) for h in m.history],
+        "iter int, acc double")
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): m=4 subspace
+    codebooks of 8 codes, ADC top-10 by estimated squared distance —
+    the compressed-corpus scale path (64x smaller scan than floats)."""
+    from rel_db_to_graph_spark.operators.pq import pq_topk
+    return pq_topk(load_table(spark, sf_dir, "embeddings"), query_id=0,
+                   k=10, m=4, n_codes=8, iters=2)
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed (FAISS-style): coarse clusters prune WHICH rows
+    are scanned, PQ codes shrink WHAT each row costs — ADC top-10 over
+    the probed clusters only."""
+    from rel_db_to_graph_spark.operators.pq import ivfpq_topk
+    return ivfpq_topk(load_table(spark, sf_dir, "embeddings"), query_id=0,
+                      k=10, n_clusters=8, nprobe=4, m=4, n_codes=8,
+                      iters=2)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: deterministic k-means clusters +
+    within-cluster cosine pruning (drop any vector with a >=threshold
+    lower-id neighbour in its cluster). max_cluster=None: the oracle
+    twin computes exhaustive within-cluster pairs (see q_near_dup_pairs
+    for the parity convention); production callers keep the capped
+    default."""
+    from rel_db_to_graph_spark.operators.semantic import semantic_dedup
+    return semantic_dedup(load_table(spark, sf_dir, "embeddings"),
+                          threshold=0.2, n_clusters=8, iters=3,
+                          max_cluster=None)
 
 
 # ---------------------------------------------------------------- multimodal

@@ -1,0 +1,57 @@
+"""Incremental dense ids (operators/increment.py): old ids immutable,
+union dense, idempotent, deterministic. Oracle parity for
+``dense_ids_increment`` runs in test_oracle_parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rel_db_to_graph_spark.operators.graph_build import dense_ids_scalable
+from rel_db_to_graph_spark.operators.increment import dense_ids_append
+from rel_db_to_graph_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _setup(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    snapshot = orders.filter(F.col("o_orderkey") % 3 != 0)
+    existing = dense_ids_scalable(snapshot.select("o_orderkey"), "o_orderkey")
+    return orders, existing
+
+
+def test_old_ids_immutable_and_union_dense(spark):
+    orders, existing = _setup(spark)
+    old = {r.pk: r.node_id for r in existing.collect()}
+    merged = dense_ids_append(existing, orders, "o_orderkey")
+    got = {r.pk: r.node_id for r in merged.collect()}
+    assert all(got[pk] == nid for pk, nid in old.items())
+    n = len(got)
+    assert sorted(got.values()) == list(range(n))
+    assert n == orders.select("o_orderkey").distinct().count()
+    # every appended id sits above the old range
+    appended = {pk: nid for pk, nid in got.items() if pk not in old}
+    assert appended and min(appended.values()) == len(old)
+
+
+def test_idempotent_on_already_mapped_batch(spark):
+    orders, existing = _setup(spark)
+    snapshot = orders.filter(F.col("o_orderkey") % 3 != 0)
+    again = dense_ids_append(existing, snapshot, "o_orderkey")
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, existing.collect()))
+
+
+def test_deterministic_and_empty_existing(spark):
+    orders, existing = _setup(spark)
+    a = sorted(map(tuple, dense_ids_append(existing, orders,
+                                           "o_orderkey").collect()))
+    b = sorted(map(tuple, dense_ids_append(existing, orders,
+                                           "o_orderkey").collect()))
+    assert a == b
+    # empty existing mapping -> plain dense_ids_scalable result
+    empty = existing.filter(F.lit(False))
+    from_scratch = sorted(map(tuple, dense_ids_append(
+        empty, orders, "o_orderkey").collect()))
+    direct = sorted(map(tuple, dense_ids_scalable(
+        orders.select("o_orderkey"), "o_orderkey").collect()))
+    assert from_scratch == direct

@@ -162,3 +162,32 @@ def test_funnel_ordered_scans_events_once(spark):
     assert n_cached > 0, "events projection is no longer persisted"
     assert n_parquet == n_cached, (
         f"{n_parquet - n_cached} direct parquet scan(s) outside the cache")
+
+
+def test_semantic_dedup_pair_join_is_equi_not_cartesian(spark):
+    """The within-cluster compare must hash-partition on cluster id —
+    an all-pairs CartesianProduct here is the 100 TB killer."""
+    p = plan_of(Q.q_semantic_dedup(spark, SF_ORACLE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pq_scan_is_take_ordered_over_codes(spark):
+    """ADC top-k: per-partition heaps, never a global sort; and the
+    scored relation carries the CODE column, not the float vectors."""
+    p = plan_of(Q.q_ann_pq(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p
+
+
+def test_quality_score_is_map_only(spark):
+    """The trained classifier is plan literals — scoring must be one
+    scan with zero exchanges (a free rider on any corpus pass)."""
+    p = plan_of(Q.q_quality_lr_score(spark, SF_ORACLE))
+    assert "Exchange" not in p
+
+
+def test_increment_base_offset_is_broadcast_not_collect(spark):
+    """The max_id+1 base joins in as a broadcast scalar."""
+    p = plan_of(Q.q_dense_ids_increment(spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p

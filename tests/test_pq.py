@@ -1,0 +1,77 @@
+"""Product quantization (operators/pq.py): code validity, determinism,
+and an exactness anchor — when every vector gets its own code
+(k = corpus size, distinct subvectors) quantization is lossless and the
+ADC estimate equals the true squared L2 distance. Oracle parity for
+``ann_pq`` runs in test_oracle_parity via the driver inventory."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rel_db_to_graph_spark.operators.pq import encode_pq, pq_topk, train_pq
+from rel_db_to_graph_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+VECS = [
+    (0, [0.0, 1.0, 2.0, 3.0]),
+    (1, [1.0, 0.0, 0.5, 2.0]),
+    (2, [4.0, 4.0, 4.0, 4.0]),
+    (3, [-1.0, 2.0, 0.0, 1.0]),
+    (4, [0.5, 0.5, 3.0, 0.0]),
+    (5, [2.0, -2.0, 1.0, 1.0]),
+]
+
+
+def _tiny(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<double>")
+
+
+def test_codes_valid_and_count_preserved(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = train_pq(emb, m=4, k=8, iters=1)
+    codes = encode_pq(emb, books)
+    assert codes.count() == emb.count()
+    bad = codes.filter(
+        F.exists("codes", lambda c: (c < 0) | (c >= 8))
+        | (F.size("codes") != 4))
+    assert bad.count() == 0
+
+
+def test_pq_topk_deterministic(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = pq_topk(emb, query_id=0, k=5, m=4, n_codes=8, iters=1).collect()
+    b = pq_topk(emb, query_id=0, k=5, m=4, n_codes=8, iters=1).collect()
+    assert [(r.vec_id, r.adist) for r in a] == [(r.vec_id, r.adist) for r in b]
+
+
+def test_lossless_when_every_vector_has_its_own_code(spark):
+    """k = |corpus| with distinct subvectors: each subvector is its own
+    centroid, so ADC distance == exact squared L2 distance and the PQ
+    ranking equals the exact ranking."""
+    df = _tiny(spark)
+    got = pq_topk(df, query_id=0, k=5, m=2, n_codes=6, iters=2).collect()
+    q = dict(VECS)[0]
+    exact = sorted(
+        ((sum((a - b) * (a - b) for a, b in zip(q, v)), i)
+         for i, v in VECS if i != 0))
+    assert [(r.vec_id, r.adist) for r in got] == [
+        (i, round(d, 6)) for d, i in exact]
+
+
+def test_dim_not_divisible_raises(spark):
+    with pytest.raises(ValueError):
+        train_pq(_tiny(spark), m=3, k=2, iters=1)
+
+
+def test_ivfpq_full_probe_equals_pq(spark):
+    """nprobe = n_clusters disables coarse pruning -> IVFPQ must equal
+    plain PQ exactly (same codebooks, same ADC)."""
+    from rel_db_to_graph_spark.operators.pq import ivfpq_topk
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    full = ivfpq_topk(emb, query_id=0, k=10, n_clusters=4, nprobe=4,
+                      m=4, n_codes=8, iters=1).collect()
+    plain = pq_topk(emb, query_id=0, k=10, m=4, n_codes=8,
+                    iters=1).collect()
+    assert [(r.vec_id, r.adist) for r in full] == [
+        (r.vec_id, r.adist) for r in plain]

@@ -1,0 +1,58 @@
+"""Semantic dedup (operators/semantic.py): survivor-rule invariants,
+determinism, and the max_cluster safety valve. Oracle parity for
+``semantic_dedup`` runs in test_oracle_parity via the driver inventory."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rel_db_to_graph_spark.operators.semantic import (
+    semantic_dedup,
+    semantic_survivors,
+)
+from rel_db_to_graph_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _flags(spark, **kw):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    return semantic_dedup(emb, threshold=0.2, n_clusters=4, iters=2, **kw)
+
+
+def test_partition_and_lowest_id_survives(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    flags = _flags(spark, max_cluster=None)
+    rows = flags.collect()
+    assert len(rows) == emb.count()
+    # the lowest id of every cluster has no lower-id neighbour -> kept
+    lowest = (flags.groupBy("cluster").agg(F.min("vec_id").alias("vec_id"))
+              .join(flags, ["cluster", "vec_id"]))
+    assert lowest.filter(~F.col("kept")).count() == 0
+    # something was actually pruned at this threshold
+    assert flags.filter(~F.col("kept")).count() > 0
+
+
+def test_deterministic(spark):
+    a = sorted(map(tuple, _flags(spark, max_cluster=None).collect()))
+    b = sorted(map(tuple, _flags(spark, max_cluster=None).collect()))
+    assert a == b
+
+
+def test_max_cluster_cap_only_reduces_drops(spark):
+    """Capping the comparison partners can only KEEP more (drop fewer):
+    survivors(exhaustive) ⊆ survivors(capped)."""
+    exhaustive = {r.vec_id for r in
+                  _flags(spark, max_cluster=None).filter("kept").collect()}
+    capped = {r.vec_id for r in
+              _flags(spark, max_cluster=1).filter("kept").collect()}
+    assert exhaustive <= capped
+
+
+def test_survivors_matches_flags(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    flags = semantic_dedup(emb, threshold=0.2, n_clusters=4, iters=2,
+                           max_cluster=None)
+    surv = semantic_survivors(emb, threshold=0.2, n_clusters=4, iters=2,
+                              max_cluster=None)
+    assert ({r.vec_id for r in surv.collect()}
+            == {r.vec_id for r in flags.filter("kept").collect()})
