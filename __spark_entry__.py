@@ -63,6 +63,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": Q.q_semantic_dedup,
     "ann_pq": Q.q_ann_pq,
     "ann_ivfpq": Q.q_ann_ivfpq,
+    "term_cms": Q.q_term_cms,
+    "dup_spans": Q.q_dup_spans,
+    "lm_nll": Q.q_lm_nll,
+    "bpe_train": Q.q_bpe_train,
     "quality_lr_score": Q.q_quality_lr_score,
     "quality_lr_train": Q.q_quality_lr_train,
     "corpus_mix_temp": Q.q_corpus_mix_temp,
@@ -76,14 +80,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "layout_compact": Q.q_layout_compact,
     "gat_stack_train": Q.q_gat_stack_train,
     "corpus_stats_approx": Q.q_corpus_stats_approx,
-    "link_split": Q.q_link_split,
     "neighbor_sample": Q.q_neighbor_sample,
     "hetero_neighbor_sample": Q.q_hetero_neighbor_sample,
     "negative_sample": Q.q_negative_sample,
-    "link_pred_train": Q.q_link_pred_train,
     "hetero_link_train": Q.q_hetero_link_train,
-    "hetero_forward": Q.q_hetero_forward,
-    "recommend_gnn": Q.q_recommend_gnn,
     "token_pack": Q.q_token_pack,
     "chunk_fill": Q.q_chunk_fill,
     "pii_scrub": Q.q_pii_scrub,
@@ -111,7 +111,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dedup": Q.q_embedding_dedup,
     "corpus_stats_approx_err": Q.q_corpus_stats_approx_err,
     # ------------- position 51+: past the driver window -------------
-    # multi-round-green (r4 and/or r1-r3) entries resting this round
+    # multi-round-green (r4 and/or r1-r3) entries resting this round,
+    # plus two rows-only entries (r3 row-count rows; full property/
+    # numpy pytest coverage in test_hetero) displaced by this round's
+    # new oracle-backed queries
+    "hetero_forward": Q.q_hetero_forward,
+    "recommend_gnn": Q.q_recommend_gnn,
+    "link_pred_train": Q.q_link_pred_train,
+    "link_split": Q.q_link_split,
     "events_asof": Q.q_events_asof,
     "funnel_ordered": Q.q_funnel_ordered,
     "events_hourly": Q.q_events_hourly,

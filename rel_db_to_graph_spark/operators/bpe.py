@@ -1,0 +1,117 @@
+"""BPE vocabulary training — byte-pair-encoding merge learning as
+DataFrame reductions, the tokenizer-building step of an LLM data
+pipeline (Sennrich, Haddow, Birch, "Neural Machine Translation of Rare
+Words with Subword Units", ACL 2016).
+
+Spark-first decomposition: the expensive part of BPE is counting
+adjacent symbol pairs over the corpus; the cheap part is picking the
+best pair and rewriting. So each merge round is
+
+  1. ONE aggregation — explode per-position adjacent pairs from the
+     distinct-WORD table weighted by word frequency (the corpus itself
+     is touched once, up front, to build word counts; rounds then run
+     over the vocabulary-sized word table, the classic Sennrich
+     optimization), groupBy(pair) with map-side combine,
+  2. a 1-row argmax collect (ties: count desc, then lexicographic
+     (left, right) — total, deterministic),
+  3. a map-only fold rewriting each word's symbol array with the
+     merge applied greedily left-to-right (non-overlapping, matching
+     the reference regex-replace semantics), localCheckpointed so
+     round r+1's plan does not replay rounds 1..r.
+
+Simplifications vs production BPE (documented, pinned by the pure-
+python twin in tests): no end-of-word marker, whitespace pre-
+tokenization via text.py::normalize/tokens. Deterministic by
+construction — no seeds anywhere. Rows-only for the driver (the
+merge-apply fold has no tractable ANSI-SQL twin; SURVEY §5's
+convention for iterative ops), crosschecked against a reference
+python implementation in tests/test_bpe.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rel_db_to_graph_spark.operators.text import normalize, tokens
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) — the vocabulary-sized frame BPE rounds iterate on."""
+    return (docs.select(F.explode(tokens(normalize(F.col(text_col))))
+                        .alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word").agg(F.count("*").alias("n")))
+
+
+def _chars(colname: str) -> Column:
+    """Split the named string column into its character array."""
+    return F.expr(f"transform(sequence(1, length({colname})), "
+                  f"i -> substr({colname}, i, 1))")
+
+
+def _merge_expr(left: str, right: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of the adjacent pair
+    (left, right) inside the ``syms`` array — a single codegen fold:
+    the accumulator carries (rewritten prefix, one pending symbol)."""
+    la, ra = left.replace("'", "\\'"), right.replace("'", "\\'")
+    return F.expr(
+        "CASE WHEN size(syms) < 2 THEN syms ELSE "
+        "aggregate(slice(syms, 2, size(syms) - 1), "
+        "named_struct('out', CAST(array() AS ARRAY<STRING>), "
+        "             'prev', element_at(syms, 1)), "
+        "(acc, x) -> IF(acc.prev = '" + la + "' AND x = '" + ra + "', "
+        "  named_struct('out', concat(acc.out, array('" + la + ra + "')), "
+        "               'prev', CAST(NULL AS STRING)), "
+        "  named_struct('out', IF(acc.prev IS NULL, acc.out, "
+        "                         concat(acc.out, array(acc.prev))), "
+        "               'prev', x)), "
+        "acc -> IF(acc.prev IS NULL, acc.out, "
+        "          concat(acc.out, array(acc.prev)))) END")
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 10,
+              text_col: str = "text") -> list[dict]:
+    """Learn ``n_merges`` BPE merges; returns
+    [{step, left, right, pair_count}] in merge order. One pair-count
+    aggregation + one vocabulary rewrite per round."""
+    words = (word_counts(docs, text_col)
+             .select("n", _chars("word").alias("syms"))
+             .localCheckpoint(eager=True))
+
+    merges: list[dict] = []
+    for step in range(n_merges):
+        pairs = (words
+                 .filter(F.size("syms") >= 2)
+                 .select("n", F.explode(F.arrays_zip(
+                     F.slice("syms", 1, F.size("syms") - 1).alias("a"),
+                     F.slice("syms", 2, F.size("syms") - 1).alias("b")))
+                     .alias("p"))
+                 .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                 .agg(F.sum("n").alias("cnt")))
+        top = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+        if not top or top[0]["cnt"] <= 0:
+            break
+        left, right, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append({"step": step, "left": left, "right": right,
+                       "pair_count": cnt})
+        words = (words.select("n", _merge_expr(left, right).alias("syms"))
+                 .localCheckpoint(eager=True))
+    return merges
+
+
+def bpe_tokenize(docs: DataFrame, merges: list[dict],
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_pieces): apply the learned merges to every document —
+    map-only (the merge list is folded into the plan as n_merges chained
+    rewrite expressions over each word's symbol array)."""
+    d = docs.select(
+        F.col(id_col),
+        F.explode(tokens(normalize(F.col(text_col)))).alias("word"))
+    d = d.filter(F.col("word") != "").select(
+        id_col, _chars("word").alias("syms"))
+    for m in merges:
+        d = d.select(id_col, _merge_expr(m["left"], m["right"])
+                     .alias("syms"))
+    return (d.select(id_col, F.size("syms").alias("k"))
+            .groupBy(id_col).agg(F.sum("k").cast("long").alias("n_pieces")))

@@ -323,3 +323,37 @@ def decontaminate(train: DataFrame, benchmark: DataFrame,
     hits = grams_of(train).join(bench_grams, "gram")
     return (hits.groupBy(F.col("_id").alias(id_col))
             .agg(F.count("*").alias("n_overlapping_grams")))
+
+
+def duplicated_spans(docs: DataFrame, length: int = 40, stride: int = 10,
+                     min_docs: int = 2, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(gram_digest, n_docs, first_doc): fixed-length character windows
+    of the NORMALIZED text occurring in >= min_docs distinct documents
+    — the exact-substring duplication signal (the bounded, strided
+    stand-in for Lee et al. 2022's suffix-array dedup: windows at
+    stride s catch any shared run of >= length+s-1 chars).
+
+    Shape: one per-row window explode (map-only, ~len/stride rows per
+    doc) + one groupBy on the gram — the shuffle carries (32-char
+    digest, doc_id) pairs, never documents. MinHash (near_duplicate_
+    pairs) answers "mostly the same doc?"; this answers "which exact
+    PASSAGES are copied?" — the contamination / boilerplate-extraction
+    question."""
+    grams = (
+        docs.withColumn("_norm", normalize(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(
+                f"transform(sequence(1, greatest(length(_norm) - {length - 1},"
+                f" 1), {stride}), p -> substr(_norm, p, {length}))"))
+            .alias("gram"))
+        .filter(F.length("gram") == length)
+    )
+    return (grams.groupBy("gram")
+            .agg(F.count_distinct(F.col(id_col)).alias("n_docs"),
+                 F.min(id_col).alias("first_doc"))
+            .filter(F.col("n_docs") >= min_docs)
+            .select(F.md5("gram").alias("gram_digest"),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    "first_doc"))

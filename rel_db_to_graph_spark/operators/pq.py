@@ -47,12 +47,17 @@ def _sub(vec: Column, s: int, dsub: int) -> Column:
     return F.slice(vec, s * dsub + 1, dsub)
 
 
+def _assign_code(vec: Column, s: int, dsub: int,
+                 codebook: list[list[float]]) -> Column:
+    """argmin code over the subspace codebook; ties -> lowest code."""
+    dists = F.array(*[_sq_dist(_sub(vec, s, dsub), c) for c in codebook])
+    return F.array_position(dists, F.array_min(dists)).cast("int") - 1
+
+
 def _assign_sub(df: DataFrame, s: int, dsub: int,
                 codebook: list[list[float]], out: str) -> DataFrame:
-    dists = F.array(*[_sq_dist(_sub(F.col("_v"), s, dsub), c)
-                      for c in codebook])
     return df.withColumn(
-        out, F.array_position(dists, F.array_min(dists)).cast("int") - 1)
+        out, _assign_code(F.col("_v"), s, dsub, codebook))
 
 
 def train_pq(embeddings: DataFrame, m: int = 4, k: int = 8, iters: int = 2,
@@ -76,25 +81,36 @@ def train_pq(embeddings: DataFrame, m: int = 4, k: int = 8, iters: int = 2,
         [list(r["_v"])[s * dsub:(s + 1) * dsub] for r in init]
         for s in range(m)
     ]
-    for s in range(m):
-        for _ in range(iters):
-            assigned = _assign_sub(e, s, dsub, books[s], "_c")
-            # means rounded to 6 dp so codebooks are BIT-identical with
-            # the DuckDB twin (centroid values flow into the output
-            # distance here, unlike ivf.py where they only pick clusters)
-            agg = (assigned
-                   .select("_c", F.posexplode(_sub(F.col("_v"), s, dsub))
-                           .alias("pos", "x"))
-                   .groupBy("_c", "pos")
-                   .agg(F.round(F.avg("x"), 6).alias("mu"))
-                   .collect())
-            new: dict[int, dict[int, float]] = {j: {} for j in range(k)}
-            for r in agg:
-                new[r._c][r.pos] = r.mu
-            books[s] = [
-                [new[j][p] for p in sorted(new[j])] if new[j] else books[s][j]
-                for j in range(k)
-            ]
+    # all m subspaces train in the SAME pass per Lloyd iteration: one
+    # job computing every subspace's assignments and per-(subspace,
+    # code, pos) means at once (m sequential small k-means would pay
+    # m x iters job latencies for no reason — the fused pass is ~m x
+    # faster wall-clock at any scale). Means rounded to 6 dp so the
+    # codebooks are BIT-identical with the DuckDB twin (centroid values
+    # flow into the output distance here, unlike ivf.py where they only
+    # pick clusters).
+    for _ in range(iters):
+        cells = F.explode(F.array(*[
+            F.struct(
+                F.lit(s).alias("s"),
+                _assign_code(F.col("_v"), s, dsub, books[s]).alias("c"),
+                _sub(F.col("_v"), s, dsub).alias("sub"))
+            for s in range(m)]))
+        agg = (e.select(cells.alias("sc"))
+               .select("sc.s", "sc.c", F.posexplode("sc.sub")
+                       .alias("pos", "x"))
+               .groupBy("s", "c", "pos")
+               .agg(F.round(F.avg("x"), 6).alias("mu"))
+               .collect())
+        new: list[dict[int, dict[int, float]]] = [
+            {j: {} for j in range(k)} for _ in range(m)]
+        for r in agg:
+            new[r.s][r.c][r.pos] = r.mu
+        books = [
+            [[new[s][j][p] for p in sorted(new[s][j])]
+             if new[s][j] else books[s][j] for j in range(k)]
+            for s in range(m)
+        ]
     return books
 
 

@@ -169,3 +169,63 @@ def term_topk(docs: DataFrame, k: int = 20,
     return (terms.groupBy("term").agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), "term")
             .limit(int(k)))
+
+
+def cms_hash(term, row: int, width: int):
+    """Count-min row hash: first 4 hex chars of md5(term || '|row')
+    parsed base 16, mod width — bit-identical in DuckDB (the
+    hash_bucket family's construction, one independent row-seed per
+    sketch row)."""
+    return (F.conv(F.substring(F.md5(F.concat(term, F.lit(f"|{row}"))),
+                               1, 4), 16, 10).cast("long")
+            % F.lit(int(width)))
+
+
+def cms_counters(docs: DataFrame, width: int = 256, depth: int = 4,
+                 text_col: str = "text") -> DataFrame:
+    """(row, bucket, cnt) — the depth x width count-min sketch of the
+    corpus term stream, built in ONE map + groupBy pass: each term
+    fans out to its depth (row, bucket) cells via an inline array
+    explode (no re-scan per row), and the groupBy carries at most
+    depth*width counter cells out of each partition (map-side combine).
+    Fixed memory regardless of vocabulary — the stream-scale stand-in
+    for an exact term count."""
+    terms = (docs
+             .select(F.explode(tokens(normalize(F.col(text_col))))
+                     .alias("term"))
+             .filter(F.col("term") != ""))
+    cells = F.explode(F.array(*[
+        F.struct(F.lit(d).alias("row"),
+                 cms_hash(F.col("term"), d, width).alias("bucket"))
+        for d in range(depth)]))
+    return (terms.select(cells.alias("rb"))
+            .select("rb.row", "rb.bucket")
+            .groupBy("row", "bucket").agg(F.count("*").alias("cnt")))
+
+
+def cms_audit(docs: DataFrame, k: int = 20, width: int = 256,
+              depth: int = 4, text_col: str = "text") -> DataFrame:
+    """(term, exact_n, est_n, is_upper_bound) for the exact top-k terms:
+    est = min over the term's depth counters. The count-min guarantee
+    (est >= exact, ALWAYS — collisions only add) is emitted as an
+    asserted-true column, so any estimator bug hash-mismatches the
+    oracle and turns the driver board red — the same driver-visible
+    accuracy-contract pattern as corpus_stats_approx_err. The probe
+    join is k*depth rows against the depth*width counter table — both
+    broadcast-sized by construction."""
+    counters = cms_counters(docs, width=width, depth=depth,
+                            text_col=text_col)
+    top = term_topk(docs, k=k, text_col=text_col)
+    probes = (top.select(
+        "term", F.col("n").alias("exact_n"),
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("row"),
+                     cms_hash(F.col("term"), d, width).alias("bucket"))
+            for d in range(depth)])).alias("rb"))
+        .select("term", "exact_n", "rb.row", "rb.bucket"))
+    return (probes.join(counters, ["row", "bucket"])
+            .groupBy("term", "exact_n")
+            .agg(F.min("cnt").alias("est_n"))
+            .select("term", "exact_n", "est_n",
+                    (F.col("est_n") >= F.col("exact_n"))
+                    .alias("is_upper_bound")))

@@ -878,6 +878,84 @@ FROM terms WHERE term <> ''
 GROUP BY term ORDER BY n DESC, term LIMIT 20
 """
 
+def _cms_sql(k: int = 20, width: int = 256, depth: int = 4) -> str:
+    """Twin of operators/stats.py::cms_audit — the same md5 row hashes,
+    depth x width counter table, and min-over-rows estimate for the
+    exact top-k terms, with the est>=exact upper-bound contract as an
+    asserted column."""
+    unions = "\nUNION ALL ".join(
+        f"SELECT term, {d} AS row, "
+        + hash_bucket_sql("(term || '|" + str(d) + "')", width)
+        + " AS bucket FROM t"
+        for d in range(depth))
+    return f"""
+WITH n AS (SELECT {_NORM_TEXT} AS norm FROM documents),
+terms AS (SELECT unnest(string_split(norm, ' ')) AS term FROM n),
+t AS (SELECT term FROM terms WHERE term <> ''),
+pairs AS ({unions}),
+counters AS (SELECT row, bucket, count(*) AS cnt FROM pairs
+             GROUP BY row, bucket),
+top AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_n FROM t
+        GROUP BY term ORDER BY exact_n DESC, term LIMIT {k}),
+probe AS (SELECT DISTINCT top.term, top.exact_n, p.row, p.bucket
+          FROM top JOIN pairs p USING (term))
+SELECT term, exact_n, CAST(min(cnt) AS BIGINT) AS est_n,
+       (min(cnt) >= exact_n) AS is_upper_bound
+FROM probe JOIN counters USING (row, bucket)
+GROUP BY term, exact_n
+"""
+
+
+#: width 32 (vs the production default 256) so the sf0.01 vocabulary
+#: actually collides — the audit then shows real overcounts WITH the
+#: upper-bound contract still holding, not a trivially-exact sketch.
+TERM_CMS = _cms_sql(width=32)
+
+#: twin of operators/lm.py::doc_nll — add-one-smoothed bigram LM
+#: negative log-likelihood per doc; parallel unnest zips the two
+#: shifted slices into per-position bigrams; each term rounds to 6 dp
+#: BEFORE the decimal sum (the exp/sigmoid-oracle convention).
+DOC_NLL = f"""
+WITH n AS (SELECT doc_id, {_NORM_TEXT} AS norm FROM documents),
+tk AS (SELECT doc_id,
+              list_filter(string_split(norm, ' '), t -> t <> '') AS t
+       FROM n),
+bg AS (SELECT doc_id,
+              unnest(list_slice(t, 1, len(t) - 1)) AS a,
+              unnest(list_slice(t, 2, len(t))) AS b
+       FROM tk WHERE len(t) >= 2),
+big AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+uni AS (SELECT a, count(*) AS c_a FROM bg GROUP BY a),
+vv AS (SELECT count(DISTINCT tok) AS v FROM
+       (SELECT unnest(list_filter(string_split(norm, ' '),
+                                  x -> x <> '')) AS tok FROM n)),
+j AS (SELECT bg.doc_id, coalesce(big.c_ab, 0) AS c_ab, uni.c_a
+      FROM bg LEFT JOIN big USING (a, b) JOIN uni USING (a)),
+tt AS (SELECT doc_id,
+              round(-ln((c_ab + 1) / CAST(c_a + v AS DOUBLE)), 6) AS t
+       FROM j, vv)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CAST(t AS DECIMAL(27,6))) AS DOUBLE) AS nll
+FROM tt GROUP BY doc_id
+"""
+
+#: twin of operators/dedup.py::duplicated_spans — length-40 windows at
+#: stride 10 over normalized text; DuckDB range() is end-EXCLUSIVE so
+#: the stop is Spark's inclusive sequence stop + 1.
+DUP_SPANS = f"""
+WITH n AS (SELECT doc_id, {_NORM_TEXT} AS norm FROM documents),
+g AS (SELECT doc_id,
+             substr(norm, CAST(unnest(range(1,
+                 greatest(length(norm) - 39, 1) + 1, 10)) AS INT),
+                 40) AS gram
+      FROM n)
+SELECT md5(gram) AS gram_digest,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id) AS first_doc
+FROM g WHERE length(gram) = 40
+GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+"""
+
 TOKEN_PACK = f"""
 WITH {_PACKED_512.format(norm=_NORM_TEXT)}
 SELECT doc_id, n_tokens, start_offset, first_chunk, last_chunk,
@@ -1453,6 +1531,9 @@ ORACLES: dict[str, str] = {
     "source_quota": SOURCE_QUOTA,
     "event_anomalies": EVENT_ANOMALIES,
     "term_topk": TERM_TOPK,
+    "term_cms": TERM_CMS,
+    "dup_spans": DUP_SPANS,
+    "lm_nll": DOC_NLL,
     "doc_chunks": DOC_CHUNKS,
     "repetition": REPETITION,
     "corpus_mix": CORPUS_MIX,

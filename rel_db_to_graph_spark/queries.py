@@ -930,6 +930,49 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_quota(d, "source", cap=15, key_col="doc_id", seed=5)
 
 
+def q_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (operators/lm.py): per-doc add-one-
+    smoothed negative log-likelihood — the CCNet-style learned-LM
+    filter signal, decimal-summed 6dp terms for cross-engine
+    exactness."""
+    from rel_db_to_graph_spark.operators.lm import doc_nll
+    return doc_nll(load_table(spark, sf_dir, "documents"))
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary training (operators/bpe.py): 10 merge rounds over
+    the word-count table; returns the learned merge list. Rows-only
+    (the merge-apply fold has no ANSI twin); deterministic — python-
+    twin-crosschecked in tests/test_bpe.py."""
+    from rel_db_to_graph_spark.operators.bpe import bpe_train
+    merges = bpe_train(load_table(spark, sf_dir, "documents"), n_merges=10)
+    return spark.createDataFrame(
+        [(m["step"], m["left"], m["right"], m["pair_count"])
+         for m in merges],
+        "step int, left string, right string, pair_count long")
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication spans: 40-char normalized windows at
+    stride 10 shared by >=2 docs (operators/dedup.py::duplicated_spans)
+    — the which-passages-are-copied complement to MinHash whole-doc
+    near-dup."""
+    from rel_db_to_graph_spark.operators.dedup import duplicated_spans
+    return duplicated_spans(load_table(spark, sf_dir, "documents"))
+
+
+def q_term_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy-hitter audit: depth x width counters in
+    one pass, min-over-rows estimates for the exact top-20 terms, and
+    the est>=exact upper-bound guarantee as an asserted column
+    (operators/stats.py::cms_audit)."""
+    from rel_db_to_graph_spark.operators.stats import cms_audit
+    # width 32 (not the production 256) so collisions are VISIBLE at
+    # this vocabulary size: some est_n > exact_n, upper bound still true
+    return cms_audit(load_table(spark, sf_dir, "documents"), k=20,
+                     width=32)
+
+
 def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event-rate z-score anomalies vs the trailing 6h window
     per event_type (operators/events.py::rate_anomalies)."""

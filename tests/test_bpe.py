@@ -1,0 +1,101 @@
+"""BPE training (operators/bpe.py) vs a reference pure-python
+implementation: identical merge sequences (counts, ties, greedy
+non-overlapping apply), plus tokenize-length conservation."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from rel_db_to_graph_spark.operators.bpe import (
+    bpe_tokenize,
+    bpe_train,
+    word_counts,
+)
+from rel_db_to_graph_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+ROWS = [
+    (0, "low lower lowest low low"),
+    (1, "new newer newest new lowly"),
+    (2, "wide wider widest low new"),
+]
+
+
+def _norm_words(text: str) -> list[str]:
+    t = re.sub(r"[^a-z0-9 ]", " ", text.lower())
+    return [w for w in re.sub(r" +", " ", t).strip().split(" ") if w]
+
+
+def _python_bpe(word_freq: dict[str, int], n_merges: int):
+    """Reference implementation: per-position pair counts, ties by
+    (count desc, pair lexicographic), greedy left-to-right apply."""
+    vocab = {w: [c for c in w] for w in word_freq}
+    merges = []
+    for step in range(n_merges):
+        counts: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += word_freq[w]
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, left, right, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def _docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+def test_merge_sequence_matches_python_twin(spark):
+    freq: Counter = Counter()
+    for _, text in ROWS:
+        freq.update(_norm_words(text))
+    want, _ = _python_bpe(dict(freq), n_merges=8)
+    got = bpe_train(_docs(spark), n_merges=8)
+    assert [(m["step"], m["left"], m["right"], m["pair_count"])
+            for m in got] == want
+
+
+def test_merge_sequence_matches_twin_on_real_corpus(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    freq = {r.word: r.n for r in word_counts(docs).collect()}
+    want, _ = _python_bpe(freq, n_merges=5)
+    got = bpe_train(docs, n_merges=5)
+    assert [(m["step"], m["left"], m["right"], m["pair_count"])
+            for m in got] == want
+
+
+def test_tokenize_piece_counts_match_twin(spark):
+    freq: Counter = Counter()
+    for _, text in ROWS:
+        freq.update(_norm_words(text))
+    merges = bpe_train(_docs(spark), n_merges=6)
+    pieces = {r.doc_id: r.n_pieces
+              for r in bpe_tokenize(_docs(spark), merges).collect()}
+    _, vocab = _python_bpe(dict(freq), n_merges=6)
+    for doc_id, text in ROWS:
+        want = sum(len(vocab[w]) for w in _norm_words(text))
+        assert pieces[doc_id] == want
+
+
+def test_merges_reduce_piece_count(spark):
+    none = bpe_tokenize(_docs(spark), []).collect()
+    merges = bpe_train(_docs(spark), n_merges=6)
+    some = bpe_tokenize(_docs(spark), merges).collect()
+    total0 = sum(r.n_pieces for r in none)
+    total1 = sum(r.n_pieces for r in some)
+    assert total1 < total0

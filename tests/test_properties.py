@@ -92,3 +92,51 @@ def test_aggregates_partition_invariant(spark):
         )
         got = {tuple(sorted(r.asDict().items())) for r in redo.collect()}
         assert got == rows, f"partitioning {parts} changed aggregate bits"
+
+
+@given(counts=st.dictionaries(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+    st.integers(min_value=1, max_value=10**9),
+    min_size=1, max_size=12))
+@_settings
+def test_temperature_weights_properties(counts):
+    from math import ceil, sqrt
+
+    from rel_db_to_graph_spark.operators.mix import temperature_weights
+    w = temperature_weights(counts, tau=0.5, quant=100)
+    assert set(w) == set(counts)
+    assert all(isinstance(v, int) and 1 <= v <= 100 for v in w.values())
+    # the largest source always gets the full quant
+    biggest = max(counts, key=lambda s: (counts[s], s))
+    assert w[biggest] == 100
+    # monotone: more docs -> weight never smaller
+    for a in counts:
+        for b in counts:
+            if counts[a] <= counts[b]:
+                assert w[a] <= w[b]
+    # exact formula (IEEE sqrt + ceil)
+    mx = max(counts.values())
+    for s, n in counts.items():
+        assert w[s] == int(ceil(100 * sqrt(n / mx)))
+
+
+@given(pks=st.lists(st.integers(min_value=0, max_value=10**6),
+                    min_size=2, max_size=40, unique=True),
+       cut=st.integers(min_value=1, max_value=39))
+@_settings
+def test_incremental_ids_stable_for_any_split(spark, pks, cut):
+    """Whatever prefix of the key set forms the snapshot, appending the
+    rest never moves an old id and the union stays dense."""
+    from rel_db_to_graph_spark.operators.graph_build import dense_ids_scalable
+    from rel_db_to_graph_spark.operators.increment import dense_ids_append
+    cut = min(cut, len(pks) - 1)
+    old_keys, all_keys = pks[:cut], pks
+    old = dense_ids_scalable(
+        spark.createDataFrame([(p,) for p in old_keys], "pk long"), "pk")
+    merged = dense_ids_append(
+        old, spark.createDataFrame([(p,) for p in all_keys], "pk long"),
+        "pk")
+    got = {r.pk: r.node_id for r in merged.collect()}
+    before = {r.pk: r.node_id for r in old.collect()}
+    assert all(got[p] == i for p, i in before.items())
+    assert sorted(got.values()) == list(range(len(all_keys)))

@@ -95,3 +95,28 @@ def test_repetition_ratio_extremes(spark):
             df.select("id", r2.alias("d2"), r3.alias("d3")).collect()}
     assert rows[1].d2 > 0.97 and rows[1].d3 > 0.97
     assert rows[2].d2 == 0.0 and rows[2].d3 == 0.0
+
+
+def test_cms_upper_bound_and_fixed_memory(spark):
+    """CMS: est >= exact for every audited term (collisions only add),
+    the counter table never exceeds depth*width cells, and a narrow
+    sketch shows real overcounts while the bound holds."""
+    from rel_db_to_graph_spark.operators.stats import cms_audit, cms_counters
+    d = _docs(spark)
+    audit = cms_audit(d, k=20, width=32, depth=4).collect()
+    assert len(audit) == 20
+    assert all(r.is_upper_bound for r in audit)
+    assert any(r.est_n > r.exact_n for r in audit)   # width 32 collides
+    assert cms_counters(d, width=32, depth=4).count() <= 32 * 4
+    # widening the sketch can only tighten estimates
+    wide = {r.term: r.est_n for r in
+            cms_audit(d, k=20, width=256, depth=4).collect()}
+    narrow = {r.term: r.est_n for r in audit}
+    assert all(wide[t] <= narrow[t] for t in wide)
+
+
+def test_cms_deterministic(spark):
+    from rel_db_to_graph_spark.operators.stats import cms_audit
+    a = sorted(map(tuple, cms_audit(_docs(spark), k=10).collect()))
+    b = sorted(map(tuple, cms_audit(_docs(spark), k=10).collect()))
+    assert a == b

@@ -169,3 +169,22 @@ def test_custom_sessionize_matches_builtin_session_window(spark):
     assert builtin.count() == custom.count()
     assert builtin.exceptAll(custom).count() == 0
     assert custom.exceptAll(builtin).count() == 0
+
+
+def test_streaming_quality_scoring_matches_batch(spark):
+    """The pinned-weight quality classifier is a map-only codegen
+    expression, so the SAME function applies unchanged to a stream —
+    availableNow-drained scores must equal the batch scores exactly."""
+    from rel_db_to_graph_spark.ml.quality import score_quality
+
+    docs_schema = ("doc_id long, text string, lang string, "
+                   "source string, n_chars long")
+    sdocs = (spark.readStream.schema(docs_schema)
+             .option("pathGlobFilter", "documents.parquet")
+             .parquet(SF_SMOKE))
+    _drain_append(score_quality(sdocs), "quality_stream_test")
+    streamed = spark.table("quality_stream_test")
+
+    batch = score_quality(load_table(spark, SF_SMOKE, "documents"))
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
