@@ -66,6 +66,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_cms": Q.q_term_cms,
     "dup_spans": Q.q_dup_spans,
     "lm_nll": Q.q_lm_nll,
+    "curation_pipeline": Q.q_curation_pipeline,
     "bpe_train": Q.q_bpe_train,
     "quality_lr_score": Q.q_quality_lr_score,
     "quality_lr_train": Q.q_quality_lr_train,
@@ -82,7 +83,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats_approx": Q.q_corpus_stats_approx,
     "neighbor_sample": Q.q_neighbor_sample,
     "hetero_neighbor_sample": Q.q_hetero_neighbor_sample,
-    "negative_sample": Q.q_negative_sample,
     "hetero_link_train": Q.q_hetero_link_train,
     "token_pack": Q.q_token_pack,
     "chunk_fill": Q.q_chunk_fill,
@@ -119,6 +119,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recommend_gnn": Q.q_recommend_gnn,
     "link_pred_train": Q.q_link_pred_train,
     "link_split": Q.q_link_split,
+    "negative_sample": Q.q_negative_sample,
     "events_asof": Q.q_events_asof,
     "funnel_ordered": Q.q_funnel_ordered,
     "events_hourly": Q.q_events_hourly,

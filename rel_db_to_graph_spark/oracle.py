@@ -1185,10 +1185,12 @@ FROM av
 SEMANTIC_DEDUP = _semantic_dedup_sql()
 
 
-def _quality_lr_sql() -> str:
-    """Twin of ml/quality.py::score_quality with the PINNED trained
-    weights — the same centered features, left-associated weighted sum,
-    [-30,30] clamp, sigmoid, round 6."""
+def _quality_lr_p() -> str:
+    """The rounded sigmoid scoring expression of
+    ml/quality.py::score_quality with the PINNED trained weights —
+    expects columns ``text``, ``norm``, ``toks`` in scope. Same
+    centered features, left-associated weighted sum, [-30,30] clamp,
+    sigmoid, round 6."""
     from rel_db_to_graph_spark.ml.quality import PINNED_BIAS, PINNED_WEIGHTS
     w, b = PINNED_WEIGHTS, PINNED_BIAS
     f0 = "(length(replace(norm, ' ', '')) / len(toks) - 4.5)"
@@ -1200,11 +1202,16 @@ def _quality_lr_sql() -> str:
     z = (f"{b} + {w[0]} * {f0} + {w[1]} * {f1} + {w[2]} * {f2}"
          f" + {w[3]} * {f3}")
     z = f"greatest(least({z}, 30.0), -30.0)"
+    return f"round({SIGMOID.format(z=z)}, 6)"
+
+
+def _quality_lr_sql() -> str:
+    """Twin of ml/quality.py::score_quality (see _quality_lr_p)."""
     return f"""
 WITH n AS (SELECT doc_id, text, {_NORM_TEXT} AS norm FROM documents),
      t AS (SELECT doc_id, text, string_split(norm, ' ') AS toks, norm
            FROM n)
-SELECT doc_id, round({SIGMOID.format(z=z)}, 6) AS quality_p FROM t
+SELECT doc_id, {_quality_lr_p()} AS quality_p FROM t
 """
 
 
@@ -1318,6 +1325,65 @@ ORDER BY adist, vec_id LIMIT {topk}
 ANN_IVFPQ = _ivfpq_sql()
 
 QUALITY_LR_SCORE = _quality_lr_sql()
+
+
+def _curation_sql(threshold: float = 0.2, k: int = 8, iters: int = 3,
+                  cap: int = 10) -> str:
+    """Twin of queries.py::q_curation_pipeline — the end-to-end
+    curation capstone assembled from the individually-green pieces:
+    learned quality filter (pinned LR) + language filter + exact-dedup
+    survivorship + SemDeDup semantic survivors (unrolled k-means over
+    the embeddings, vec_id == doc_id in the testdata) + per-source
+    quota (content-addressed draw)."""
+    parts, _ = _kmeans_parts(k, iters)
+    cos = ("round(list_dot_product(a.v, b.v) / "
+           "(sqrt(list_dot_product(a.v, a.v)) * "
+           "sqrt(list_dot_product(b.v, b.v))), 6)")
+    parts.append(
+        "av AS (SELECT af.vec_id, af.cluster, e.v FROM af "
+        "JOIN e USING (vec_id))")
+    parts.append(
+        "semdrop AS (SELECT DISTINCT b.vec_id FROM av a "
+        "JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id "
+        f"WHERE {cos} >= {threshold})")
+    parts.append(
+        "semkeep AS (SELECT vec_id FROM av WHERE vec_id NOT IN "
+        "(SELECT vec_id FROM semdrop))")
+    parts.append(
+        f"nn AS (SELECT doc_id, lang, source, text, {_NORM_TEXT} AS norm "
+        "FROM documents)")
+    parts.append(
+        "tt AS (SELECT doc_id, lang, source, text, norm, "
+        "string_split(norm, ' ') AS toks FROM nn)")
+    parts.append(
+        "scored AS (SELECT doc_id, lang, source, md5(norm) AS fingerprint, "
+        f"{_quality_lr_p()} AS quality_p FROM tt)")
+    parts.append(
+        "kept AS (SELECT * FROM scored "
+        "WHERE lang = 'en' AND quality_p > 0.5)")
+    parts.append(
+        "surv AS (SELECT fingerprint, min(doc_id) AS doc_id FROM kept "
+        "GROUP BY fingerprint)")
+    parts.append(
+        "dedup AS (SELECT kk.* FROM kept kk JOIN surv s "
+        "ON kk.fingerprint = s.fingerprint AND kk.doc_id = s.doc_id)")
+    parts.append(
+        "semjoin AS (SELECT d.* FROM dedup d JOIN semkeep sk "
+        "ON d.doc_id = sk.vec_id)")
+    return "WITH " + ",\n".join(parts) + f"""
+SELECT doc_id, source, quality_p FROM (
+    SELECT doc_id, source, quality_p,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY {_draw_sql('doc_id', 5)}, doc_id)
+           AS qr
+    FROM semjoin
+) WHERE qr <= {cap}
+"""
+
+
+#: threshold 0.5: the semantic stage drops true near-dups only (0.2
+#: would flatten the whole corpus to per-cluster representatives)
+CURATION_PIPELINE = _curation_sql(threshold=0.5)
 
 _COS_AB = ("round(list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * "
            "sqrt(list_dot_product(vb, vb))), 6)")
@@ -1558,6 +1624,7 @@ ORACLES: dict[str, str] = {
     "ann_ivfpq": ANN_IVFPQ,
     "semantic_dedup": SEMANTIC_DEDUP,
     "quality_lr_score": QUALITY_LR_SCORE,
+    "curation_pipeline": CURATION_PIPELINE,
     "embedding_dedup": EMBEDDING_DEDUP,
     "corpus_clean": CORPUS_CLEAN,
     "events_funnel": EVENTS_FUNNEL,

@@ -930,6 +930,35 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_quota(d, "source", cap=15, key_col="doc_id", seed=5)
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation capstone in ONE lineage: learned quality
+    filter (pinned LR) → language filter → exact-dedup survivorship →
+    SemDeDup semantic survivors (embeddings vec_id == doc_id) →
+    per-source quota. The composition every stage was built for; each
+    stage is individually oracle-green, and this query pins that they
+    compose without semantic drift."""
+    from rel_db_to_graph_spark.ml.quality import score_quality
+    from rel_db_to_graph_spark.operators.sample import group_quota
+    from rel_db_to_graph_spark.operators.semantic import semantic_survivors
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = (docs.select("doc_id", "lang", "source",
+                          T.fingerprint(F.col("text")).alias("fingerprint"))
+              .join(score_quality(docs), "doc_id"))
+    kept = scored.filter((F.col("lang") == "en")
+                         & (F.col("quality_p") > 0.5))
+    surv = kept.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    dedup = kept.join(surv, ["fingerprint", "doc_id"])
+    sem = semantic_survivors(emb, threshold=0.5, n_clusters=8, iters=3,
+                             max_cluster=None)
+    merged = dedup.join(
+        sem.select(F.col("vec_id").alias("doc_id")), "doc_id")
+    return group_quota(
+        merged.select("doc_id", "source", "quality_p"), "source",
+        cap=10, key_col="doc_id", seed=5)
+
+
 def q_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality scoring (operators/lm.py): per-doc add-one-
     smoothed negative log-likelihood — the CCNet-style learned-LM

@@ -46,3 +46,25 @@ def test_lsh_bucket_cap(spark):
     # cap bounds worst-case fanout: no bucket contributes > C(2,2)=1 pair
     # per band, so capped pairs ≤ 4 bands × n_docs/2
     assert capped <= 4 * docs.count() // 2
+
+
+def test_curation_pipeline_stage_monotone_and_capped(spark):
+    """The capstone composition: each stage only removes documents,
+    output respects the per-source cap, and every survivor passes every
+    stage's predicate."""
+    from rel_db_to_graph_spark.ml.quality import score_quality
+    from rel_db_to_graph_spark.queries import q_curation_pipeline
+    from tests.conftest import SF_ORACLE
+
+    out = q_curation_pipeline(spark, SF_ORACLE).collect()
+    assert out
+    per_source = {}
+    for r in out:
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+    assert all(n <= 10 for n in per_source.values())
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    meta = {r.doc_id: r for r in
+            docs.join(score_quality(docs), "doc_id").collect()}
+    for r in out:
+        assert meta[r.doc_id].lang == "en"
+        assert meta[r.doc_id].quality_p > 0.5
