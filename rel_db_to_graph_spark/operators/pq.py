@@ -211,3 +211,65 @@ def ivfpq_topk(embeddings: DataFrame, query_id: int, k: int = 10,
         .orderBy("adist", id_col)
         .limit(k)
     )
+
+
+def write_ivfpq_index(embeddings: DataFrame, path: str,
+                      n_clusters: int = 8, m: int = 4, n_codes: int = 8,
+                      iters: int = 2, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Materialize the IVFPQ index as it would ship at 100 TB: PQ CODES
+    (m small ints per vector — the 64x-compressed corpus) parquet-
+    partitioned BY COARSE CLUSTER, plus driver-sized sidecars (coarse
+    centroids + PQ codebooks as json). A probe then reads only
+    nprobe/n_clusters of an already-64x-smaller dataset — directory
+    pruning times code compression. Returns the codebooks."""
+    from rel_db_to_graph_spark.operators.ivf import build_ivf_index
+
+    assigned, centroids = build_ivf_index(embeddings, k=n_clusters,
+                                          iters=iters, id_col=id_col,
+                                          vec_col=vec_col)
+    books = train_pq(embeddings, m=m, k=n_codes, iters=iters,
+                     id_col=id_col, vec_col=vec_col)
+    codes = encode_pq(embeddings, books, id_col=id_col, vec_col=vec_col)
+    (codes.join(assigned.select(id_col, "cluster"), id_col)
+     .write.mode("overwrite").partitionBy("cluster")
+     .parquet(f"{path}/codes"))
+    spark = embeddings.sparkSession
+    (spark.createDataFrame([(i, c) for i, c in enumerate(centroids)],
+                           "cluster int, cv array<double>")
+     .coalesce(1).write.mode("overwrite").json(f"{path}/centroids"))
+    (spark.createDataFrame(
+        [(s, j, books[s][j]) for s in range(m) for j in range(n_codes)],
+        "s int, code int, cv array<double>")
+     .coalesce(1).write.mode("overwrite").json(f"{path}/codebooks"))
+    return books
+
+
+def ivfpq_topk_from_index(spark, path: str, query_vec: list[float],
+                          k: int = 10, nprobe: int = 4,
+                          id_col: str = "vec_id") -> DataFrame:
+    """Probe a written IVFPQ index with an arbitrary query vector: pick
+    the nprobe nearest coarse centroids from the sidecar (driver-sized),
+    then ADC top-k over ONLY those clusters' code rows — the
+    ``cluster IN (...)`` predicate prunes parquet directories (pinned
+    by tests/test_plans.py) and the scan touches codes, never floats."""
+    qv = [float(x) for x in query_vec]
+    cents = {int(r.cluster): list(r.cv)
+             for r in spark.read.json(f"{path}/centroids").collect()}
+    brows = spark.read.json(f"{path}/codebooks").collect()
+    m = max(r.s for r in brows) + 1
+    n_codes = max(r.code for r in brows) + 1
+    books = [[None] * n_codes for _ in range(m)]
+    for r in brows:
+        books[r.s][r.code] = list(r.cv)
+
+    def sq(c):
+        return sum((a - b) * (a - b) for a, b in zip(qv, c))
+
+    probe = sorted(cents, key=lambda c: (sq(cents[c]), c))[:nprobe]
+    codes = spark.read.parquet(f"{path}/codes")
+    return (codes.filter(F.col("cluster").isin(probe))
+            .select(F.col(id_col),
+                    F.round(adc_estimate(books, qv), 6).alias("adist"))
+            .orderBy("adist", id_col)
+            .limit(k))

@@ -191,3 +191,33 @@ def test_increment_base_offset_is_broadcast_not_collect(spark):
     """The max_id+1 base joins in as a broadcast scalar."""
     p = plan_of(Q.q_dense_ids_increment(spark, SF_ORACLE))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_ivfpq_index_probe_is_partition_pruned(spark):
+    """The written IVFPQ index: codes parquet partitioned by coarse
+    cluster — a probe's cluster IN (...) lands in PartitionFilters
+    (directory pruning), the scanned columns are CODES (no float
+    vector column in ReadSchema), and the probe equals the in-memory
+    ivfpq_topk for the same query vector."""
+    import tempfile
+
+    from rel_db_to_graph_spark.operators.pq import (
+        ivfpq_topk, ivfpq_topk_from_index, write_ivfpq_index)
+    from rel_db_to_graph_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0")
+          .collect()[0]["embedding"]]
+    with tempfile.TemporaryDirectory() as d:
+        write_ivfpq_index(emb, d, n_clusters=8, m=4, n_codes=8, iters=2)
+        probe = ivfpq_topk_from_index(spark, d, qv, k=11, nprobe=4)
+        p = plan_of(probe)
+        seg = p[p.index("PartitionFilters"):]
+        seg = seg[:seg.index("\n")]
+        assert "cluster" in seg and "PartitionFilters: []" not in seg
+        assert "embedding" not in p          # floats never scanned
+        direct = ivfpq_topk(emb, query_id=0, k=10, n_clusters=8,
+                            nprobe=4, m=4, n_codes=8, iters=2)
+        got = [(r.vec_id, r.adist) for r in probe.collect()
+               if r.vec_id != 0][:10]
+        assert got == [(r.vec_id, r.adist) for r in direct.collect()]
