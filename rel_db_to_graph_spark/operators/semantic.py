@@ -46,7 +46,8 @@ from rel_db_to_graph_spark.operators.ivf import build_ivf_index
 def semantic_dedup(embeddings: DataFrame, threshold: float = 0.2,
                    n_clusters: int = 8, iters: int = 3,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   max_cluster: int | None = 2000) -> DataFrame:
+                   max_cluster: int | None = 2000,
+                   salt: int = 16) -> DataFrame:
     """(vec_id, cluster, kept) for every input vector.
 
     ``kept`` is false iff a lower-id vector in the same k-means cluster
@@ -54,6 +55,16 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.2,
     safety valve) considers only the ``max_cluster`` lowest-id vectors
     of a cluster as DROP CANDIDATES' comparison partners; pass ``None``
     for exhaustive within-cluster pairs (the oracle-checked mode).
+
+    ``salt`` fixes the pair join's PARALLELISM cliff: a plain equi-join
+    on cluster id has only n_clusters distinct keys, so with few or
+    skewed clusters ALL pair work lands on n_clusters partitions no
+    matter how many cores exist (measured ~50x wall-clock at sf1). The
+    right side is bucketed by a deterministic id hash into ``salt``
+    sub-keys and the left side replicated across all of them — every
+    pair still meets exactly once, results are bit-identical, and the
+    join fans out over n_clusters*salt partitions. Replication cost:
+    salt copies of the (capped) left comparison set.
     """
     assigned, _ = build_ivf_index(embeddings, k=n_clusters, iters=iters,
                                   id_col=id_col, vec_col=vec_col)
@@ -66,10 +77,22 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.2,
         w = Window.partitionBy("cluster").orderBy("_ida")
         left = (left.withColumn("_rk", F.row_number().over(w))
                 .filter(F.col("_rk") <= max_cluster).drop("_rk"))
-    right = assigned.select(F.col(id_col).alias("_idb"), "cluster",
-                            F.col("_v").alias("_vb"))
+    # Replicate left over the salt buckets, then FORCE a shuffle on the
+    # (cluster, salt) key: without it, a single-file source (one input
+    # partition) plus a broadcast-joined right side executes the whole
+    # pair compare on ONE core — the salt keys exist but nothing
+    # redistributes the rows (measured: the repartition, not the salt
+    # alone, is what buys the ~n_cores speedup).
+    left = (left.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(int(salt) - 1))))
+        .repartition(F.col("cluster"), F.col("_salt")))
+    right = assigned.select(
+        F.col(id_col).alias("_idb"), "cluster",
+        F.col("_v").alias("_vb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(salt)))
+        .cast("int").alias("_salt"))
     dropped = (
-        left.join(right, "cluster")
+        left.join(right, ["cluster", "_salt"])
         .filter(F.col("_ida") < F.col("_idb"))
         .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6)
                 >= F.lit(threshold))
@@ -87,9 +110,10 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.2,
 def semantic_survivors(embeddings: DataFrame, threshold: float = 0.2,
                        n_clusters: int = 8, iters: int = 3,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       max_cluster: int | None = 2000) -> DataFrame:
+                       max_cluster: int | None = 2000,
+                       salt: int = 16) -> DataFrame:
     """Just the surviving ids — the frame a pipeline semi-joins the
     document table against."""
     flags = semantic_dedup(embeddings, threshold, n_clusters, iters,
-                           id_col, vec_col, max_cluster)
+                           id_col, vec_col, max_cluster, salt)
     return flags.filter(F.col("kept")).select(id_col, "cluster")

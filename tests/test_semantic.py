@@ -56,3 +56,17 @@ def test_survivors_matches_flags(spark):
                               max_cluster=None)
     assert ({r.vec_id for r in surv.collect()}
             == {r.vec_id for r in flags.filter("kept").collect()})
+
+
+def test_salt_does_not_change_results(spark):
+    """The pair-join salt is pure parallelism: any salt width gives
+    bit-identical flags (every pair meets exactly once)."""
+    a = sorted(map(tuple, _flags(spark, max_cluster=None).collect()))
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    b = sorted(map(tuple, semantic_dedup(
+        emb, threshold=0.2, n_clusters=4, iters=2, max_cluster=None,
+        salt=1).collect()))
+    c = sorted(map(tuple, semantic_dedup(
+        emb, threshold=0.2, n_clusters=4, iters=2, max_cluster=None,
+        salt=7).collect()))
+    assert a == b == c
