@@ -51,6 +51,18 @@ def bench_graph_build(spark, sf_dir: str) -> int:
     return sum(r.n for r in counts.collect())
 
 
+def _force(df) -> None:
+    """FULL materialization: a noop write evaluates every output column.
+    ``count()`` is only a valid forcer for aggregate/join-shaped plans —
+    on map-only or window-only outputs Catalyst prunes the measured
+    expressions entirely (round-5 find: counting ``semantic_dedup``
+    even ELIMINATED its pair join, hiding 90% of the true cost;
+    ``simhash`` timed a parquet row count). Queries whose plan must run
+    for a count (aggregates, inner joins, TakeOrdered collects) keep
+    their cheaper forcers for cross-round comparability."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 HEADLINE = {
     "graph_build": bench_graph_build,
     "pricing_summary": lambda s, d: Q.q_pricing_summary(s, d).collect(),
@@ -58,21 +70,21 @@ HEADLINE = {
     "recommend": lambda s, d: Q.q_recommend(s, d).collect(),
     "degree": lambda s, d: Q.q_degree(s, d).count(),
     "near_dup_pairs": lambda s, d: Q.q_near_dup_pairs(s, d).count(),
-    "simhash": lambda s, d: Q.q_simhash(s, d).count(),
+    "simhash": lambda s, d: _force(Q.q_simhash(s, d)),
     "ann_brute": lambda s, d: Q.q_ann_brute(s, d).collect(),
-    "events_sessionize": lambda s, d: Q.q_events_sessionize(s, d).count(),
+    "events_sessionize": lambda s, d: _force(Q.q_events_sessionize(s, d)),
     "eval_metrics": lambda s, d: Q.q_eval_metrics(s, d).collect(),
     # north-star curation/analytics ops (round 2 additions)
-    "token_pack": lambda s, d: Q.q_token_pack(s, d).count(),
+    "token_pack": lambda s, d: _force(Q.q_token_pack(s, d)),
     "dedup_clusters": lambda s, d: Q.q_dedup_clusters(s, d).count(),
     "pagerank": lambda s, d: Q.q_pagerank(s, d).count(),
     # round 4 additions: vocabulary-scale shuffle + the as-of merge join
     "tfidf_keywords": lambda s, d: Q.q_tfidf_keywords(s, d).count(),
-    "events_asof": lambda s, d: Q.q_events_asof(s, d).count(),
+    "events_asof": lambda s, d: _force(Q.q_events_asof(s, d)),
     # round 5 additions: iterative k-means tiers + the trained filter scan
-    "semantic_dedup": lambda s, d: Q.q_semantic_dedup(s, d).count(),
+    "semantic_dedup": lambda s, d: _force(Q.q_semantic_dedup(s, d)),
     "ann_pq": lambda s, d: Q.q_ann_pq(s, d).collect(),
-    "quality_lr_score": lambda s, d: Q.q_quality_lr_score(s, d).count(),
+    "quality_lr_score": lambda s, d: _force(Q.q_quality_lr_score(s, d)),
 }
 
 
