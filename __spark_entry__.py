@@ -72,6 +72,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_lr_train": Q.q_quality_lr_train,
     "corpus_mix_temp": Q.q_corpus_mix_temp,
     "dense_ids_increment": Q.q_dense_ids_increment,
+    "graph_increment": Q.q_graph_increment,
     "edges_attr": Q.q_edges_attr,
     "msg_agg_weighted": Q.q_msg_agg_weighted,
     "key_skew": Q.q_key_skew,
@@ -81,7 +82,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "layout_compact": Q.q_layout_compact,
     "gat_stack_train": Q.q_gat_stack_train,
     "corpus_stats_approx": Q.q_corpus_stats_approx,
-    "neighbor_sample": Q.q_neighbor_sample,
     "hetero_neighbor_sample": Q.q_hetero_neighbor_sample,
     "hetero_link_train": Q.q_hetero_link_train,
     "token_pack": Q.q_token_pack,
@@ -120,6 +120,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_pred_train": Q.q_link_pred_train,
     "link_split": Q.q_link_split,
     "negative_sample": Q.q_negative_sample,
+    "neighbor_sample": Q.q_neighbor_sample,
     "events_asof": Q.q_events_asof,
     "funnel_ordered": Q.q_funnel_ordered,
     "events_hourly": Q.q_events_hourly,

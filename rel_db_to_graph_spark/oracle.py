@@ -780,6 +780,30 @@ SELECT pk, node_id FROM old_ids
 UNION ALL SELECT pk, node_id FROM new_ids
 """
 
+#: twin of queries.py::q_graph_increment — the incremental edge union
+#: equals a from-scratch edge build over the MERGED mapping (old ids
+#: immutable, batch appended above max), which is what this computes.
+GRAPH_INCREMENT = f"""
+WITH old_src AS (SELECT DISTINCT o_orderkey AS pk FROM orders
+                 WHERE o_orderkey % 3 <> 0),
+old_b AS (SELECT pk, {hash_bucket_sql('pk', 64)} AS b FROM old_src),
+old_ids AS (SELECT pk, CAST(row_number() OVER (ORDER BY b, pk) - 1
+                 AS BIGINT) AS node_id FROM old_b),
+new_src AS (SELECT DISTINCT o_orderkey AS pk FROM orders
+            WHERE o_orderkey NOT IN (SELECT pk FROM old_ids)),
+new_b AS (SELECT pk, {hash_bucket_sql('pk', 64)} AS b FROM new_src),
+base AS (SELECT count(*) AS n FROM old_ids),
+new_ids AS (SELECT pk, CAST(n + row_number() OVER (ORDER BY b, pk) - 1
+                 AS BIGINT) AS node_id FROM new_b, base),
+merged AS (SELECT pk, node_id FROM old_ids
+           UNION ALL SELECT pk, node_id FROM new_ids),
+cust AS ({ids_scalable_cte('customer', 'c_custkey')})
+SELECT m.node_id AS src, c.node_id AS dst
+FROM orders o
+JOIN merged m ON o.o_orderkey = m.pk
+JOIN cust c ON o.o_custkey = c.pk
+"""
+
 CORPUS_STATS = f"""
 WITH n AS (SELECT doc_id, lang, source, {_NORM_TEXT} AS norm FROM documents),
 t AS (SELECT lang, source,
@@ -1605,6 +1629,7 @@ ORACLES: dict[str, str] = {
     "corpus_mix": CORPUS_MIX,
     "corpus_mix_temp": CORPUS_MIX_TEMP,
     "dense_ids_increment": DENSE_IDS_INCREMENT,
+    "graph_increment": GRAPH_INCREMENT,
     "pii_scrub": PII_SCRUB,
     "incremental_dedup": INCREMENTAL_DEDUP,
     "pagerank": PAGERANK,

@@ -891,6 +891,37 @@ def q_dense_ids_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense_ids_append(existing, orders, "o_orderkey")
 
 
+def q_graph_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental graph maintenance end-to-end (increment.py composed
+    with the G3 edge build): yesterday's orders→customer edges are kept
+    as-is under the immutable old mapping; the CDC batch (the %3==0
+    keys) appends order ids above max_id and only ITS edges are built;
+    the union must equal a from-scratch build over the merged mapping —
+    which is exactly what the oracle computes. Incremental cost scales
+    with the batch; old edges are never re-remapped."""
+    from rel_db_to_graph_spark.operators.graph_build import dense_ids_scalable
+    from rel_db_to_graph_spark.operators.increment import dense_ids_append
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cust_ids = dense_ids_scalable(customer.select("c_custkey"), "c_custkey")
+    snap = orders.filter(F.col("o_orderkey") % 3 != 0)
+    old_ids = dense_ids_scalable(snap.select("o_orderkey"), "o_orderkey")
+    merged = dense_ids_append(old_ids, orders, "o_orderkey")
+
+    old_edges = edges_dense(
+        edge_pairs(spark, sf_dir, "orders", "o_orderkey", "o_custkey",
+                   df=snap),
+        old_ids, cust_ids)
+    batch = orders.join(old_ids.select(F.col("pk").alias("o_orderkey")),
+                        "o_orderkey", "left_anti")
+    new_edges = edges_dense(
+        edge_pairs(spark, sf_dir, "orders", "o_orderkey", "o_custkey",
+                   df=batch),
+        merged, cust_ids)
+    return old_edges.unionAll(new_edges)
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact one-row corpus profile (operators/stats.py). Percentiles
     at dyadic quantiles over integer token counts — bit-exact vs

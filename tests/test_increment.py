@@ -55,3 +55,29 @@ def test_deterministic_and_empty_existing(spark):
     direct = sorted(map(tuple, dense_ids_scalable(
         orders.select("o_orderkey"), "o_orderkey").collect()))
     assert from_scratch == direct
+
+
+def test_incremental_edges_equal_from_scratch_over_merged(spark):
+    """The incremental edge union (old edges under the old mapping +
+    batch edges under the merged mapping) equals a from-scratch edge
+    build over the merged mapping."""
+    from pyspark.sql import functions as F
+
+    from rel_db_to_graph_spark.queries import q_graph_increment
+
+    incremental = sorted(map(tuple,
+                             q_graph_increment(spark, SF_SMOKE).collect()))
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    cust_ids = dense_ids_scalable(customer.select("c_custkey"), "c_custkey")
+    snap_ids = dense_ids_scalable(
+        orders.filter(F.col("o_orderkey") % 3 != 0).select("o_orderkey"),
+        "o_orderkey")
+    merged = dense_ids_append(snap_ids, orders, "o_orderkey")
+    scratch = sorted(map(tuple, (
+        orders.join(merged.withColumnsRenamed(
+            {"pk": "o_orderkey", "node_id": "src"}), "o_orderkey")
+        .join(cust_ids.withColumnsRenamed(
+            {"pk": "o_custkey", "node_id": "dst"}), "o_custkey")
+        .select("src", "dst")).collect()))
+    assert incremental == scratch

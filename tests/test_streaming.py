@@ -188,3 +188,28 @@ def test_streaming_quality_scoring_matches_batch(spark):
     batch = score_quality(load_table(spark, SF_SMOKE, "documents"))
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).count() == 0
+
+
+def test_streaming_cms_matches_batch_sketch(spark):
+    """Streaming CMS: the drained update-mode cell table equals the
+    batch cms_counters over the same documents — fixed depth*width
+    state, interchangeable sketches."""
+    from rel_db_to_graph_spark.operators.stats import cms_counters
+    from rel_db_to_graph_spark.streaming.sketch import cms_cells_stream
+
+    docs_schema = ("doc_id long, text string, lang string, "
+                   "source string, n_chars long")
+    sdocs = (spark.readStream.schema(docs_schema)
+             .option("pathGlobFilter", "documents.parquet")
+             .parquet(SF_SMOKE))
+    q = (cms_cells_stream(sdocs, width=64, depth=4)
+         .writeStream.format("memory").queryName("cms_stream_test")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = spark.table("cms_stream_test")
+
+    batch = cms_counters(load_table(spark, SF_SMOKE, "documents"),
+                         width=64, depth=4)
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
+    assert streamed.count() <= 64 * 4          # the fixed-state bound
