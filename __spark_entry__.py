@@ -61,9 +61,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tests/test_driver_window.py ENFORCES the never-checked invariant.
     # ROUND-6 DEBT: events_funnel, retention_cohorts,
     # events_attribution, events_sessionize, funnel_ordered,
-    # events_hourly, events_asof rested outside this round (r4-green);
-    # rotate them back inside in round 6 or the staleness test fails
-    # in round 7.
+    # events_hourly, events_asof rested outside this round (r4-green),
+    # and scan_project, filter_like, semi_join, anti_join,
+    # three_table_join, json_props, one_hot, topk_orders (r3-green)
+    # were displaced mid-round by the graph-analytics tier; rotate all
+    # of them back inside in round 6 or the staleness test fails in
+    # round 7.
     "semantic_dedup": Q.q_semantic_dedup,
     "ann_pq": Q.q_ann_pq,
     "ann_ivfpq": Q.q_ann_ivfpq,
@@ -94,14 +97,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": Q.q_incremental_dedup,
     "corpus_mix": Q.q_corpus_mix,
     "pagerank": Q.q_pagerank,
-    "scan_project": Q.q_scan_project,
-    "filter_like": Q.q_filter_like,
-    "semi_join": Q.q_semi_join,
-    "anti_join": Q.q_anti_join,
-    "three_table_join": Q.q_three_table_join,
-    "json_props": Q.q_json_props,
-    "one_hot": Q.q_one_hot,
-    "topk_orders": Q.q_topk_orders,
+    "copurchase": Q.q_copurchase,
+    "triangle_count": Q.q_triangle_count,
+    "clustering_coeff": Q.q_clustering_coeff,
+    "node_jaccard": Q.q_node_jaccard,
+    "graph_bfs": Q.q_graph_bfs,
+    "cluster_rep": Q.q_cluster_rep,
+    "event_pivot": Q.q_event_pivot,
+    "event_unpivot": Q.q_event_unpivot,
     "dense_ids": Q.q_dense_ids,
     "text_quality": Q.q_text_quality,
     "lang_id": Q.q_lang_id,
@@ -119,6 +122,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # plus two rows-only entries (r3 row-count rows; full property/
     # numpy pytest coverage in test_hetero) displaced by this round's
     # new oracle-backed queries
+    "scan_project": Q.q_scan_project,
+    "filter_like": Q.q_filter_like,
+    "semi_join": Q.q_semi_join,
+    "anti_join": Q.q_anti_join,
+    "three_table_join": Q.q_three_table_join,
+    "json_props": Q.q_json_props,
+    "one_hot": Q.q_one_hot,
+    "topk_orders": Q.q_topk_orders,
     "hetero_forward": Q.q_hetero_forward,
     "recommend_gnn": Q.q_recommend_gnn,
     "link_pred_train": Q.q_link_pred_train,

@@ -1,0 +1,219 @@
+"""Graph analytics over projected relational graphs — triangle counting,
+clustering coefficients, neighborhood similarity, BFS distances.
+
+The reference stops at *building* the graph (rel_db_to_graph: tables ->
+hetero node/edge tensors for a GNN); a complete engine must also *analyze*
+it. This module adds the classic graph-analytics tier on top of the same
+edge-list representation `graph_build.py` already emits, plus the
+co-occurrence projection that turns a fact table into a unipartite graph
+(market-basket style: parts co-purchased in one order become an edge).
+
+Scale shapes (the point of each implementation):
+
+* ``copurchase_edges`` — self-join on the basket key. Spark co-partitions
+  both sides on the key, so pair generation is local per basket; output
+  volume is sum(basket_size^2), which is why ``max_basket`` caps the
+  quadratic blow-up at 100 TB (a single degenerate basket of 1M rows
+  would otherwise emit 10^12 pairs from one task).
+* ``triangle_counts`` — the degree-ordered orientation algorithm
+  (Cohen's MapReduce triangle counting / "rank-ordered wedges"). Each
+  undirected edge is directed from the (degree, id)-smaller endpoint to
+  the larger one, so every vertex's OUT-degree is O(sqrt(|E|)) on any
+  graph: wedge volume is bounded by sum(outdeg^2) <= |E|^1.5 instead of
+  sum(deg^2), which is the difference between feasible and not on a
+  skewed 100 TB graph (a celebrity node of degree 10M generates zero
+  wedges — its edges all point INTO it). Three shuffles total (degree
+  agg, wedge join, closing-edge join); no driver state.
+* ``neighborhood_jaccard`` — wedge enumeration on the symmetrized
+  adjacency, one shuffle on the wedge center, then a count-groupBy on the
+  (b, c) pair. Run it on a thresholded projection (min_count >= 2) — on
+  the raw co-occurrence graph the wedge volume is what the orientation
+  trick above exists to avoid.
+* ``bfs_distances`` — frontier BSP: each level is one equi-join
+  (frontier x adjacency) + one anti-join (drop visited), with a
+  ``localCheckpoint`` per level to keep lineage depth O(1). State per
+  level is bounded by |V|; the frontier never materializes paths (the
+  DuckDB oracle enumerates bounded-depth paths instead — exact but
+  exponential-ish, fine at test SF, which is what an oracle is for).
+
+Oracle twins live in oracle.py (TRIANGLES / CLUSTERING_COEFF /
+NODE_JACCARD / GRAPH_BFS / COPURCHASE / CLUSTER_REP): id-ordered triple
+joins and a recursive CTE — different enumeration ORDER than the
+rank-ordered Spark plan, identical SETS, hence identical counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def copurchase_edges(lineitem: DataFrame, min_count: int = 1,
+                     max_basket: int | None = None) -> DataFrame:
+    """Unipartite co-occurrence projection of (order, part): one row per
+    unordered part pair (u < v) with ``w`` = number of orders containing
+    both. ``max_basket`` drops baskets larger than the cap BEFORE the
+    self-join — the quadratic-output guard for degenerate baskets.
+    """
+    li = (lineitem.select(F.col("l_orderkey").alias("k"),
+                          F.col("l_partkey").alias("p"))
+          .distinct())
+    if max_basket is not None:
+        sizes = li.groupBy("k").agg(F.count("*").alias("_bsz"))
+        li = (li.join(sizes.filter(F.col("_bsz") <= max_basket), "k")
+              .drop("_bsz"))
+    a = li.alias("a")
+    b = li.alias("b")
+    return (a.join(b, "k")
+            .filter(F.col("a.p") < F.col("b.p"))
+            .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+            .agg(F.count("*").alias("w"))
+            .filter(F.col("w") >= F.lit(min_count)))
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(node, deg) over an undirected (u, v) edge list with u < v."""
+    both = (edges.select(F.col("u").alias("node"))
+            .unionByName(edges.select(F.col("v").alias("node"))))
+    return both.groupBy("node").agg(F.count("*").alias("deg"))
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Direct each undirected edge from the (deg, id)-smaller endpoint
+    to the larger one; carry the destination's rank key for the wedge
+    ordering. Output: (s, d, d_deg)."""
+    deg = degrees(edges)
+    e = (edges
+         .join(deg.withColumnRenamed("node", "u")
+                  .withColumnRenamed("deg", "du"), "u")
+         .join(deg.withColumnRenamed("node", "v")
+                  .withColumnRenamed("deg", "dv"), "v"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    return e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("d"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("d_deg"))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(node, n_triangles) for every vertex on >= 1 triangle.
+
+    Rank-ordered wedge algorithm: wedges (a; b, c) are pairs of
+    out-edges of the oriented graph with rank(b) < rank(c); the closing
+    edge, if the triangle exists, is necessarily oriented b -> c, so one
+    equi-join against the oriented edge set finds each triangle exactly
+    once. Exploding the 3 members and counting gives per-node totals —
+    orientation-independent, which is what lets the id-ordered DuckDB
+    oracle match bit-for-bit.
+    """
+    o = _oriented(edges).localCheckpoint(eager=True)
+    e1 = o.select(F.col("s"), F.col("d").alias("b"),
+                  F.col("d_deg").alias("b_deg"))
+    e2 = o.select(F.col("s"), F.col("d").alias("c"),
+                  F.col("d_deg").alias("c_deg"))
+    wedges = (e1.join(e2, "s")
+              .filter((F.col("b_deg") < F.col("c_deg")) | (
+                  (F.col("b_deg") == F.col("c_deg"))
+                  & (F.col("b") < F.col("c")))))
+    closing = o.select(F.col("s").alias("b"), F.col("d").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("s", "b", "c")
+    members = tri.select(
+        F.explode(F.array("s", "b", "c")).alias("node"))
+    return members.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """(node, deg, coeff): local clustering coefficient
+    2*T(v) / (deg(v) * (deg(v)-1)) for every node with deg >= 2, rounded
+    to 6 dp (the cross-engine float contract used repo-wide). Nodes on
+    no triangle get coeff 0.0, not a dropped row."""
+    deg = degrees(edges).filter(F.col("deg") >= 2)
+    tri = triangle_counts(edges)
+    return (deg.join(tri, "node", "left")
+            .select("node", "deg",
+                    F.round(F.lit(2.0)
+                            * F.coalesce(F.col("n_triangles"), F.lit(0))
+                            / (F.col("deg") * (F.col("deg") - F.lit(1))),
+                            6).alias("coeff")))
+
+
+def neighborhood_jaccard(edges: DataFrame, min_common: int = 2) -> DataFrame:
+    """(a, b, common, jaccard) for node pairs sharing >= min_common
+    neighbors: Jaccard similarity of neighbor SETS — the graph-topology
+    twin of the shingle-Jaccard in dedup.py ("two products bought with
+    the same things are similar, even if never bought together").
+
+    Wedge counting: for each center v, every unordered pair of its
+    neighbors (a < b) is one common-neighbor witness; groupBy (a, b)
+    counts them. One shuffle on the center (the symmetrize), one on the
+    pair. Intended for thresholded projections — on a raw co-occurrence
+    graph use triangle_counts' orientation instead.
+    """
+    sym = (edges.select(F.col("u").alias("c"), F.col("v").alias("n"))
+           .unionByName(edges.select(F.col("v").alias("c"),
+                                     F.col("u").alias("n"))))
+    n1 = sym.select(F.col("c"), F.col("n").alias("a"))
+    n2 = sym.select(F.col("c"), F.col("n").alias("b"))
+    common = (n1.join(n2, "c")
+              .filter(F.col("a") < F.col("b"))
+              .groupBy("a", "b")
+              .agg(F.count("*").alias("common"))
+              .filter(F.col("common") >= F.lit(min_common)))
+    deg = degrees(edges)
+    return (common
+            .join(deg.select(F.col("node").alias("a"),
+                             F.col("deg").alias("da")), "a")
+            .join(deg.select(F.col("node").alias("b"),
+                             F.col("deg").alias("db")), "b")
+            .select("a", "b", "common",
+                    F.round(F.col("common")
+                            / (F.col("da") + F.col("db") - F.col("common")),
+                            6).alias("jaccard")))
+
+
+def bfs_distances(edges: DataFrame, source, max_depth: int = 4) -> DataFrame:
+    """(node, dist) = unweighted shortest-path distance from ``source``
+    to every node within ``max_depth`` hops, frontier BSP.
+
+    Per level: frontier ⋈ adjacency (equi-join on the frontier node),
+    minus already-visited (left_anti) — no path enumeration, state
+    bounded by |V|, lineage cut per level. max_depth bounds the rounds
+    the same way components.py bounds pointer-jumping.
+    """
+    sym = (edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
+           .unionByName(edges.select(F.col("v").alias("s"),
+                                     F.col("u").alias("t")))
+           .localCheckpoint(eager=True))
+    visited = (sym.sparkSession
+               .createDataFrame([(source, 0)], "node bigint, dist int"))
+    frontier = visited.select("node")
+    for depth in range(1, max_depth + 1):
+        nxt = (frontier.join(sym, frontier.node == sym.s)
+               .select(F.col("t").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .localCheckpoint(eager=True))
+        if not nxt.take(1):
+            break
+        visited = (visited.unionByName(
+            nxt.select("node", F.lit(depth).alias("dist")))
+            .localCheckpoint(eager=True))
+        frontier = nxt
+    return visited
+
+
+def cluster_representatives(clusters: DataFrame,
+                            documents: DataFrame) -> DataFrame:
+    """One row per duplicate cluster with the doc a dedup pass KEEPS:
+    largest n_chars wins, ties to the smallest doc_id — the integer-exact
+    "keep the longest member" policy (float quality scores would make the
+    argmax engine-order-dependent). Input: (doc_id, cluster_id, ...) from
+    components.duplicate_clusters + the documents table."""
+    j = clusters.join(documents.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (j.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("cluster_id"),
+                    F.col("doc_id").alias("rep_id"),
+                    F.col("n_chars").alias("rep_chars")))

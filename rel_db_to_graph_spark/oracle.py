@@ -1573,6 +1573,125 @@ FROM p LEFT JOIN c
 GROUP BY p.event_id, p.user_id
 """
 
+# ------------------------------------------------------- graph analytics
+# Twins of operators/graph_analytics.py. The Spark side uses the
+# degree-ordered orientation (skew-proof at scale); these enumerate the
+# SAME triangle/wedge sets with id-ordered joins — different order,
+# identical sets, identical counts.
+
+_COPURCHASE_CTE = """
+li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+ok AS (SELECT k FROM li GROUP BY k HAVING count(*) <= 64),
+li2 AS (SELECT li.k, li.p FROM li JOIN ok USING (k)),
+pairs AS (SELECT a.p AS u, b.p AS v, count(*) AS w
+          FROM li2 a JOIN li2 b ON a.k = b.k AND a.p < b.p
+          GROUP BY 1, 2)
+"""
+
+COPURCHASE = f"""
+WITH {_COPURCHASE_CTE}
+SELECT u, v, w FROM pairs WHERE w >= 2
+"""
+
+TRIANGLES = f"""
+WITH {_COPURCHASE_CTE},
+e AS (SELECT u, v FROM pairs),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+nodes AS (SELECT a AS n FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+SELECT n AS l_partkey, count(*) AS n_triangles FROM nodes GROUP BY n
+"""
+
+CLUSTERING_COEFF = f"""
+WITH {_COPURCHASE_CTE},
+e AS (SELECT u, v FROM pairs),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+nodes AS (SELECT a AS n FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri),
+t AS (SELECT n, count(*) AS nt FROM nodes GROUP BY n),
+deg AS (SELECT n, count(*) AS deg
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        GROUP BY n)
+SELECT deg.n AS l_partkey, deg.deg,
+       round(2.0 * coalesce(t.nt, 0) / (deg.deg * (deg.deg - 1)), 6) AS coeff
+FROM deg LEFT JOIN t ON deg.n = t.n
+WHERE deg.deg >= 2
+"""
+
+NODE_JACCARD = f"""
+WITH {_COPURCHASE_CTE},
+p2 AS (SELECT u, v FROM pairs WHERE w >= 2),
+sym AS (SELECT u AS c, v AS n FROM p2 UNION ALL SELECT v, u FROM p2),
+common AS (SELECT x.n AS a, y.n AS b, count(*) AS common
+           FROM sym x JOIN sym y ON x.c = y.c AND x.n < y.n
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+deg AS (SELECT c AS n, count(*) AS deg FROM sym GROUP BY c)
+SELECT common.a, common.b, common.common,
+       round(common.common / (da.deg + db.deg - common.common), 6) AS jaccard
+FROM common
+JOIN deg da ON da.n = common.a
+JOIN deg db ON db.n = common.b
+"""
+
+GRAPH_BFS = f"""
+WITH RECURSIVE {_COPURCHASE_CTE},
+p2 AS (SELECT u, v FROM pairs WHERE w >= 2),
+sym AS (SELECT u AS s, v AS t FROM p2 UNION ALL SELECT v, u FROM p2),
+walk(node, dist) AS (
+    SELECT min(u), 0 FROM p2
+    UNION
+    SELECT sym.t, walk.dist + 1
+    FROM walk JOIN sym ON walk.node = sym.s
+    WHERE walk.dist < 4
+)
+SELECT node AS l_partkey, CAST(min(dist) AS INTEGER) AS dist
+FROM walk GROUP BY node
+"""
+
+CLUSTER_REP = f"""
+WITH RECURSIVE
+nd AS ({_near_dup_sql()}),
+edges AS (SELECT id_a AS a, id_b AS b FROM nd
+          UNION ALL
+          SELECT id_b AS a, id_a AS b FROM nd),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+reach(v, r) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+j AS (SELECT comp.cluster_id, comp.doc_id, d.n_chars
+      FROM comp JOIN documents d USING (doc_id)),
+r AS (SELECT cluster_id, doc_id, n_chars,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM j)
+SELECT cluster_id, doc_id AS rep_id, n_chars AS rep_chars FROM r WHERE rn = 1
+"""
+
+_EVENT_TYPES_SQL = ("click", "error", "purchase", "signup", "view")
+
+EVENT_PIVOT = "SELECT user_id, " + ", ".join(
+    f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+    for t in _EVENT_TYPES_SQL) + " FROM events GROUP BY user_id"
+
+EVENT_UNPIVOT = f"""
+SELECT user_id, event_type, count(*) AS n_events
+FROM events
+WHERE event_type IN {_EVENT_TYPES_SQL!r}
+GROUP BY user_id, event_type
+"""
+
+
 #: name -> oracle SQL (queries without an entry get rows-only checks)
 ORACLES: dict[str, str] = {
     "catalog_tables": CATALOG_TABLES,
@@ -1662,4 +1781,12 @@ ORACLES: dict[str, str] = {
     "cube_pricing": CUBE_PRICING,
     "funnel_ordered": FUNNEL_ORDERED,
     "topn_per_group": TOPN_PER_GROUP,
+    "copurchase": COPURCHASE,
+    "triangle_count": TRIANGLES,
+    "clustering_coeff": CLUSTERING_COEFF,
+    "node_jaccard": NODE_JACCARD,
+    "graph_bfs": GRAPH_BFS,
+    "cluster_rep": CLUSTER_REP,
+    "event_pivot": EVENT_PIVOT,
+    "event_unpivot": EVENT_UNPIVOT,
 }

@@ -1446,3 +1446,112 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("click_event_id"), "user_id",
         "view_event_id",
         (F.col("ts_us") - F.col("_vts")).cast("long").alias("gap_us"))
+
+
+# ------------------------------------------------------- graph analytics
+
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence projection of (order, part) -> part-part edges kept
+    at weight >= 2: the market-basket graph the analytics tier below
+    runs on. Basket-local pair generation (self-join on l_orderkey);
+    max_basket caps the quadratic output at scale."""
+    from rel_db_to_graph_spark.operators.graph_analytics import copurchase_edges
+    return copurchase_edges(load_table(spark, sf_dir, "lineitem"),
+                            min_count=2, max_basket=64)
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the full co-purchase graph via the
+    degree-ordered wedge algorithm (skew-proof orientation: wedge volume
+    <= |E|^1.5 regardless of degree distribution). Oracle enumerates the
+    same triangles with an id-ordered triple join."""
+    from rel_db_to_graph_spark.operators.graph_analytics import (
+        copurchase_edges, triangle_counts)
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"),
+                             min_count=1, max_basket=64)
+    return triangle_counts(edges).select(
+        F.col("node").alias("l_partkey"), "n_triangles")
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node (deg >= 2), 6-dp rounded —
+    triangles + degrees composed; zero-triangle nodes kept at 0.0."""
+    from rel_db_to_graph_spark.operators.graph_analytics import (
+        clustering_coefficient, copurchase_edges)
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"),
+                             min_count=1, max_basket=64)
+    return clustering_coefficient(edges).select(
+        F.col("node").alias("l_partkey"), "deg", "coeff")
+
+
+def q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard node similarity on the thresholded
+    co-purchase graph: "parts bought alongside the same parts" — the
+    graph-topology analog of the shingle-Jaccard dedup measure."""
+    from rel_db_to_graph_spark.operators.graph_analytics import (
+        copurchase_edges, neighborhood_jaccard)
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"),
+                             min_count=2, max_basket=64)
+    return neighborhood_jaccard(edges, min_common=2)
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-BSP BFS distances (<= 4 hops) from the smallest part id
+    in the thresholded co-purchase graph. The Spark side never
+    materializes paths; the oracle's recursive CTE does (exact at test
+    SF)."""
+    from rel_db_to_graph_spark.operators.graph_analytics import (
+        bfs_distances, copurchase_edges)
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"),
+                             min_count=2, max_basket=64)
+    edges = edges.localCheckpoint(eager=True)  # reused: min scan + 2 sides
+    source = edges.agg(F.min("u")).first()[0]
+    return bfs_distances(edges, source, max_depth=4).select(
+        F.col("node").alias("l_partkey"), F.col("dist").cast("int").alias("dist"))
+
+
+def q_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster representative selection: near-dup pairs ->
+    connected components -> keep the longest member (n_chars desc,
+    doc_id asc) — the policy step that turns clusters into a drop list.
+    Integer keys only, so the argmax is engine-order-independent."""
+    from rel_db_to_graph_spark.operators.components import duplicate_clusters
+    from rel_db_to_graph_spark.operators.graph_analytics import (
+        cluster_representatives)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.near_duplicate_pairs(docs, threshold=0.5, max_bucket=None)
+    clusters = duplicate_clusters(pairs)
+    return cluster_representatives(clusters, docs)
+
+
+# ---------------------------------------------------------- pivot/unpivot
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user activity matrix: groupBy(user).pivot(event_type)
+    with EXPLICIT pivot values — the explicit list keeps the plan to one
+    aggregation pass (no extra distinct-values job) and makes the output
+    schema static, which is what a 100 TB pipeline needs anyway."""
+    e = load_table(spark, sf_dir, "events")
+    p = (e.groupBy("user_id")
+         .pivot("event_type", _EVENT_TYPES)
+         .agg(F.count(F.lit(1))))
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+          for t in _EVENT_TYPES])
+
+
+def q_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the wide matrix back to long form with the stack() unpivot
+    operator, dropping zero cells — roundtrips to a plain groupBy, which
+    is exactly what the oracle computes."""
+    wide = q_event_pivot(spark, sf_dir)
+    cells = ", ".join(f"'{t}', n_{t}" for t in _EVENT_TYPES)
+    long = wide.select(
+        "user_id",
+        F.expr(f"stack({len(_EVENT_TYPES)}, {cells}) "
+               "as (event_type, n_events)"))
+    return long.filter(F.col("n_events") > 0)

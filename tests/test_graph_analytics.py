@@ -1,0 +1,127 @@
+"""Hand-computed fixtures for operators/graph_analytics.py — the
+oracle-parity suite checks cross-engine equality; these check the MATH
+on graphs small enough to verify by eye."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rel_db_to_graph_spark.operators.graph_analytics import (
+    bfs_distances,
+    cluster_representatives,
+    clustering_coefficient,
+    copurchase_edges,
+    degrees,
+    neighborhood_jaccard,
+    triangle_counts,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(u), int(v)) for u, v in pairs], "u bigint, v bigint")
+
+
+def test_triangle_counts_k4(spark):
+    # K4: every vertex sits on C(3,2) = 3 triangles; 4 triangles total
+    k4 = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(k4).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_triangle_plus_pendant(spark):
+    # triangle 1-2-3 with pendant 4 hanging off 3: pendant sits on none
+    g = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(g).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_clustering_coefficient_values(spark):
+    # node 3 (deg 3, on 1 triangle): 2*1/(3*2) = 0.333333
+    # nodes 1, 2 (deg 2, on 1 triangle): 2*1/(2*1) = 1.0
+    # node 4 (deg 1): excluded (deg < 2)
+    g = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    got = {r["node"]: (r["deg"], r["coeff"])
+           for r in clustering_coefficient(g).collect()}
+    assert got == {1: (2, 1.0), 2: (2, 1.0), 3: (3, 0.333333)}
+
+
+def test_clustering_coefficient_zero_not_dropped(spark):
+    # path 1-2-3: node 2 has deg 2 and no triangle -> coeff 0.0 row
+    g = _edges(spark, [(1, 2), (2, 3)])
+    got = {r["node"]: r["coeff"]
+           for r in clustering_coefficient(g).collect()}
+    assert got == {2: 0.0}
+
+
+def test_neighborhood_jaccard_square(spark):
+    # 4-cycle 1-2-3-4-1: opposite corners share BOTH neighbors.
+    # common(1,3) = |{2,4}| = 2, deg both 2 -> jaccard = 2/(2+2-2) = 1.0
+    g = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+    got = {(r["a"], r["b"]): (r["common"], r["jaccard"])
+           for r in neighborhood_jaccard(g, min_common=2).collect()}
+    assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+
+def test_bfs_distances_path(spark):
+    # path 1-2-3-4-5-6, source 1, depth 4: node 6 unreachable in-budget
+    g = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(g, 1, max_depth=4).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_distances_cycle_takes_shortest(spark):
+    # 5-cycle from 1: the two arcs meet; node 4 is 2 via 5-4, not 3 via 2-3
+    g = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (1, 5)])
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(g, 1, max_depth=4).collect()}
+    assert got == {1: 0, 2: 1, 5: 1, 3: 2, 4: 2}
+
+
+def test_copurchase_max_basket_cap(spark):
+    # order 10 has 3 parts (under cap), order 20 has 5 (dropped by cap=4)
+    rows = [(10, p) for p in (1, 2, 3)] + [(20, p) for p in range(1, 6)]
+    li = spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint")
+    capped = copurchase_edges(li, min_count=1, max_basket=4)
+    assert capped.count() == 3  # C(3,2) pairs from order 10 only
+    full = copurchase_edges(li, min_count=1, max_basket=None)
+    assert full.count() == 10  # 3 + C(5,2), pairs merged by count
+    w = {(r["u"], r["v"]): r["w"] for r in full.collect()}
+    assert w[(1, 2)] == 2  # co-occurs in both orders
+
+
+def test_copurchase_dedups_within_order(spark):
+    # the same (order, part) row twice must not double-count the pair
+    li = spark.createDataFrame(
+        [(10, 1), (10, 1), (10, 2)], "l_orderkey bigint, l_partkey bigint")
+    got = copurchase_edges(li, min_count=1).collect()
+    assert [(r["u"], r["v"], r["w"]) for r in got] == [(1, 2, 1)]
+
+
+def test_cluster_representatives_longest_wins_ties_to_min_id(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "doc_id bigint, cluster_id bigint")
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5), (8, 5)],
+        "doc_id bigint, n_chars int")
+    got = {r["cluster_id"]: (r["rep_id"], r["rep_chars"])
+           for r in cluster_representatives(clusters, docs).collect()}
+    # cluster 1: docs 2 and 3 tie at 99 chars -> min id 2 wins
+    # cluster 7: docs 7 and 8 tie at 5 chars -> min id 7 wins
+    assert got == {1: (2, 99), 7: (7, 5)}
+
+
+def test_degrees(spark):
+    g = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    got = {r["node"]: r["deg"] for r in degrees(g).collect()}
+    assert got == {1: 2, 2: 2, 3: 3, 4: 1}
+
+
+def test_triangle_plan_has_no_cartesian(spark):
+    g = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    plan = triangle_counts(g)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
