@@ -63,10 +63,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # events_attribution, events_sessionize, funnel_ordered,
     # events_hourly, events_asof rested outside this round (r4-green),
     # and scan_project, filter_like, semi_join, anti_join,
-    # three_table_join, json_props, one_hot, topk_orders (r3-green)
-    # were displaced mid-round by the graph-analytics tier; rotate all
-    # of them back inside in round 6 or the staleness test fails in
-    # round 7.
+    # three_table_join, json_props, one_hot, topk_orders, text_quality,
+    # lang_id, fingerprint (r3-green) were displaced mid-round by the
+    # graph-analytics tier; rotate all of them back inside in round 6
+    # or the staleness test fails in round 7.
     "semantic_dedup": Q.q_semantic_dedup,
     "ann_pq": Q.q_ann_pq,
     "ann_ivfpq": Q.q_ann_ivfpq,
@@ -105,10 +105,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_rep": Q.q_cluster_rep,
     "event_pivot": Q.q_event_pivot,
     "event_unpivot": Q.q_event_unpivot,
+    "k_core": Q.q_k_core,
+    "triangle_increment": Q.q_triangle_increment,
+    "small_lots": Q.q_small_lots,
     "dense_ids": Q.q_dense_ids,
-    "text_quality": Q.q_text_quality,
-    "lang_id": Q.q_lang_id,
-    "fingerprint": Q.q_fingerprint,
     "hash_sample": Q.q_hash_sample,
     "sample_topk": Q.q_sample_topk,
     "doc_chunks": Q.q_doc_chunks,
@@ -122,6 +122,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # plus two rows-only entries (r3 row-count rows; full property/
     # numpy pytest coverage in test_hetero) displaced by this round's
     # new oracle-backed queries
+    "text_quality": Q.q_text_quality,
+    "lang_id": Q.q_lang_id,
+    "fingerprint": Q.q_fingerprint,
     "scan_project": Q.q_scan_project,
     "filter_like": Q.q_filter_like,
     "semi_join": Q.q_semi_join,

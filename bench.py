@@ -85,6 +85,9 @@ HEADLINE = {
     "semantic_dedup": lambda s, d: _force(Q.q_semantic_dedup(s, d)),
     "ann_pq": lambda s, d: Q.q_ann_pq(s, d).collect(),
     "quality_lr_score": lambda s, d: _force(Q.q_quality_lr_score(s, d)),
+    # graph-analytics tier representative: basket projection + degree-
+    # ordered wedge enumeration (the heaviest multi-join in the repo)
+    "triangle_count": lambda s, d: Q.q_triangle_count(s, d).count(),
 }
 
 

