@@ -44,29 +44,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # Dict ORDER is load-bearing: the driver's correctness sweep checks the
 # first 50 entries per round. Rounds 1-3 never rotated, so positions
 # 51-75 (the whole events/ANN/stats tier) went driver-unverified — and
-# that's exactly where the round-3 ts bug hid. Policy: queries that have
-# never earned a driver CORRECTNESS row come FIRST, then the stalest
-# (oldest last-green round, derived from the committed
-# CORRECTNESS_r*.json files), then anything whose code changed this
-# round; multi-round-green entries rest past position 50.
-# tests/test_driver_window.py enforces the never-checked invariant —
-# adding a query without window space for it FAILS the suite.
+# that's exactly where the round-3 ts bug hid. Rounds 4-5 rotated by
+# hand and round 5 miscounted, committing a guaranteed staleness
+# failure (VERDICT r5 item 1). The order is therefore no longer
+# hand-maintained: ``queries()`` derives it from the committed
+# CORRECTNESS_r*.json files — never-checked first, then stalest last
+# green round, ties broken by registry position. Stale queries always
+# sort to the front (inside the window), so the staleness failure
+# class is structurally dead. tests/test_driver_window.py enforces
+# both invariants against the same files.
+#
+# QUERIES below is the REGISTRY (grouped by tier for readability);
+# its literal order only breaks ties.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ------- positions 1-50: THE DRIVER CORRECTNESS WINDOW -------
-    # round-5 rotation: the 15 never-checked round-5-session queries
-    # (semantic_dedup ... bpe_train) first, then the prior
-    # never-checked entries (edges_attr, *_sampled, gat_stack_train,
-    # corpus_stats_approx), the rows-only tier, the 16 simple r3-green
-    # queries, and the parity-affected changed-code entries.
-    # tests/test_driver_window.py ENFORCES the never-checked invariant.
-    # ROUND-6 DEBT: events_funnel, retention_cohorts,
-    # events_attribution, events_sessionize, funnel_ordered,
-    # events_hourly, events_asof rested outside this round (r4-green),
-    # and scan_project, filter_like, semi_join, anti_join,
-    # three_table_join, json_props, one_hot, topk_orders, text_quality,
-    # lang_id, fingerprint (r3-green) were displaced mid-round by the
-    # graph-analytics tier; rotate all of them back inside in round 6
-    # or the staleness test fails in round 7.
     "semantic_dedup": Q.q_semantic_dedup,
     "ann_pq": Q.q_ann_pq,
     "ann_ivfpq": Q.q_ann_ivfpq,
@@ -117,11 +107,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": Q.q_dedup_clusters,
     "embedding_dedup": Q.q_embedding_dedup,
     "corpus_stats_approx_err": Q.q_corpus_stats_approx_err,
-    # ------------- position 51+: past the driver window -------------
-    # multi-round-green (r4 and/or r1-r3) entries resting this round,
-    # plus two rows-only entries (r3 row-count rows; full property/
-    # numpy pytest coverage in test_hetero) displaced by this round's
-    # new oracle-backed queries
     "text_quality": Q.q_text_quality,
     "lang_id": Q.q_lang_id,
     "fingerprint": Q.q_fingerprint,
@@ -188,9 +173,45 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
+def _last_verified_round() -> dict[str, int]:
+    """Latest driver round each query earned a GREEN CORRECTNESS row
+    in (hash-match for oracle-backed, row-count for rows-only),
+    derived from the committed CORRECTNESS_r*.json files (0 = never).
+    Errored or mismatched rows do NOT count, so a query that failed
+    its last check sorts back into the window after its fix."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        base = os.path.basename(path)
+        try:
+            rnd = int(base[len("CORRECTNESS_r"):-len(".json")])
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            green = (
+                row.get("hash_match") is True
+                or (row.get("err") == "no_oracle"
+                    and row.get("spark_rows") is not None)
+            )
+            if green:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered
+    never-checked-first / stalest-first so the driver's 50-entry
+    correctness window always re-verifies the least-recently-verified
+    queries (VERDICT r5 item 1: derived, not hand-maintained)."""
+    last = _last_verified_round()
+    pos = {name: i for i, name in enumerate(QUERIES)}
+    ordered = sorted(QUERIES, key=lambda n: (last.get(n, 0), pos[n]))
+    return {name: QUERIES[name] for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -240,6 +240,7 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
            .filter(F.col("u") != F.col("v"))
            .distinct()
            .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iter):
         deg = degrees(cur)
         keep = deg.filter(F.col("deg") >= k).select("node")
@@ -249,8 +250,17 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
                .select("u", "v")
                .localCheckpoint(eager=True))
         if nxt.count() == cur.count():
+            converged = True
             break
         cur = nxt
+    if not converged:
+        # mirror components.py pointer-jumping: an exhausted loop means
+        # the survivors may be over-included — refuse to return the
+        # under-peeled set silently (ADVICE r5).
+        raise RuntimeError(
+            f"k_core did not reach its fixpoint in max_iter={max_iter} "
+            f"peeling rounds; raise max_iter (rounds needed <= the "
+            f"graph's degeneracy-shell depth)")
     return degrees(cur).filter(F.col("deg") >= k).select(
         "node", F.col("deg").alias("core_deg"))
 
@@ -277,8 +287,13 @@ def triangle_counts_incremental(old_edges: DataFrame,
     weight deltas on EXISTING pairs don't change the unweighted
     topology).
     """
-    old = old_edges.select("u", "v").localCheckpoint(eager=True)
-    new = new_edges.select("u", "v").localCheckpoint(eager=True)
+    # enforce the documented contract instead of trusting it (ADVICE
+    # r5): per-set distinct is cheap relative to the wedge joins, and a
+    # duplicate or old∩new row would silently overcount triangles.
+    old = old_edges.select("u", "v").distinct().localCheckpoint(eager=True)
+    new = (new_edges.select("u", "v").distinct()
+           .join(old, ["u", "v"], "left_anti")
+           .localCheckpoint(eager=True))
 
     def tri_from(e1: DataFrame, e2: DataFrame, e3: DataFrame) -> DataFrame:
         # id-ordered triple join: e1=(a,b), e2=(b,c), e3=(a,c)

@@ -63,9 +63,13 @@ def corpus_stats_approx(docs: DataFrame, text_col: str = "text",
         F.approx_count_distinct("lang", rsd).alias("n_langs"),
         F.approx_count_distinct("source", rsd).alias("n_sources"),
         F.sum("_nt").alias("total_tokens"),
-        F.percentile_approx("_nt", F.array(F.lit(0.25), F.lit(0.5),
-                                           F.lit(0.75)), 10_000)
-        .alias("tok_quartiles"),
+        # scalar quartile columns (not one array<long>): the driver
+        # harness canonicalizes results through pandas sort_values,
+        # which cannot hash list cells (r5 RED row). Same shape as
+        # corpus_stats_approx_err's stack() output.
+        F.percentile_approx("_nt", 0.25, 10_000).alias("tok_p25"),
+        F.percentile_approx("_nt", 0.5, 10_000).alias("tok_p50"),
+        F.percentile_approx("_nt", 0.75, 10_000).alias("tok_p75"),
         F.min("_nt").alias("tok_min"),
         F.max("_nt").alias("tok_max"),
     )

@@ -1682,6 +1682,46 @@ SELECT cluster_id, doc_id AS rep_id, n_chars AS rep_chars FROM r WHERE rn = 1
 # the oracle for the delta-decomposition query IS the full-graph count
 TRIANGLE_INCREMENT = TRIANGLES
 
+
+def _k_core_sql(k: int = 3, rounds: int = 20) -> str:
+    """Unrolled k-core peeling as chained CTEs (VERDICT r5 item 4).
+
+    Iterative deletion is outside the recursive CTE's monotone-append
+    model, but the fixpoint arrives in few rounds (degeneracy shells,
+    11 at sf0.01), so ``rounds`` explicitly-chained deletion steps
+    reach it. The final SELECT is guarded by a convergence check
+    (|e_N| = |e_{N-1}|): if the unroll were ever too short the oracle
+    returns 0 rows and the driver row goes red — loudly, instead of an
+    under-peeled silent pass."""
+    # MATERIALIZED is load-bearing: each round references the previous
+    # round's CTE three times, so DuckDB's default inlining would blow
+    # the plan up 3^rounds-fold (observed as 'Too many open files' —
+    # thousands of inlined parquet scans).
+    parts = ["e0 AS MATERIALIZED (SELECT u, v FROM pairs WHERE w >= 2)"]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT n, count(*) AS deg FROM "
+            f"(SELECT u AS n FROM e{r-1} UNION ALL SELECT v FROM e{r-1}) "
+            f"GROUP BY n HAVING count(*) >= {k})")
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{r-1} e "
+            f"JOIN d{r} a ON a.n = e.u JOIN d{r} b ON b.n = e.v)")
+    chain = ",\n".join(parts)
+    return f"""
+WITH {_COPURCHASE_CTE},
+{chain}
+SELECT n AS l_partkey, deg AS core_deg
+FROM (SELECT n, count(*) AS deg FROM
+      (SELECT u AS n FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+      GROUP BY n)
+WHERE deg >= {k}
+  AND (SELECT count(*) FROM e{rounds}) =
+      (SELECT count(*) FROM e{rounds - 1})
+"""
+
+
+K_CORE = _k_core_sql()
+
 SMALL_LOTS = """
 SELECT p.p_brand,
        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6)))
@@ -1803,6 +1843,7 @@ ORACLES: dict[str, str] = {
     "clustering_coeff": CLUSTERING_COEFF,
     "node_jaccard": NODE_JACCARD,
     "graph_bfs": GRAPH_BFS,
+    "k_core": K_CORE,
     "cluster_rep": CLUSTER_REP,
     "event_pivot": EVENT_PIVOT,
     "event_unpivot": EVENT_UNPIVOT,

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
+
 from rel_db_to_graph_spark.operators.graph_analytics import (
     bfs_distances,
     cluster_representatives,
@@ -156,7 +158,7 @@ def test_k_core_matches_brute_force_on_copurchase(spark):
     from rel_db_to_graph_spark.operators.graph_analytics import (
         copurchase_edges, k_core)
     from rel_db_to_graph_spark.sources.catalog import load_table
-    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    li = load_table(spark, SF_SMOKE, "lineitem")
     edges = copurchase_edges(li, min_count=2, max_basket=64)
     pairs = [(r["u"], r["v"]) for r in edges.collect()]
     got = {r["node"]: r["core_deg"] for r in k_core(edges, k=3).collect()}
@@ -186,7 +188,7 @@ def test_triangle_increment_equals_scratch_copurchase(spark):
     from rel_db_to_graph_spark.operators.graph_analytics import (
         copurchase_edges, triangle_counts, triangle_counts_incremental)
     from rel_db_to_graph_spark.sources.catalog import load_table
-    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    li = load_table(spark, SF_SMOKE, "lineitem")
     old_e = copurchase_edges(li.filter(F.col("l_orderkey") % 10 != 0),
                              min_count=1, max_basket=64)
     all_e = copurchase_edges(li, min_count=1, max_basket=64)
@@ -200,7 +202,7 @@ def test_triangle_increment_equals_scratch_copurchase(spark):
 
 def test_small_lots_decorrelates(spark):
     from rel_db_to_graph_spark.queries import q_small_lots
-    plan = (q_small_lots(spark, "/root/testdata/sf0.001")
+    plan = (q_small_lots(spark, SF_SMOKE)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan

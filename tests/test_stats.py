@@ -27,9 +27,8 @@ def test_approx_within_error_bounds(spark):
     assert abs(approx.n_langs - exact.n_langs) <= 1
     assert abs(approx.n_sources - exact.n_sources) <= 1
     # percentile_approx with accuracy 10k: within one rank-step
-    p25, p50, p75 = approx.tok_quartiles
-    assert abs(p50 - exact.tok_p50) / max(exact.tok_p50, 1) < 0.05
-    assert p25 <= p50 <= p75
+    assert abs(approx.tok_p50 - exact.tok_p50) / max(exact.tok_p50, 1) < 0.05
+    assert approx.tok_p25 <= approx.tok_p50 <= approx.tok_p75
     assert approx.tok_min == exact.tok_min and approx.tok_max == exact.tok_max
 
 

@@ -28,6 +28,8 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     print("entry:", len(mod.entry(spark).collect()), "rows", flush=True)
     qs, oracles = mod.queries(), mod.oracle_sql()
+    if len(sys.argv) > 1:          # targeted: sweep.py name [name ...]
+        qs = {n: qs[n] for n in sys.argv[1:]}
     t0, fails = time.time(), []
     for name, fn in sorted(qs.items()):
         tq = time.time()
