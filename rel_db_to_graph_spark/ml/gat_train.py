@@ -881,7 +881,8 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
                              max_batches: int | None = None,
                              epochs: int = 3, lr: float = 0.05,
                              val_frac: float = 0.2, seed: int = 42,
-                             weight_decay: float = 0.01) -> TrainResult:
+                             weight_decay: float = 0.01,
+                             edge_tables: dict | None = None) -> TrainResult:
     """Sampled MINI-BATCH training of the full hetero model — the
     LinkNeighborLoader regime the reference actually trains in
     (dataloader.py:24-51, tuning.py:53: per-layer fanout 15, batch 512,
@@ -914,9 +915,19 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
     ``max_batches`` caps gradient steps per epoch (the driver-runtime
     valve): each epoch then trains on a different content-addressed
     subset, still valid SGD.
+
+    ``edge_tables`` ({edge_type: table_name} from
+    sources.bucketed.write_edge_store) switches the per-batch probe to
+    the bucket-store path: instead of scanning every edge type's full
+    frame per batch (linear in |E| — the sf1 audit's bottleneck), the
+    frontier is pushed as an In(dst) filter into a dst-bucketed+sorted
+    table, pruning the scan to ~|frontier| buckets/row groups. The
+    sampled edges are bit-identical either way (tested), so the
+    exactness anchor carries over unchanged.
     """
     from rel_db_to_graph_spark.operators.sampling import (
         sample_incoming_hetero,
+        sample_incoming_hetero_store,
     )
 
     fanouts = list(fanouts) if fanouts is not None else [15]
@@ -993,9 +1004,14 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
                 seeds[dst_type] = seeds[dst_type].unionAll(dst_seed)
             else:
                 seeds[dst_type] = dst_seed
-            samp = sample_incoming_hetero(
-                graph_edges, seeds, fanouts,
-                seed=seed + 7919 * epoch + 104729 * bi)
+            batch_seed = seed + 7919 * epoch + 104729 * bi
+            if edge_tables is not None:
+                samp = sample_incoming_hetero_store(
+                    examples.sparkSession, edge_tables, seeds, fanouts,
+                    seed=batch_seed)
+            else:
+                samp = sample_incoming_hetero(
+                    graph_edges, seeds, fanouts, seed=batch_seed)
             sub, fcut = _batch_closure(samp, seeds, edge_types, feats)
             stats = _hetero_epoch(sub, fcut, batch, params, b,
                                   src_type, dst_type)
@@ -1036,7 +1052,8 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
                             max_batches: int | None = None,
                             epochs: int = 5, lr: float = 0.05,
                             val_frac: float = 0.2, seed: int = 42,
-                            weight_decay: float = 0.01) -> TrainResult:
+                            weight_decay: float = 0.01,
+                            edge_table: str | None = None) -> TrainResult:
     """Sampled mini-batch training of the FULL-DEPTH homogeneous GATv2
     stack — per-layer fanouts through k message-passing layers, the
     complete `[num_neighbors] * num_layers` LinkNeighborLoader shape
@@ -1049,8 +1066,16 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
     |E|. Exactness anchor (tested): fanouts ≥ max in-degree at every
     hop + a single batch reproduces full-batch ``train_gat_stack``
     epochs bit-for-bit — sampling drops exactly the edges outside the
-    seeds' k-hop gradient support."""
-    from rel_db_to_graph_spark.operators.sampling import sample_incoming
+    seeds' k-hop gradient support.
+
+    ``edge_table`` (a dst-bucketed table from
+    sources.bucketed.write_edge_table) switches the per-batch probe to
+    the bucket-store path — identical sampled edges, scan pruned to the
+    frontier's buckets/row groups instead of |E| per batch."""
+    from rel_db_to_graph_spark.operators.sampling import (
+        sample_incoming,
+        sample_incoming_store,
+    )
 
     fanouts = list(fanouts) if fanouts is not None else [15] * layers
     if len(fanouts) != layers:
@@ -1107,10 +1132,15 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
             seeds = (batch.select(F.col("src").alias("node_id"))
                      .unionAll(batch.select(F.col("dst").alias("node_id")))
                      .distinct())
-            samp = sample_incoming(
-                edges, seeds, fanouts,
-                seed=seed + 7919 * epoch + 104729 * bi
-            ).localCheckpoint(eager=True)
+            batch_seed = seed + 7919 * epoch + 104729 * bi
+            if edge_table is not None:
+                samp = sample_incoming_store(
+                    examples.sparkSession, edge_table, seeds, fanouts,
+                    seed=batch_seed).localCheckpoint(eager=True)
+            else:
+                samp = sample_incoming(
+                    edges, seeds, fanouts, seed=batch_seed,
+                ).localCheckpoint(eager=True)
             sub = samp.select("src", "dst").distinct()
             ids = (seeds
                    .unionAll(samp.select(F.col("src").alias("node_id")))

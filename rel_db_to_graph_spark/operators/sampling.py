@@ -37,12 +37,17 @@ def sample_neighbors(edges: DataFrame, frontier: DataFrame, fanout: int,
 
 
 def sample_subgraph(edges: DataFrame, seeds: DataFrame, fanouts: list[int],
-                    seed: int = 42) -> DataFrame:
+                    seed: int = 42, hop0: int = 0) -> DataFrame:
     """Multi-hop neighborhood: union of per-hop sampled edges with the
-    next frontier = sampled dst set. Returns (src, dst, hop)."""
+    next frontier = sampled dst set. Returns (src, dst, hop).
+
+    ``hop0`` offsets the hop index fed into the hash draw — it lets the
+    bucket-store sampler run one hop at a time while producing draws
+    bit-identical to a single multi-hop call."""
     frontier = seeds.select("src")
     layers = []
-    for hop, fanout in enumerate(fanouts):
+    for i, fanout in enumerate(fanouts):
+        hop = hop0 + i
         hop_edges = sample_neighbors(edges, frontier, fanout, seed, hop)
         layers.append(hop_edges.withColumn("hop", F.lit(hop)))
         frontier = hop_edges.select(F.col("dst").alias("src")).distinct()
@@ -64,7 +69,8 @@ def _edge_type_seed(seed: int, edge_type: tuple[str, str, str]) -> int:
 
 
 def sample_hetero_subgraph(graph: dict, seeds: dict[str, DataFrame],
-                           fanouts: list[int], seed: int = 42) -> DataFrame:
+                           fanouts: list[int], seed: int = 42,
+                           hop0: int = 0) -> DataFrame:
     """L2, heterogeneous (LinkNeighborLoader parity, dataloader.py:24-51):
     per hop, EVERY edge type whose src type is in the current frontier
     samples ≤ fanout out-edges per frontier node; the next frontier of a
@@ -85,7 +91,8 @@ def sample_hetero_subgraph(graph: dict, seeds: dict[str, DataFrame],
     frontier: dict[str, DataFrame] = {
         t: df.select("node_id") for t, df in seeds.items()}
     layers: list[DataFrame] = []
-    for hop, fanout in enumerate(fanouts):
+    for i, fanout in enumerate(fanouts):
+        hop = hop0 + i
         nxt: dict[str, list[DataFrame]] = {}
         for (s, rel, d), edges in sorted(graph["edges"].items()):
             if s not in frontier:
@@ -144,7 +151,8 @@ def negative_sample(positives: DataFrame, node_ids: DataFrame,
 
 
 def sample_incoming_hetero(graph_edges: dict, seeds: dict,
-                           fanouts: list[int], seed: int = 42) -> DataFrame:
+                           fanouts: list[int], seed: int = 42,
+                           hop0: int = 0) -> DataFrame:
     """L2 in the MESSAGE-DEPENDENCY direction (LinkNeighborLoader,
     dataloader.py:24-51): ≤ fanout IN-edges per target node per edge
     type, frontier expanding backward through message flow — the
@@ -163,7 +171,7 @@ def sample_incoming_hetero(graph_edges: dict, seeds: dict,
         (d, rel, s): df.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst"))
         for (s, rel, d), df in graph_edges.items()}}
-    samp = sample_hetero_subgraph(rev, seeds, fanouts, seed=seed)
+    samp = sample_hetero_subgraph(rev, seeds, fanouts, seed=seed, hop0=hop0)
     return samp.select(
         F.col("dst_table").alias("src_table"), "relation",
         F.col("src_table").alias("dst_table"),
@@ -171,7 +179,8 @@ def sample_incoming_hetero(graph_edges: dict, seeds: dict,
 
 
 def sample_incoming(edges: DataFrame, seeds: DataFrame,
-                    fanouts: list[int], seed: int = 42) -> DataFrame:
+                    fanouts: list[int], seed: int = 42,
+                    hop0: int = 0) -> DataFrame:
     """Homogeneous twin of ``sample_incoming_hetero``: ≤ fanout IN-edges
     per node per hop, frontier expanding backward through message flow
     (what a k-layer GNN reads to embed the seeds). Composes
@@ -180,6 +189,110 @@ def sample_incoming(edges: DataFrame, seeds: DataFrame,
     ``node_id`` column."""
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     samp = sample_subgraph(
-        rev, seeds.select(F.col("node_id").alias("src")), fanouts, seed)
+        rev, seeds.select(F.col("node_id").alias("src")), fanouts, seed,
+        hop0=hop0)
     return samp.select(F.col("dst").alias("src"),
                        F.col("src").alias("dst"), "hop")
+
+
+# ---------------------------------------------------------------- store path
+# Bucket-store probes (VERDICT r5 item 3): the samplers above join the
+# frontier against the FULL edge frame — correct, but every mini-batch
+# pays a scan linear in |E| even though it reads O(fanout x batch)
+# edges. The store path replaces that scan with a probe of a
+# dst-bucketed+sorted edge table (sources/bucketed.py): the frontier
+# ids (bounded by batch_size x prod(fanouts) — the same bound as the
+# sampled closure itself) are collected driver-side and pushed as an
+# In(dst, ...) filter, which Spark turns into BUCKET pruning
+# (SelectedBucketsCount k out of n) plus parquet row-group pruning
+# (sortBy clusters each key into few row groups). Per batch the scan
+# reads ~|frontier| row groups instead of |E| rows. Sampling itself is
+# the SAME code (sample_incoming* with hop0=h), so the drawn edges are
+# bit-identical to the direct path — pinned by
+# tests/test_sampling.py::test_store_path_bit_identical.
+
+
+def _probe_incoming(spark, table: str, dst_ids: list) -> DataFrame:
+    """Edges of ``table`` whose dst is in ``dst_ids``, as a
+    bucket+row-group-pruned scan. autoBucketedScan would silently turn
+    the bucketed read back into a plain file scan (no bucket pruning)
+    because no join consumes the bucket partitioning — force it off."""
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                   "false")
+    return spark.table(table).filter(F.col("dst").isin(dst_ids))
+
+
+def _collect_ids(df: DataFrame, col: str) -> list:
+    return [r[0] for r in df.select(col).distinct().collect()]
+
+
+def sample_incoming_store(spark, table: str, seeds: DataFrame,
+                          fanouts: list[int], seed: int = 42) -> DataFrame:
+    """``sample_incoming`` against a dst-bucketed edge table written by
+    sources.bucketed.write_edge_table. Bit-identical rows; per-hop scan
+    cost ~|frontier| row groups, not |E|."""
+    frontier = _collect_ids(seeds, "node_id")
+    layers = []
+    last = len(fanouts) - 1
+    for hop, fanout in enumerate(fanouts):
+        if not frontier:
+            break
+        pruned = _probe_incoming(spark, table, frontier)
+        fr_df = spark.createDataFrame(
+            [(int(i),) for i in frontier], "node_id bigint")
+        hop_edges = sample_incoming(pruned, fr_df, [fanout], seed,
+                                    hop0=hop)
+        layers.append(hop_edges)
+        if hop == last:        # no next frontier needed — skip the job
+            break
+        hop_edges = hop_edges.localCheckpoint(eager=True)
+        layers[-1] = hop_edges
+        frontier = _collect_ids(hop_edges, "src")
+    if not layers:
+        return spark.createDataFrame([], "src bigint, dst bigint, hop int")
+    out = layers[0]
+    for df in layers[1:]:
+        out = out.unionAll(df)
+    return out
+
+
+def sample_incoming_hetero_store(spark, tables: dict, seeds: dict,
+                                 fanouts: list[int],
+                                 seed: int = 42) -> DataFrame:
+    """``sample_incoming_hetero`` against per-edge-type dst-bucketed
+    tables ({(s, rel, d): table_name} from
+    sources.bucketed.write_edge_store). Bit-identical rows (same
+    sample_incoming_hetero draws via hop0); the per-batch probe is
+    bucket- and row-group-pruned instead of scanning every edge type's
+    full frame. Driver state per hop: the frontier id lists, bounded by
+    batch_size x prod(fanouts)."""
+    frontier = {t: _collect_ids(df, "node_id") for t, df in seeds.items()}
+    layers = []
+    last = len(fanouts) - 1
+    for hop, fanout in enumerate(fanouts):
+        live = {et: tbl for et, tbl in tables.items()
+                if et[2] in frontier and frontier[et[2]]}
+        if not live:
+            break
+        pruned = {et: _probe_incoming(spark, tbl, frontier[et[2]])
+                  for et, tbl in live.items()}
+        fr_dfs = {t: spark.createDataFrame([(int(i),) for i in ids],
+                                           "node_id bigint")
+                  for t, ids in frontier.items() if ids}
+        hop_edges = sample_incoming_hetero(pruned, fr_dfs, [fanout],
+                                           seed, hop0=hop)
+        layers.append(hop_edges)
+        if hop == last:        # no next frontier needed — skip the job
+            break
+        hop_edges = hop_edges.localCheckpoint(eager=True)
+        layers[-1] = hop_edges
+        nxt: dict[str, set] = {}
+        for r in hop_edges.select("src_table", "src").distinct().collect():
+            nxt.setdefault(r["src_table"], set()).add(r["src"])
+        frontier = {t: sorted(ids) for t, ids in nxt.items()}
+    if not layers:
+        raise ValueError("no edge type matched any seed node type")
+    out = layers[0]
+    for df in layers[1:]:
+        out = out.unionAll(df)
+    return out

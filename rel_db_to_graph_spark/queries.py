@@ -530,10 +530,17 @@ def q_hetero_link_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub_edges = {et: df.select("src", "dst")
                  for et, df in g["edges"].items()
                  if et[0] in feats and et[2] in feats}
+    # dst-bucketed store (VERDICT r5 item 3): one write per snapshot,
+    # then every per-batch probe is an In(dst, frontier) bucket-pruned
+    # scan instead of a full |E| pass — the sampled edges are
+    # bit-identical (tests/test_edge_store.py)
+    from rel_db_to_graph_spark.sources.bucketed import write_edge_store
+    tables = write_edge_store(sub_edges, num_buckets=16,
+                              prefix="q_hetero_sampled")
     res = train_hetero_gat_sampled(
         sub_edges, feats, labeled, src_type="orders", dst_type="customer",
         hidden=2, fanouts=[15], batch_size=512, max_batches=2,
-        epochs=2, lr=0.05, seed=42)
+        epochs=2, lr=0.05, seed=42, edge_tables=tables)
     return spark.createDataFrame(
         [(h["epoch"], float(h["train_loss"]), int(h["train_n"]),
           float(h["val_acc"]))
@@ -581,10 +588,16 @@ def q_gat_stack_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("src", "dst",
                   (F.col("_na") == F.col("_nb")).cast("int")
                   .alias("label")))
+    # dst-bucketed store: per-batch probes prune to the frontier's
+    # buckets/row groups instead of scanning |E| (bit-identical draws,
+    # tests/test_edge_store.py)
+    from rel_db_to_graph_spark.sources.bucketed import write_edge_table
+    write_edge_table(edges, "q_gat_stack_sampled_edges", num_buckets=16)
     res = train_gat_stack_sampled(edges, feats, ex, hidden=2, layers=2,
                                   fanouts=[15, 15], batch_size=512,
                                   max_batches=2, epochs=2, lr=0.05,
-                                  seed=42)
+                                  seed=42,
+                                  edge_table="q_gat_stack_sampled_edges")
     return spark.createDataFrame(
         [(h["epoch"], float(h["train_loss"]), int(h["train_n"]),
           float(h["val_acc"]))

@@ -42,3 +42,47 @@ def cobucket_pair(spark: SparkSession, left: DataFrame, right: DataFrame,
     write_bucketed(left, lt, key_left, num_buckets)
     write_bucketed(right, rt, key_right, num_buckets)
     return spark.table(lt), spark.table(rt)
+
+
+def _drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """Drop ``table`` AND its warehouse directory. A crashed writer (or
+    a previous session with a different metastore) can leave the
+    location on disk without a catalog entry, which makes the next
+    managed-table write fail with LOCATION_ALREADY_EXISTS."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    path = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
+def write_edge_table(edges: DataFrame, table: str,
+                     num_buckets: int = 16) -> None:
+    """Persist a (src, dst) edge frame as a parquet table bucketed AND
+    sorted on ``dst`` — the layout the sampled GNN trainers probe.
+    Incoming-neighbor sampling reads edges BY dst (the message targets),
+    so bucketing on dst lets an In(dst, frontier) probe prune to
+    |frontier| buckets, and sortBy(dst) clusters each key into one or
+    two parquet row groups for min/max pruning inside the bucket. One
+    write per snapshot, amortized over every epoch x batch."""
+    _drop_table_and_location(edges.sparkSession, table)
+    (edges.select("src", "dst").write.mode("overwrite").format("parquet")
+     .bucketBy(int(num_buckets), "dst")
+     .sortBy("dst")
+     .saveAsTable(table))
+
+
+def write_edge_store(graph_edges: dict, num_buckets: int = 16,
+                     prefix: str = "edgestore") -> dict:
+    """Persist every edge type of a build_graph edges dict as a
+    dst-bucketed table; returns {edge_type: table_name} for
+    operators.sampling.sample_incoming_hetero_store."""
+    tables = {}
+    for (s, rel, d), df in sorted(graph_edges.items()):
+        name = f"{prefix}_{s}_{rel}_{d}".lower()
+        write_edge_table(df, name, num_buckets)
+        tables[(s, rel, d)] = name
+    return tables
