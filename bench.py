@@ -105,12 +105,14 @@ def main() -> None:
     # compiler latency. Without this, graph_build pays ~8 s of codegen
     # at ANY data size.
     from rel_db_to_graph_spark.operators.graph_build import _GRAPH_CACHE
+    from rel_db_to_graph_spark.queries import _COPURCHASE_CACHE
 
     def clear_graph_cache() -> None:
         for g in _GRAPH_CACHE.values():
             for df in list(g["nodes"].values()) + list(g["edges"].values()):
                 df.unpersist()
         _GRAPH_CACHE.clear()
+        _COPURCHASE_CACHE.clear()
 
     spark.range(1000).count()
     if warm_dir and warm_dir != sf_dir:

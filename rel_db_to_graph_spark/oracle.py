@@ -1457,14 +1457,33 @@ SELECT count(*) AS n_users,
 FROM per_user
 """
 
-MULTIMODAL_META = f"""
+# Twin of the REAL byte-level header parser (multimodal.py): the
+# payload builder encodes dimensions as pure arithmetic in doc_id and
+# the container format cycles by doc_id % 3 (png/jpeg/gif), with every
+# 17th doc truncated to 5 bytes. The oracle recomputes the expected
+# metadata from that arithmetic WITHOUT parsing binary — so the Spark
+# side's struct.unpack offsets/endianness are what is actually checked.
+# Header sizes: png 33 B, jpeg 33 B (SOI+APP0+SOF0), gif 13 B.
+MULTIMODAL_META = """
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-       CAST(64 + ((strpos('{_HEX}', substr(md5(text), 1, 1)) - 1) % 16) * 8
-            AS INTEGER) AS fake_width,
-       CAST(64 + ((strpos('{_HEX}', substr(md5(text), 2, 1)) - 1) % 16) * 8
-            AS INTEGER) AS fake_height,
-       md5(text) AS payload_md5
+       CAST(CASE WHEN doc_id % 17 = 0 THEN 5
+                 WHEN doc_id % 3 = 2
+                      THEN 13 + octet_length(encode(text))
+                 ELSE 33 + octet_length(encode(text)) END
+            AS INTEGER) AS byte_len,
+       CASE WHEN doc_id % 17 = 0 THEN
+                 CASE WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE NULL END
+            WHEN doc_id % 3 = 0 THEN 'png'
+            WHEN doc_id % 3 = 1 THEN 'jpeg'
+            ELSE 'gif' END AS format,
+       CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+                 ELSE 16 + doc_id % 256 END AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+                 ELSE 16 + (doc_id * 7) % 256 END AS INTEGER) AS height,
+       CASE WHEN doc_id % 17 = 0 THEN
+                 CASE WHEN doc_id % 3 = 1 THEN 'no_sof'
+                      ELSE 'unknown_format' END
+            ELSE NULL END AS error
 FROM documents
 """
 

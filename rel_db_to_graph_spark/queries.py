@@ -1424,8 +1424,20 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = attach_payload(load_table(spark, sf_dir, "documents"))
-    return decode_metadata(media)
+    """REAL image-header decode (round 6 — replaces the md5-arithmetic
+    stub): payloads carry genuine PNG/JPEG/GIF container headers (built
+    from doc_id-deterministic dimensions, every 17th doc truncated),
+    and the Spark side parses the BYTES — signature match, big/little-
+    endian dimension fields, JPEG segment walk to SOF0. The oracle
+    reproduces the expected metadata arithmetically from doc_id, so a
+    mis-read offset or endianness bug hash-mismatches. Corrupt payloads
+    become error rows, never task failures."""
+    from rel_db_to_graph_spark.operators.multimodal import (
+        attach_image_payload,
+        decode_image_meta,
+    )
+    media = attach_image_payload(load_table(spark, sf_dir, "documents"))
+    return decode_image_meta(media)
 
 
 # ---------------------------------------------------------------- events
@@ -1463,14 +1475,36 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- graph analytics
 
+#: shared co-purchase projection (VERDICT r5 item 5): six analytics
+#: queries project the SAME basket graph from lineitem; computing it
+#: once per (app, sf_dir) and localCheckpointing saves the two-shuffle
+#: projection on every subsequent query. min_count=1 is cached and
+#: thresholded tiers derive by filter (w >= k ⊂ w >= 1). Bounded like
+#: graph_build._GRAPH_CACHE: oldest entry evicted beyond 2.
+_COPURCHASE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _copurchase_base(spark: SparkSession, sf_dir: str,
+                     max_basket: int = 64) -> DataFrame:
+    from rel_db_to_graph_spark.operators.graph_analytics import (
+        copurchase_edges,
+    )
+    key = (spark.sparkContext.applicationId, sf_dir, max_basket)
+    if key not in _COPURCHASE_CACHE:
+        while len(_COPURCHASE_CACHE) >= 2:
+            _COPURCHASE_CACHE.pop(next(iter(_COPURCHASE_CACHE)))
+        _COPURCHASE_CACHE[key] = copurchase_edges(
+            load_table(spark, sf_dir, "lineitem"), min_count=1,
+            max_basket=max_basket).localCheckpoint(eager=True)
+    return _COPURCHASE_CACHE[key]
+
+
 def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-occurrence projection of (order, part) -> part-part edges kept
     at weight >= 2: the market-basket graph the analytics tier below
     runs on. Basket-local pair generation (self-join on l_orderkey);
     max_basket caps the quadratic output at scale."""
-    from rel_db_to_graph_spark.operators.graph_analytics import copurchase_edges
-    return copurchase_edges(load_table(spark, sf_dir, "lineitem"),
-                            min_count=2, max_basket=64)
+    return _copurchase_base(spark, sf_dir).filter(F.col("w") >= 2)
 
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1479,10 +1513,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= |E|^1.5 regardless of degree distribution). Oracle enumerates the
     same triangles with an id-ordered triple join."""
     from rel_db_to_graph_spark.operators.graph_analytics import (
-        copurchase_edges, triangle_counts)
-    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"),
-                             min_count=1, max_basket=64)
-    return triangle_counts(edges).select(
+        triangle_counts,
+    )
+    return triangle_counts(_copurchase_base(spark, sf_dir)).select(
         F.col("node").alias("l_partkey"), "n_triangles")
 
 
@@ -1490,10 +1523,9 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient per node (deg >= 2), 6-dp rounded —
     triangles + degrees composed; zero-triangle nodes kept at 0.0."""
     from rel_db_to_graph_spark.operators.graph_analytics import (
-        clustering_coefficient, copurchase_edges)
-    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"),
-                             min_count=1, max_basket=64)
-    return clustering_coefficient(edges).select(
+        clustering_coefficient,
+    )
+    return clustering_coefficient(_copurchase_base(spark, sf_dir)).select(
         F.col("node").alias("l_partkey"), "deg", "coeff")
 
 
@@ -1502,9 +1534,9 @@ def q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase graph: "parts bought alongside the same parts" — the
     graph-topology analog of the shingle-Jaccard dedup measure."""
     from rel_db_to_graph_spark.operators.graph_analytics import (
-        copurchase_edges, neighborhood_jaccard)
-    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"),
-                             min_count=2, max_basket=64)
+        neighborhood_jaccard,
+    )
+    edges = _copurchase_base(spark, sf_dir).filter(F.col("w") >= 2)
     return neighborhood_jaccard(edges, min_common=2)
 
 
@@ -1514,10 +1546,10 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes paths; the oracle's recursive CTE does (exact at test
     SF)."""
     from rel_db_to_graph_spark.operators.graph_analytics import (
-        bfs_distances, copurchase_edges)
-    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"),
-                             min_count=2, max_basket=64)
-    edges = edges.localCheckpoint(eager=True)  # reused: min scan + 2 sides
+        bfs_distances,
+    )
+    edges = (_copurchase_base(spark, sf_dir).filter(F.col("w") >= 2)
+             .localCheckpoint(eager=True))  # reused: min scan + 2 sides
     source = edges.agg(F.min("u")).first()[0]
     return bfs_distances(edges, source, max_depth=4).select(
         F.col("node").alias("l_partkey"), F.col("dist").cast("int").alias("dist"))
@@ -1575,10 +1607,8 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unique fixpoint. Rows-only (iterative deletion has no recursive-
     CTE twin); test_graph_analytics pins equality against a brute-force
     Python peeler on the same sf0.001 graph."""
-    from rel_db_to_graph_spark.operators.graph_analytics import (
-        copurchase_edges, k_core)
-    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"),
-                             min_count=2, max_basket=64)
+    from rel_db_to_graph_spark.operators.graph_analytics import k_core
+    edges = _copurchase_base(spark, sf_dir).filter(F.col("w") >= 2)
     return k_core(edges, k=3).select(
         F.col("node").alias("l_partkey"), "core_deg")
 
@@ -1595,7 +1625,7 @@ def q_triangle_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     old_li = li.filter(F.col("l_orderkey") % 10 != 0)
     old_edges = copurchase_edges(old_li, min_count=1, max_basket=64)
-    all_edges = copurchase_edges(li, min_count=1, max_basket=64)
+    all_edges = _copurchase_base(spark, sf_dir)  # shared full projection
     new_edges = all_edges.join(old_edges.select("u", "v"), ["u", "v"],
                                "left_anti")
     return triangle_counts_incremental(old_edges, new_edges).select(
