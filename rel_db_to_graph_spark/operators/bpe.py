@@ -100,6 +100,73 @@ def bpe_train(docs: DataFrame, n_merges: int = 10,
     return merges
 
 
+def bpe_train_batched(docs: DataFrame, n_merges: int = 100,
+                      batch: int = 8, text_col: str = "text") -> list[dict]:
+    """Learn up to ``n_merges`` merges with ~n_merges/batch driver
+    round-trips instead of n_merges (VERDICT r5 item 7 — the shape that
+    makes a realistic 32k-vocab training feasible: at batch=32 that is
+    1k Spark jobs, not 32k).
+
+    Per round: ONE pair-count aggregation, one bounded collect of the
+    top 4*batch pairs, then a driver-side greedy scan that accepts up
+    to ``batch`` pairs in (count desc, lexicographic) order whose
+    SYMBOLS are pairwise disjoint, and ONE vocabulary rewrite applying
+    all accepted merges as chained folds in a single codegen pass.
+
+    Why symbol-disjointness: merging (a,b) provably leaves the count of
+    any symbol-disjoint pair unchanged (it only deletes pairs touching
+    a/b and creates pairs containing the new token), so disjoint
+    batch-mates commute — the rewrite is order-independent and each
+    accepted pair's recorded count is exact. The sequence can still
+    differ from strictly-sequential BPE: sequential recounts after
+    every merge, and a pair OVERLAPPING an earlier accept (skipped
+    here, deferred to the next round) or a brand-new token pair could
+    out-rank a later batch-mate. batch=1 reproduces ``bpe_train``
+    exactly (tested); the batched sequence itself is deterministic and
+    pinned against a python twin implementing the same policy
+    (tests/test_bpe.py)."""
+    words = (word_counts(docs, text_col)
+             .select("n", _chars("word").alias("syms"))
+             .localCheckpoint(eager=True))
+
+    merges: list[dict] = []
+    step = 0
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
+        pairs = (words
+                 .filter(F.size("syms") >= 2)
+                 .select("n", F.explode(F.arrays_zip(
+                     F.slice("syms", 1, F.size("syms") - 1).alias("a"),
+                     F.slice("syms", 2, F.size("syms") - 1).alias("b")))
+                     .alias("p"))
+                 .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                 .agg(F.sum("n").alias("cnt")))
+        top = (pairs.orderBy(F.desc("cnt"), "a", "b")
+               .limit(4 * batch).collect())
+        used: set[str] = set()
+        accepted: list[tuple[str, str, int]] = []
+        for row in top:
+            if len(accepted) >= want or row["cnt"] <= 0:
+                break
+            a, b = row["a"], row["b"]
+            if a in used or b in used:
+                continue
+            used.update((a, b))
+            accepted.append((a, b, int(row["cnt"])))
+        if not accepted:
+            break
+        rewritten = words
+        for left, right, _ in accepted:
+            rewritten = rewritten.select(
+                "n", _merge_expr(left, right).alias("syms"))
+        words = rewritten.localCheckpoint(eager=True)
+        for left, right, cnt in accepted:
+            merges.append({"step": step, "left": left, "right": right,
+                           "pair_count": cnt})
+            step += 1
+    return merges
+
+
 def bpe_tokenize(docs: DataFrame, merges: list[dict],
                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, n_pieces): apply the learned merges to every document —

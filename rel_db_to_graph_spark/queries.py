@@ -1013,12 +1013,16 @@ def q_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE vocabulary training (operators/bpe.py): 10 merge rounds over
-    the word-count table; returns the learned merge list. Rows-only
-    (the merge-apply fold has no ANSI twin); deterministic — python-
-    twin-crosschecked in tests/test_bpe.py."""
-    from rel_db_to_graph_spark.operators.bpe import bpe_train
-    merges = bpe_train(load_table(spark, sf_dir, "documents"), n_merges=10)
+    """BPE vocabulary training, BATCHED (operators/bpe.py, round 6):
+    100 merges learned in ~7 rounds of 16 symbol-disjoint accepts — the
+    job shape that scales to a realistic 32k vocabulary (rounds, not
+    merges, cost a driver round-trip). Rows-only (the merge-apply fold
+    has no ANSI twin); deterministic — the batched policy is pinned
+    against a pure-python twin in tests/test_bpe.py, and batch=1
+    reproduces classic sequential BPE exactly."""
+    from rel_db_to_graph_spark.operators.bpe import bpe_train_batched
+    merges = bpe_train_batched(load_table(spark, sf_dir, "documents"),
+                               n_merges=100, batch=16)
     return spark.createDataFrame(
         [(m["step"], m["left"], m["right"], m["pair_count"])
          for m in merges],

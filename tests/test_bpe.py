@@ -99,3 +99,77 @@ def test_merges_reduce_piece_count(spark):
     total0 = sum(r.n_pieces for r in none)
     total1 = sum(r.n_pieces for r in some)
     assert total1 < total0
+
+
+def _python_bpe_batched(word_freq: dict[str, int], n_merges: int,
+                        batch: int):
+    """Twin of bpe.bpe_train_batched: per round, rank pairs by (count
+    desc, lexicographic), greedily accept up to ``batch`` pairwise
+    symbol-disjoint pairs from the top 4*batch, apply all, repeat."""
+    vocab = {w: [c for c in w] for w in word_freq}
+    merges = []
+    step = 0
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
+        counts: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += word_freq[w]
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        used, accepted = set(), []
+        for (a, b), cnt in ranked[:4 * batch]:
+            if len(accepted) >= want or cnt <= 0:
+                break
+            if a in used or b in used:
+                continue
+            used.update((a, b))
+            accepted.append((a, b, cnt))
+        if not accepted:
+            break
+        for left, right, cnt in accepted:
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == left
+                            and syms[i + 1] == right):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+            merges.append((step, left, right, cnt))
+            step += 1
+    return merges, vocab
+
+
+def test_batched_batch1_equals_sequential(spark):
+    from rel_db_to_graph_spark.operators.bpe import bpe_train_batched
+    seq = bpe_train(_docs(spark), n_merges=8)
+    b1 = bpe_train_batched(_docs(spark), n_merges=8, batch=1)
+    assert seq == b1
+
+
+def test_batched_matches_python_twin_real_corpus(spark):
+    """40 merges in 5 rounds of 8 — the realistic-vocab shape — pinned
+    against the pure-python twin of the same batched policy."""
+    from rel_db_to_graph_spark.operators.bpe import bpe_train_batched
+    docs = load_table(spark, SF_SMOKE, "documents")
+    freq = {r.word: r.n for r in word_counts(docs).collect()}
+    want, _ = _python_bpe_batched(freq, n_merges=40, batch=8)
+    got = bpe_train_batched(docs, n_merges=40, batch=8)
+    assert [(m["step"], m["left"], m["right"], m["pair_count"])
+            for m in got] == want
+    assert len(got) == 40
+
+
+def test_batched_accepts_are_symbol_disjoint_per_round(spark):
+    from rel_db_to_graph_spark.operators.bpe import bpe_train_batched
+    got = bpe_train_batched(_docs(spark), n_merges=12, batch=4)
+    # reconstruct rounds: steps are consecutive; group by round of 4
+    # is not observable from output alone, so check the invariant the
+    # policy guarantees instead: each merge's count is exact under the
+    # pre-round table — verified transitively by the twin equality
+    # above; here pin monotone step numbering and non-empty output
+    assert [m["step"] for m in got] == list(range(len(got)))
+    assert got
