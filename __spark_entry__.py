@@ -65,6 +65,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_nll": Q.q_lm_nll,
     "curation_pipeline": Q.q_curation_pipeline,
     "bpe_train": Q.q_bpe_train,
+    "bpe_tokenize": Q.q_bpe_tokenize,
     "quality_lr_score": Q.q_quality_lr_score,
     "quality_lr_train": Q.q_quality_lr_train,
     "corpus_mix_temp": Q.q_corpus_mix_temp,

@@ -182,3 +182,75 @@ def bpe_tokenize(docs: DataFrame, merges: list[dict],
                      .alias("syms"))
     return (d.select(id_col, F.size("syms").alias("k"))
             .groupBy(id_col).agg(F.sum("k").cast("long").alias("n_pieces")))
+
+
+def bpe_tokenize_ranked(docs: DataFrame, merges: list[dict],
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_pieces) via the RANK-based tokenizer — the shape that
+    survives a realistic vocabulary. ``bpe_tokenize`` folds one rewrite
+    expression per merge into the plan: fine at ~100 merges, but a 32k
+    vocabulary would blow whole-stage codegen (expression tree and
+    generated-method size scale with merge count). Here the merge table
+    ships ONCE to the workers as a rank dict inside an Arrow-batched
+    mapInPandas, and each word applies its best-ranked mergeable pair
+    repeatedly — the standard tokenizer-inference algorithm. Per-batch
+    word memoization makes repeated words O(1). Equality with the fold
+    path is pinned in tests/test_bpe.py.
+
+    Map-only, zero shuffle before the per-doc sum; the rank dict is
+    O(vocab) driver->worker bytes, shipped once per task via the
+    serialized closure (at 32k merges, ~1 MB — broadcast-sized).
+    """
+    ranks = {(m["left"], m["right"]): i for m in merges
+             for i in [m["step"]]}
+
+    def run(batches):
+        import re
+
+        import pandas as _pd
+
+        memo: dict[str, int] = {}
+
+        def n_pieces_of(word: str) -> int:
+            got = memo.get(word)
+            if got is not None:
+                return got
+            syms = list(word)
+            while len(syms) >= 2:
+                best_rank, best_i = None, -1
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_rank is None:
+                    break
+                # apply THIS merge greedily left-to-right across the
+                # word (matching _merge_expr's non-overlapping fold)
+                left, right = syms[best_i], syms[best_i + 1]
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == left
+                            and syms[i + 1] == right):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            memo[word] = len(syms)
+            return len(syms)
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_pieces": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = re.sub(r"[^a-z0-9 ]", " ", str(text).lower())
+                words = [w for w in re.sub(r" +", " ", t).strip().split(" ")
+                         if w]
+                out["doc_id"].append(doc_id)
+                out["n_pieces"].append(sum(n_pieces_of(w) for w in words))
+            yield _pd.DataFrame(out)
+
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(text_col).alias("text"))
+            .mapInPandas(run, schema="doc_id long, n_pieces long"))

@@ -1029,6 +1029,23 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step int, left string, right string, pair_count long")
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer application: learn 100 batched merges, then
+    tokenize the whole corpus with the RANK-based Arrow tokenizer (the
+    vocab-scale path — the merge table ships once as a rank dict; the
+    fold-expression path would blow codegen at real vocabulary sizes).
+    Returns (doc_id, n_pieces). Rows-only (merge application has no
+    ANSI twin); the ranked tokenizer is equality-pinned against the
+    fold path and the python twin in tests/test_bpe.py."""
+    from rel_db_to_graph_spark.operators.bpe import (
+        bpe_tokenize_ranked,
+        bpe_train_batched,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train_batched(docs, n_merges=100, batch=16)
+    return bpe_tokenize_ranked(docs, merges)
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication spans: 40-char normalized windows at
     stride 10 shared by >=2 docs (operators/dedup.py::duplicated_spans)

@@ -173,3 +173,18 @@ def test_batched_accepts_are_symbol_disjoint_per_round(spark):
     # above; here pin monotone step numbering and non-empty output
     assert [m["step"] for m in got] == list(range(len(got)))
     assert got
+
+
+def test_ranked_tokenizer_equals_fold_tokenizer(spark):
+    """The mapInPandas rank-based tokenizer (vocab-scale path) must
+    agree exactly with the fold-expression path on the same merges."""
+    from rel_db_to_graph_spark.operators.bpe import (
+        bpe_tokenize_ranked,
+        bpe_train_batched,
+    )
+    docs = load_table(spark, SF_SMOKE, "documents")
+    merges = bpe_train_batched(docs, n_merges=40, batch=8)
+    fold = {r.doc_id: r.n_pieces for r in bpe_tokenize(docs, merges).collect()}
+    ranked = {r.doc_id: r.n_pieces
+              for r in bpe_tokenize_ranked(docs, merges).collect()}
+    assert fold == ranked and len(fold) == 500
