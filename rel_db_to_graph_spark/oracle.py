@@ -963,6 +963,54 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM tt GROUP BY doc_id
 """
 
+#: Twin of operators/dsir.py::dsir_select — retrains BOTH bigram LMs
+#: (target = lang 'en', raw = all docs) independently, then the same
+#: 6dp-rounded term difference, DECIMAL per-doc sum, 6dp sigmoid, and
+#: md5 content-addressed acceptance draw (seed 11, temperature 4).
+DSIR_SELECT = f"""
+WITH n AS (SELECT doc_id, lang, {_NORM_TEXT} AS norm FROM documents),
+tk AS (SELECT doc_id, lang,
+              list_filter(string_split(norm, ' '), t -> t <> '') AS t
+       FROM n),
+bg AS (SELECT doc_id, lang,
+              unnest(list_slice(t, 1, len(t) - 1)) AS a,
+              unnest(list_slice(t, 2, len(t))) AS b
+       FROM tk WHERE len(t) >= 2),
+t_big AS (SELECT a, b, count(*) AS c_ab FROM bg WHERE lang = 'en'
+          GROUP BY a, b),
+t_uni AS (SELECT a, count(*) AS c_a FROM bg WHERE lang = 'en'
+          GROUP BY a),
+t_v AS (SELECT count(DISTINCT tok) AS v FROM
+        (SELECT unnest(t) AS tok FROM tk WHERE lang = 'en')),
+r_big AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+r_uni AS (SELECT a, count(*) AS c_a FROM bg GROUP BY a),
+r_v AS (SELECT count(DISTINCT tok) AS v FROM
+        (SELECT unnest(t) AS tok FROM tk)),
+j AS (SELECT bg.doc_id,
+             coalesce(tb.c_ab, 0) AS t_ab, coalesce(tu.c_a, 0) AS t_a,
+             coalesce(rb.c_ab, 0) AS r_ab, coalesce(ru.c_a, 0) AS r_a
+      FROM bg
+      LEFT JOIN t_big tb ON tb.a = bg.a AND tb.b = bg.b
+      LEFT JOIN t_uni tu ON tu.a = bg.a
+      LEFT JOIN r_big rb ON rb.a = bg.a AND rb.b = bg.b
+      LEFT JOIN r_uni ru ON ru.a = bg.a),
+tt AS (SELECT doc_id,
+              round(-ln((r_ab + 1) / CAST(r_a + rv.v AS DOUBLE)), 6)
+              - round(-ln((t_ab + 1) / CAST(t_a + tv.v AS DOUBLE)), 6)
+              AS t
+       FROM j, t_v tv, r_v rv),
+w AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(CAST(t AS DECIMAL(27,6))) AS DOUBLE) AS logw
+      FROM tt GROUP BY doc_id)
+SELECT doc_id, n_bigrams, logw,
+       round(1.0 / (1.0 + exp(-4.0 * logw / n_bigrams)), 6)
+           AS accept_prob,
+       {_draw_sql('doc_id', 11)}
+           < round(1.0 / (1.0 + exp(-4.0 * logw / n_bigrams)), 6)
+           AS selected
+FROM w
+"""
+
 #: twin of operators/dedup.py::duplicated_spans — length-40 windows at
 #: stride 10 over normalized text; DuckDB range() is end-EXCLUSIVE so
 #: the stop is Spark's inclusive sequence stop + 1.
@@ -1819,6 +1867,7 @@ ORACLES: dict[str, str] = {
     "term_cms": TERM_CMS,
     "dup_spans": DUP_SPANS,
     "lm_nll": DOC_NLL,
+    "dsir_select": DSIR_SELECT,
     "doc_chunks": DOC_CHUNKS,
     "repetition": REPETITION,
     "corpus_mix": CORPUS_MIX,

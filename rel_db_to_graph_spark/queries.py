@@ -1003,6 +1003,19 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         cap=10, key_col="doc_id", seed=5)
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/dsir.py): log importance weight
+    = nll_raw - nll_target from two add-one-smoothed bigram LMs
+    (target = lang 'en'), hash-thresholded acceptance at
+    sigmoid(4 * logw / n_bigrams). One scoring pass over the corpus;
+    LM state is vocabulary-bounded. Fully oracle-backed — the DuckDB
+    twin retrains both LMs independently."""
+    from rel_db_to_graph_spark.operators.dsir import dsir_select
+    return dsir_select(load_table(spark, sf_dir, "documents"),
+                       target=F.col("lang") == "en",
+                       temperature=4.0, seed=11)
+
+
 def q_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality scoring (operators/lm.py): per-doc add-one-
     smoothed negative log-likelihood — the CCNet-style learned-LM
