@@ -147,3 +147,32 @@ def batch_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def knn_classify(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str = "label") -> DataFrame:
+    """k-NN majority-vote classification over the embedding corpus:
+    (query_id, true_label, pred_label, votes). Composes ``batch_topk``
+    (one corpus scan for all queries) with a label join and a per-query
+    vote argmax — ties break to the larger vote count then the SMALLER
+    label, so the prediction is engine-order-independent. The workhorse
+    for label densification / weak supervision over an embedded corpus;
+    at scale the brute scan swaps for the IVF/PQ probes in ivf.py
+    unchanged above the nn frame."""
+    from pyspark.sql import Window
+
+    nn = batch_topk(embeddings, query_ids, k, id_col, vec_col)
+    lab = embeddings.select(F.col(id_col), F.col(label_col).alias("_lab"))
+    votes = (nn.join(lab, id_col)
+             .groupBy("query_id", "_lab")
+             .agg(F.count("*").alias("votes")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.col("_lab").asc())
+    best = (votes.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("query_id", F.col("_lab").alias("pred_label"), "votes"))
+    truth = embeddings.select(F.col(id_col).alias("query_id"),
+                              F.col(label_col).alias("true_label"))
+    return (best.join(truth, "query_id")
+            .select("query_id", "true_label", "pred_label", "votes"))

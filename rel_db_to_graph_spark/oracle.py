@@ -1164,6 +1164,34 @@ SELECT query_id, vec_id, score, CAST(rnk AS INTEGER) AS rnk
 FROM r WHERE rnk <= 5
 """
 
+#: Twin of operators/similarity.py::knn_classify — same neighbor sets
+#: as ANN_BATCH (id-ordered enumeration vs broadcast window: identical
+#: ranks), then label join + (votes desc, label asc) argmax.
+KNN_CLASSIFY = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+     q AS (SELECT vec_id AS query_id, v AS qv FROM e
+           WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)),
+     s AS (SELECT q.query_id, e.vec_id, e.label, {_COS} AS score
+           FROM e, q WHERE e.vec_id <> q.query_id),
+     r AS (SELECT query_id, vec_id, label, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id) AS rnk
+           FROM s),
+     votes AS (SELECT query_id, label, count(*) AS votes
+               FROM r WHERE rnk <= 10 GROUP BY query_id, label),
+     best AS (SELECT query_id, label AS pred_label, votes,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY votes DESC, label ASC)
+                         AS vr
+              FROM votes)
+SELECT b.query_id, e.label AS true_label, b.pred_label,
+       CAST(b.votes AS BIGINT) AS votes
+FROM best b JOIN e ON e.vec_id = b.query_id
+WHERE b.vr = 1
+"""
+
+
 def _kmeans_parts(k: int, iters: int) -> tuple[list[str], str]:
     """Shared unrolled deterministic k-means (twin of
     operators/ivf.py::build_ivf_index): init = k lowest-id vectors
@@ -1887,6 +1915,7 @@ ORACLES: dict[str, str] = {
     "simhash": SIMHASH,
     "ngram_jaccard": NGRAM_JACCARD,
     "ann_brute": ANN_BRUTE,
+    "knn_classify": KNN_CLASSIFY,
     "ann_lsh": ANN_LSH,
     "ann_ivf": ANN_IVF,
     "ann_pq": ANN_PQ,

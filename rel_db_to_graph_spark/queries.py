@@ -1218,6 +1218,16 @@ def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_topk(e, query_ids=[0, 1, 2], k=5)
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification (operators/similarity.py):
+    top-10 cosine neighbors per query in one corpus pass, label join,
+    deterministic vote argmax (votes desc, label asc). Oracle-backed —
+    the DuckDB twin recomputes neighbors and votes from scratch."""
+    from rel_db_to_graph_spark.operators.similarity import knn_classify
+    return knn_classify(load_table(spark, sf_dir, "embeddings"),
+                        query_ids=[0, 1, 2, 3, 4, 5, 6, 7], k=10)
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_bucket=None: oracle twin computes exhaustive same-bucket pairs
     # (see q_near_dup_pairs) — keep parity data-independent.
