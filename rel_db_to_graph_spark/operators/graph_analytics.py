@@ -351,3 +351,46 @@ def cluster_representatives(clusters: DataFrame,
             .select(F.col("cluster_id"),
                     F.col("doc_id").alias("rep_id"),
                     F.col("n_chars").alias("rep_chars")))
+
+
+def label_propagation(edges: DataFrame, n_iter: int = 5) -> DataFrame:
+    """(node, community) after ``n_iter`` SYNCHRONOUS label-propagation
+    rounds (Raghavan et al. 2007) over an undirected (u, v) edge list:
+    start with community = own id; each round every node adopts the
+    most frequent label among its neighbors, ties broken by the
+    SMALLEST label — total and deterministic, which is what makes an
+    LPA variant oracle-checkable (the classic algorithm breaks ties
+    randomly and updates asynchronously; synchronous + least-label is
+    the reproducible form).
+
+    Per round: one equi-join of labels onto the symmetrized edges, one
+    groupBy((node, label)) count (map-side combined), one per-node
+    argmax window over a neighbor-label-bounded partition, lineage cut
+    per round. Shuffle volume per round is O(|E|) label pairs — the
+    same superstep shape as pagerank/components. Isolated nodes keep
+    their own label.
+    """
+    sym = (edges.select(F.col("u").alias("n"), F.col("v").alias("m"))
+           .unionByName(edges.select(F.col("v").alias("n"),
+                                     F.col("u").alias("m")))
+           .distinct()
+           .localCheckpoint(eager=True))
+    verts = sym.select(F.col("n").alias("node")).distinct() \
+        .localCheckpoint(eager=True)
+    labels = verts.select("node", F.col("node").alias("community"))
+    for _ in range(n_iter):
+        nbr = (sym.join(labels.select(F.col("node").alias("m"),
+                                      F.col("community").alias("_l")), "m")
+               .groupBy(F.col("n").alias("node"), F.col("_l"))
+               .agg(F.count("*").alias("_c")))
+        w = Window.partitionBy("node").orderBy(F.desc("_c"),
+                                               F.col("_l").asc())
+        best = (nbr.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") == 1)
+                .select("node", F.col("_l").alias("community")))
+        labels = (verts.join(best, "node", "left")
+                  .select("node",
+                          F.coalesce(F.col("community"), F.col("node"))
+                          .alias("community"))
+                  .localCheckpoint(eager=True))
+    return labels

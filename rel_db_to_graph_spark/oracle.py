@@ -1817,6 +1817,42 @@ WHERE deg >= {k}
 
 K_CORE = _k_core_sql()
 
+
+def _label_prop_sql(n_iter: int = 5) -> str:
+    """Unrolled synchronous least-label LPA (twin of
+    graph_analytics.py::label_propagation) — one (count, label) argmax
+    per node per round, chained as MATERIALIZED CTEs (same exponential-
+    inlining guard as the k-core twin)."""
+    parts = [
+        "p2 AS MATERIALIZED (SELECT u, v FROM pairs WHERE w >= 2)",
+        "sym AS MATERIALIZED (SELECT u AS n, v AS m FROM p2 "
+        "UNION SELECT v, u FROM p2)",
+        "verts AS MATERIALIZED (SELECT DISTINCT n AS node FROM sym)",
+        "l0 AS MATERIALIZED (SELECT node, node AS community FROM verts)",
+    ]
+    for r in range(1, n_iter + 1):
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT s.n AS node, l.community AS lab, "
+            f"count(*) AS c FROM sym s JOIN l{r-1} l ON l.node = s.m "
+            f"GROUP BY 1, 2)")
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT node, lab FROM "
+            f"(SELECT node, lab, row_number() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, lab ASC) AS rn FROM c{r}) WHERE rn = 1)")
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT v.node, "
+            f"coalesce(b.lab, v.node) AS community "
+            f"FROM verts v LEFT JOIN b{r} b USING (node))")
+    chain = ",\n".join(parts)
+    return f"""
+WITH {_COPURCHASE_CTE},
+{chain}
+SELECT node AS l_partkey, community FROM l{n_iter}
+"""
+
+
+LABEL_PROP = _label_prop_sql()
+
 SMALL_LOTS = """
 SELECT p.p_brand,
        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6)))
@@ -1941,6 +1977,7 @@ ORACLES: dict[str, str] = {
     "node_jaccard": NODE_JACCARD,
     "graph_bfs": GRAPH_BFS,
     "k_core": K_CORE,
+    "label_prop": LABEL_PROP,
     "cluster_rep": CLUSTER_REP,
     "event_pivot": EVENT_PIVOT,
     "event_unpivot": EVENT_UNPIVOT,

@@ -1646,6 +1646,22 @@ def q_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.filter(F.col("n_events") > 0)
 
 
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous least-label propagation over
+    the thresholded co-purchase graph (5 rounds): per round one label
+    join + one (node, label) count + one per-node argmax — the same
+    O(|E|)-per-superstep BSP shape as pagerank. Deterministic tie-break
+    (count desc, label asc) is what makes an LPA variant oracle-
+    checkable; the DuckDB twin unrolls the rounds as MATERIALIZED
+    CTEs."""
+    from rel_db_to_graph_spark.operators.graph_analytics import (
+        label_propagation,
+    )
+    edges = _copurchase_base(spark, sf_dir).filter(F.col("w") >= 2)
+    return label_propagation(edges, n_iter=5).select(
+        F.col("node").alias("l_partkey"), "community")
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the thresholded co-purchase graph: iterative peeling to
     the unique fixpoint. Rows-only (iterative deletion has no recursive-

@@ -206,3 +206,32 @@ def test_small_lots_decorrelates(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_label_propagation_two_cliques(spark):
+    from rel_db_to_graph_spark.operators.graph_analytics import (
+        label_propagation,
+    )
+    # two triangles {1,2,3} and {10,11,12} joined by one bridge 3-10:
+    # least-label synchronous LPA pulls each clique to its min id
+    g = _edges(spark, [(1, 2), (2, 3), (1, 3),
+                       (10, 11), (11, 12), (10, 12), (3, 10)])
+    got = {r["node"]: r["community"]
+           for r in label_propagation(g, n_iter=5).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[11] == got[12]
+    assert set(got) == {1, 2, 3, 10, 11, 12}
+
+
+def test_label_propagation_partitioning_independent(spark):
+    from rel_db_to_graph_spark.operators.graph_analytics import (
+        copurchase_edges,
+        label_propagation,
+    )
+    from rel_db_to_graph_spark.sources.catalog import load_table
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    e = copurchase_edges(li, min_count=2, max_basket=64)
+    a = {tuple(r) for r in label_propagation(e, n_iter=3).collect()}
+    b = {tuple(r) for r in
+         label_propagation(e.repartition(17), n_iter=3).collect()}
+    assert a == b and a
