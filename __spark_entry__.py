@@ -69,6 +69,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": Q.q_dsir_select,
     "knn_classify": Q.q_knn_classify,
     "label_prop": Q.q_label_prop,
+    "hyperball_audit": Q.q_hyperball_audit,
     "quality_lr_score": Q.q_quality_lr_score,
     "quality_lr_train": Q.q_quality_lr_train,
     "corpus_mix_temp": Q.q_corpus_mix_temp,

@@ -394,3 +394,77 @@ def label_propagation(edges: DataFrame, n_iter: int = 5) -> DataFrame:
                           .alias("community"))
                   .localCheckpoint(eager=True))
     return labels
+
+
+def hyperball(edges: DataFrame, radius: int = 2,
+              lgk: int = 12) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): per-node neighborhood-function
+    estimates |B_r(v)| for r = 0..radius via mergeable HLL sketches —
+    THE algorithm for centralities on web-scale graphs, because exact
+    r-ball sets are quadratic-ish while sketches make each round one
+    |E|-shuffle of fixed-width registers (2^lgk bytes/node, constant in
+    |V|). Uses Spark's native datasketches aggregates
+    (hll_sketch_agg / hll_union_agg — JVM-side, no UDF).
+
+    Round r: sketch_r(v) = union(sketch_{r-1}(v), sketch_{r-1}(m) for
+    each neighbor m) — one join of sketches onto the symmetrized edges
+    + one hll_union_agg groupBy, lineage cut per round. Returns
+    (node, est_0..est_radius) with monotone ball estimates. From these,
+    harmonic centrality ≈ Σ_r (est_r − est_{r-1}) / r.
+    """
+    sym = (edges.select(F.col("u").alias("n"), F.col("v").alias("m"))
+           .unionByName(edges.select(F.col("v").alias("n"),
+                                     F.col("u").alias("m")))
+           .distinct()
+           .localCheckpoint(eager=True))
+    verts = (sym.select(F.col("n").alias("node")).distinct()
+             .localCheckpoint(eager=True))
+    sk = verts.groupBy("node").agg(
+        F.hll_sketch_agg("node", F.lit(int(lgk))).alias("sk"))
+    out = sk.select("node",
+                    F.hll_sketch_estimate("sk").alias("est_0"))
+    for r in range(1, radius + 1):
+        nbr = (sym.join(sk.select(F.col("node").alias("m"),
+                                  F.col("sk").alias("_nsk")), "m")
+               .select(F.col("n").alias("node"),
+                       F.col("_nsk").alias("sk")))
+        sk = (sk.unionByName(nbr)
+              .groupBy("node").agg(F.hll_union_agg("sk").alias("sk"))
+              .localCheckpoint(eager=True))
+        out = out.join(
+            sk.select("node",
+                      F.hll_sketch_estimate("sk").alias(f"est_{r}")),
+            "node")
+    return out
+
+
+def ball_sizes_exact(edges: DataFrame, radius: int = 2) -> DataFrame:
+    """EXACT |B_r(v)| for r = 1..radius — the audit twin of
+    ``hyperball`` (materializes r-ball member sets: fine at test SF,
+    which is what an audit is for; quadratic-ish at scale, which is why
+    hyperball exists). Returns (node, n_ball_1..n_ball_radius)."""
+    sym = (edges.select(F.col("u").alias("n"), F.col("v").alias("m"))
+           .unionByName(edges.select(F.col("v").alias("n"),
+                                     F.col("u").alias("m")))
+           .distinct()
+           .localCheckpoint(eager=True))
+    members = (sym.select(F.col("n").alias("node"),
+                          F.col("m").alias("x"))
+               .unionByName(
+                   sym.select(F.col("n").alias("node"),
+                              F.col("n").alias("x")))
+               .distinct())
+    out = None
+    for r in range(1, radius + 1):
+        counts = members.groupBy("node").agg(
+            F.count("*").alias(f"n_ball_{r}"))
+        out = counts if out is None else out.join(counts, "node")
+        if r < radius:
+            members = (members
+                       .join(sym.select(F.col("n").alias("x"),
+                                        F.col("m").alias("_m")), "x")
+                       .select("node", F.col("_m").alias("x"))
+                       .unionByName(members)
+                       .distinct()
+                       .localCheckpoint(eager=True))
+    return out

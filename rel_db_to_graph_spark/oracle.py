@@ -1853,6 +1853,27 @@ SELECT node AS l_partkey, community FROM l{n_iter}
 
 LABEL_PROP = _label_prop_sql()
 
+#: Twin of queries.py::q_hyperball_audit — recomputes the EXACT 1- and
+#: 2-ball sizes (closed neighborhoods) and claims the HLL estimates
+#: land within tolerance; a drifting sketch flips a boolean → red row.
+HYPERBALL_AUDIT = f"""
+WITH {_COPURCHASE_CTE},
+p2 AS MATERIALIZED (SELECT u, v FROM pairs WHERE w >= 2),
+sym AS MATERIALIZED (SELECT u AS n, v AS m FROM p2
+                     UNION SELECT v, u FROM p2),
+b1 AS MATERIALIZED (SELECT n AS node, m AS x FROM sym
+                    UNION SELECT n, n FROM sym),
+c1 AS (SELECT node, count(*) AS n_ball_1 FROM b1 GROUP BY node),
+b2 AS MATERIALIZED (
+    SELECT DISTINCT node, x FROM (
+        SELECT b1.node, s.m AS x FROM b1 JOIN sym s ON s.n = b1.x
+        UNION ALL SELECT node, x FROM b1)),
+c2 AS (SELECT node, count(*) AS n_ball_2 FROM b2 GROUP BY node)
+SELECT c1.node AS l_partkey, c1.n_ball_1, c2.n_ball_2,
+       TRUE AS within_tol_1, TRUE AS within_tol_2
+FROM c1 JOIN c2 ON c1.node = c2.node
+"""
+
 SMALL_LOTS = """
 SELECT p.p_brand,
        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6)))
@@ -1978,6 +1999,7 @@ ORACLES: dict[str, str] = {
     "graph_bfs": GRAPH_BFS,
     "k_core": K_CORE,
     "label_prop": LABEL_PROP,
+    "hyperball_audit": HYPERBALL_AUDIT,
     "cluster_rep": CLUSTER_REP,
     "event_pivot": EVENT_PIVOT,
     "event_unpivot": EVENT_UNPIVOT,

@@ -1662,6 +1662,33 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("l_partkey"), "community")
 
 
+def q_hyperball_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall accuracy audit (corpus_stats_approx_err pattern): the
+    HLL-sketch neighborhood estimates |B_1|, |B_2| are computed next to
+    their exact twins and emitted as within-15% booleans alongside the
+    exact counts; the DuckDB oracle recomputes the exact balls and
+    claims TRUE — an estimator drifting past tolerance flips a boolean
+    and the driver row goes red. The sketches are the 100 TB path (one
+    |E|-shuffle of fixed 2^lgk-byte registers per round); the exact
+    side is test-SF-only audit machinery."""
+    from rel_db_to_graph_spark.operators.graph_analytics import (
+        ball_sizes_exact,
+        hyperball,
+    )
+    edges = _copurchase_base(spark, sf_dir).filter(F.col("w") >= 2)
+    est = hyperball(edges, radius=2, lgk=12)
+    exact = ball_sizes_exact(edges, radius=2)
+    tol = 0.15
+    j = est.join(exact, "node")
+    return j.select(
+        F.col("node").alias("l_partkey"),
+        "n_ball_1", "n_ball_2",
+        (F.abs(F.col("est_1") - F.col("n_ball_1"))
+         <= F.lit(tol) * F.col("n_ball_1")).alias("within_tol_1"),
+        (F.abs(F.col("est_2") - F.col("n_ball_2"))
+         <= F.lit(tol) * F.col("n_ball_2")).alias("within_tol_2"))
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the thresholded co-purchase graph: iterative peeling to
     the unique fixpoint. Rows-only (iterative deletion has no recursive-

@@ -235,3 +235,23 @@ def test_label_propagation_partitioning_independent(spark):
     b = {tuple(r) for r in
          label_propagation(e.repartition(17), n_iter=3).collect()}
     assert a == b and a
+
+
+def test_hyperball_estimates_track_exact_balls(spark):
+    from rel_db_to_graph_spark.operators.graph_analytics import (
+        ball_sizes_exact,
+        hyperball,
+    )
+    # path 1-2-3-4-5 plus a triangle 5-6-7: known ball sizes
+    g = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (5, 7),
+                       (6, 7)])
+    est = {r["node"]: (r["est_1"], r["est_2"])
+           for r in hyperball(g, radius=2, lgk=14).collect()}
+    exact = {r["node"]: (r["n_ball_1"], r["n_ball_2"])
+             for r in ball_sizes_exact(g, radius=2).collect()}
+    assert set(est) == set(exact)
+    for n in exact:
+        for e, x in zip(est[n], exact[n]):
+            assert abs(e - x) <= max(1, 0.1 * x), (n, est[n], exact[n])
+    # spot-pin the exact side: node 3's 1-ball = {2,3,4}, 2-ball adds 1,5
+    assert exact[3] == (3, 5)
