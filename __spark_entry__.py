@@ -70,6 +70,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_classify": Q.q_knn_classify,
     "label_prop": Q.q_label_prop,
     "hyperball_audit": Q.q_hyperball_audit,
+    "snapshot_diff": Q.q_snapshot_diff,
+    "merge_upsert": Q.q_merge_upsert,
     "quality_lr_score": Q.q_quality_lr_score,
     "quality_lr_train": Q.q_quality_lr_train,
     "corpus_mix_temp": Q.q_corpus_mix_temp,

@@ -1011,6 +1011,28 @@ SELECT doc_id, n_bigrams, logw,
 FROM w
 """
 
+#: Twin of queries.py::q_snapshot_diff — the change set derived
+#: SEMANTICALLY (key membership + the one perturbed column), fully
+#: independent of the Spark side's md5 row-fingerprint shortcut.
+SNAPSHOT_DIFF = """
+SELECT o_orderkey, 'I' AS op FROM orders
+WHERE o_orderkey % 10 = 0 AND o_orderkey % 17 <> 0
+UNION ALL
+SELECT o_orderkey, 'D' FROM orders
+WHERE o_orderkey % 17 = 0 AND o_orderkey % 10 <> 0
+UNION ALL
+SELECT o_orderkey, 'U' FROM orders
+WHERE o_orderkey % 13 = 0 AND o_orderkey % 10 <> 0
+  AND o_orderkey % 17 <> 0
+"""
+
+#: Twin of q_merge_upsert: diff+apply must reproduce the NEW snapshot
+#: exactly, so the oracle IS the new snapshot.
+MERGE_UPSERT = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey % 17 <> 0
+"""
+
 #: twin of operators/dedup.py::duplicated_spans — length-40 windows at
 #: stride 10 over normalized text; DuckDB range() is end-EXCLUSIVE so
 #: the stop is Spark's inclusive sequence stop + 1.
@@ -1953,6 +1975,8 @@ ORACLES: dict[str, str] = {
     "dup_spans": DUP_SPANS,
     "lm_nll": DOC_NLL,
     "dsir_select": DSIR_SELECT,
+    "snapshot_diff": SNAPSHOT_DIFF,
+    "merge_upsert": MERGE_UPSERT,
     "doc_chunks": DOC_CHUNKS,
     "repetition": REPETITION,
     "corpus_mix": CORPUS_MIX,

@@ -904,6 +904,49 @@ def q_dense_ids_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense_ids_append(existing, orders, "o_orderkey")
 
 
+def _cdc_snapshots(spark: SparkSession, sf_dir: str):
+    """Deterministic old/new snapshot pair derived from orders: old is
+    missing every 10th key and carries a doubled o_totalprice on every
+    13th (the U rows); new is missing every 17th key (the D rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    old = (o.filter(F.col("o_orderkey") % 10 != 0)
+           .withColumn("o_totalprice",
+                       F.when(F.col("o_orderkey") % 13 == 0,
+                              F.col("o_totalprice") * 2)
+                       .otherwise(F.col("o_totalprice"))))
+    new = o.filter(F.col("o_orderkey") % 17 != 0)
+    return old, new
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff (operators/increment.py): one full-outer join on the
+    key + an md5 row fingerprint over the non-key columns -> one row
+    per changed key with op I/U/D. The oracle derives the SAME change
+    set semantically (key membership + the perturbed column), so the
+    fingerprint shortcut is what gets checked."""
+    from rel_db_to_graph_spark.operators.increment import snapshot_diff
+    old, new = _cdc_snapshots(spark, sf_dir)
+    return snapshot_diff(old, new, "o_orderkey")
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply (operators/increment.py): diff old->new, join the I/U
+    payloads, merge into old — the result must equal the NEW snapshot
+    exactly, and the oracle IS the new snapshot (fully independent:
+    a wrong op classification, lost delete, or stale payload all
+    hash-mismatch). Anti-join + union; batch-sized incremental cost."""
+    from rel_db_to_graph_spark.operators.increment import (
+        merge_upsert,
+        snapshot_diff,
+    )
+    old, new = _cdc_snapshots(spark, sf_dir)
+    diff = snapshot_diff(old, new, "o_orderkey")
+    changes = diff.join(new, "o_orderkey", "left")
+    merged = merge_upsert(old, changes, "o_orderkey")
+    return merged.select("o_orderkey", "o_custkey", "o_orderstatus",
+                         "o_totalprice")
+
+
 def q_graph_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental graph maintenance end-to-end (increment.py composed
     with the G3 edge build): yesterday's orders→customer edges are kept

@@ -81,3 +81,34 @@ def test_incremental_edges_equal_from_scratch_over_merged(spark):
             {"pk": "o_custkey", "node_id": "dst"}), "o_custkey")
         .select("src", "dst")).collect()))
     assert incremental == scratch
+
+
+def test_snapshot_diff_classifies_ops(spark):
+    from rel_db_to_graph_spark.operators.increment import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k long, v string")
+    got = {r["k"]: r["op"] for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {2: "U", 3: "D", 4: "I"}
+
+
+def test_merge_upsert_roundtrips_to_new(spark):
+    from pyspark.sql import functions as F
+
+    from rel_db_to_graph_spark.operators.increment import (
+        merge_upsert,
+        snapshot_diff,
+    )
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k long, v string")
+    diff = snapshot_diff(old, new, "k")
+    merged = merge_upsert(old, diff.join(new, "k", "left"), "k")
+    assert ({tuple(r) for r in merged.collect()}
+            == {tuple(r) for r in new.collect()})
+    # null-valued payload columns survive the fingerprint (\\x00 sentinel)
+    old2 = spark.createDataFrame([(1, None)], "k long, v string")
+    new2 = spark.createDataFrame([(1, None)], "k long, v string")
+    assert snapshot_diff(old2, new2, "k").count() == 0
