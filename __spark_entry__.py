@@ -69,6 +69,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": Q.q_dsir_select,
     "knn_classify": Q.q_knn_classify,
     "label_prop": Q.q_label_prop,
+    "graph_features": Q.q_graph_features,
     "hyperball_audit": Q.q_hyperball_audit,
     "snapshot_diff": Q.q_snapshot_diff,
     "merge_upsert": Q.q_merge_upsert,

@@ -1875,6 +1875,78 @@ SELECT node AS l_partkey, community FROM l{n_iter}
 
 LABEL_PROP = _label_prop_sql()
 
+
+def _graph_features_sql(k: int = 3, lpa_iter: int = 5,
+                        core_rounds: int = 20) -> str:
+    """Twin of queries.py::q_graph_features — the composed per-node
+    feature table on the thresholded (w >= 2) co-purchase graph:
+    degree, triangle count, LPA community, 3-core membership. Each
+    block reuses the established unrolled patterns (MATERIALIZED
+    chains; id-ordered triangles)."""
+    parts = [
+        "p2 AS MATERIALIZED (SELECT u, v FROM pairs WHERE w >= 2)",
+        # degree
+        "deg AS MATERIALIZED (SELECT n AS node, count(*) AS deg FROM "
+        "(SELECT u AS n FROM p2 UNION ALL SELECT v FROM p2) GROUP BY n)",
+        # triangles (id-ordered triple join)
+        "tri3 AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+        "FROM p2 e1 JOIN p2 e2 ON e1.v = e2.u "
+        "JOIN p2 e3 ON e3.u = e1.u AND e3.v = e2.v)",
+        "tcnt AS MATERIALIZED (SELECT n AS node, count(*) AS n_triangles "
+        "FROM (SELECT a AS n FROM tri3 UNION ALL SELECT b FROM tri3 "
+        "UNION ALL SELECT c FROM tri3) GROUP BY n)",
+        # LPA
+        "sym AS MATERIALIZED (SELECT u AS n, v AS m FROM p2 "
+        "UNION SELECT v, u FROM p2)",
+        "verts AS MATERIALIZED (SELECT DISTINCT n AS node FROM sym)",
+        "l0 AS MATERIALIZED (SELECT node, node AS community FROM verts)",
+    ]
+    for r in range(1, lpa_iter + 1):
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT s.n AS node, l.community AS lab, "
+            f"count(*) AS c FROM sym s JOIN l{r-1} l ON l.node = s.m "
+            f"GROUP BY 1, 2)")
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT node, lab FROM "
+            f"(SELECT node, lab, row_number() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, lab ASC) AS rn FROM c{r}) WHERE rn = 1)")
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT v.node, "
+            f"coalesce(b.lab, v.node) AS community "
+            f"FROM verts v LEFT JOIN b{r} b USING (node))")
+    parts.append("e0 AS MATERIALIZED (SELECT u, v FROM p2)")
+    for r in range(1, core_rounds + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT n, count(*) AS dd FROM "
+            f"(SELECT u AS n FROM e{r-1} UNION ALL SELECT v FROM e{r-1}) "
+            f"GROUP BY n HAVING count(*) >= {k})")
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{r-1} e "
+            f"JOIN d{r} a ON a.n = e.u JOIN d{r} b ON b.n = e.v)")
+    parts.append(
+        f"core AS MATERIALIZED (SELECT n AS node FROM "
+        f"(SELECT u AS n FROM e{core_rounds} "
+        f"UNION ALL SELECT v FROM e{core_rounds}) GROUP BY n "
+        f"HAVING count(*) >= {k} "
+        f"AND (SELECT count(*) FROM e{core_rounds}) = "
+        f"(SELECT count(*) FROM e{core_rounds - 1}))")
+    chain = ",\n".join(parts)
+    return f"""
+WITH {_COPURCHASE_CTE},
+{chain}
+SELECT deg.node AS l_partkey, deg.deg,
+       coalesce(tcnt.n_triangles, 0) AS n_triangles,
+       l{lpa_iter}.community,
+       (core.node IS NOT NULL) AS in_core
+FROM deg
+LEFT JOIN tcnt ON tcnt.node = deg.node
+JOIN l{lpa_iter} ON l{lpa_iter}.node = deg.node
+LEFT JOIN core ON core.node = deg.node
+"""
+
+
+GRAPH_FEATURES = _graph_features_sql()
+
 #: Twin of queries.py::q_hyperball_audit — recomputes the EXACT 1- and
 #: 2-ball sizes (closed neighborhoods) and claims the HLL estimates
 #: land within tolerance; a drifting sketch flips a boolean → red row.
@@ -2023,6 +2095,7 @@ ORACLES: dict[str, str] = {
     "graph_bfs": GRAPH_BFS,
     "k_core": K_CORE,
     "label_prop": LABEL_PROP,
+    "graph_features": GRAPH_FEATURES,
     "hyperball_audit": HYPERBALL_AUDIT,
     "cluster_rep": CLUSTER_REP,
     "event_pivot": EVENT_PIVOT,

@@ -1705,6 +1705,36 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("l_partkey"), "community")
 
 
+def q_graph_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-analytics capstone: ONE wide per-node feature table on the
+    thresholded co-purchase graph — degree, triangle count, LPA
+    community, 3-core membership — every block reading the same single
+    checkpointed projection (the feature-engineering table a
+    downstream GNN/ranking model actually consumes). The composed
+    DuckDB twin re-derives all four blocks independently."""
+    from rel_db_to_graph_spark.operators.graph_analytics import (
+        degrees,
+        k_core,
+        label_propagation,
+        triangle_counts,
+    )
+    edges = (_copurchase_base(spark, sf_dir).filter(F.col("w") >= 2)
+             .localCheckpoint(eager=True))
+    deg = degrees(edges)
+    tri = triangle_counts(edges)
+    com = label_propagation(edges, n_iter=5)
+    core = k_core(edges, k=3).select("node", F.lit(True).alias("in_core"))
+    return (deg.join(tri, "node", "left")
+            .join(com, "node")
+            .join(core, "node", "left")
+            .select(F.col("node").alias("l_partkey"), "deg",
+                    F.coalesce(F.col("n_triangles"), F.lit(0))
+                    .alias("n_triangles"),
+                    "community",
+                    F.coalesce(F.col("in_core"), F.lit(False))
+                    .alias("in_core")))
+
+
 def q_hyperball_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperBall accuracy audit (corpus_stats_approx_err pattern): the
     HLL-sketch neighborhood estimates |B_1|, |B_2| are computed next to
