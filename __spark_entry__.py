@@ -71,6 +71,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_prop": Q.q_label_prop,
     "graph_features": Q.q_graph_features,
     "hyperball_audit": Q.q_hyperball_audit,
+    "harmonic_audit": Q.q_harmonic_audit,
     "snapshot_diff": Q.q_snapshot_diff,
     "merge_upsert": Q.q_merge_upsert,
     "quality_lr_score": Q.q_quality_lr_score,

@@ -1968,6 +1968,29 @@ SELECT c1.node AS l_partkey, c1.n_ball_1, c2.n_ball_2,
 FROM c1 JOIN c2 ON c1.node = c2.node
 """
 
+#: Twin of q_harmonic_audit — exact radius-2 harmonic centrality from
+#: the exact balls; the sketch-side tolerance boolean is claimed TRUE.
+HARMONIC_AUDIT = f"""
+WITH {_COPURCHASE_CTE},
+p2 AS MATERIALIZED (SELECT u, v FROM pairs WHERE w >= 2),
+sym AS MATERIALIZED (SELECT u AS n, v AS m FROM p2
+                     UNION SELECT v, u FROM p2),
+b1 AS MATERIALIZED (SELECT n AS node, m AS x FROM sym
+                    UNION SELECT n, n FROM sym),
+c1 AS (SELECT node, count(*) AS n_ball_1 FROM b1 GROUP BY node),
+b2 AS MATERIALIZED (
+    SELECT DISTINCT node, x FROM (
+        SELECT b1.node, s.m AS x FROM b1 JOIN sym s ON s.n = b1.x
+        UNION ALL SELECT node, x FROM b1)),
+c2 AS (SELECT node, count(*) AS n_ball_2 FROM b2 GROUP BY node)
+SELECT c1.node AS l_partkey,
+       round((c1.n_ball_1 - 1) + (c2.n_ball_2 - c1.n_ball_1) / 2.0, 6)
+           AS harmonic,
+       TRUE AS within_tol
+FROM c1 JOIN c2 ON c1.node = c2.node
+"""
+
+
 SMALL_LOTS = """
 SELECT p.p_brand,
        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6)))
@@ -2097,6 +2120,7 @@ ORACLES: dict[str, str] = {
     "label_prop": LABEL_PROP,
     "graph_features": GRAPH_FEATURES,
     "hyperball_audit": HYPERBALL_AUDIT,
+    "harmonic_audit": HARMONIC_AUDIT,
     "cluster_rep": CLUSTER_REP,
     "event_pivot": EVENT_PIVOT,
     "event_unpivot": EVENT_UNPIVOT,

@@ -1762,6 +1762,31 @@ def q_hyperball_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
          <= F.lit(tol) * F.col("n_ball_2")).alias("within_tol_2"))
 
 
+def q_harmonic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-2 harmonic centrality from the HyperBall sketches,
+    audited against the exact balls: h = (|B_1|-1)/1 + (|B_2|-|B_1|)/2.
+    Emits the exact value (6 dp) + a within-15% boolean on the sketch
+    estimate; the oracle recomputes the exact side and claims TRUE.
+    At scale only the sketch side runs — per-round cost is one
+    fixed-width register shuffle (see hyperball)."""
+    from rel_db_to_graph_spark.operators.graph_analytics import (
+        ball_sizes_exact,
+        hyperball,
+    )
+    edges = _copurchase_base(spark, sf_dir).filter(F.col("w") >= 2)
+    est = hyperball(edges, radius=2, lgk=12)
+    exact = ball_sizes_exact(edges, radius=2)
+    h_est = ((F.col("est_1") - F.col("est_0"))
+             + (F.col("est_2") - F.col("est_1")) / 2.0)
+    h_exact = ((F.col("n_ball_1") - 1)
+               + (F.col("n_ball_2") - F.col("n_ball_1")) / 2.0)
+    return (est.join(exact, "node")
+            .select(F.col("node").alias("l_partkey"),
+                    F.round(h_exact, 6).alias("harmonic"),
+                    (F.abs(h_est - h_exact)
+                     <= 0.15 * h_exact + 1.0).alias("within_tol")))
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the thresholded co-purchase graph: iterative peeling to
     the unique fixpoint. Rows-only (iterative deletion has no recursive-

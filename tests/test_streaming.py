@@ -247,3 +247,51 @@ def test_stream_stream_join_matches_batch_pairs(spark):
     assert streamed.count() == batch.count() > 0
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_streaming_cdc_apply_matches_batch_merge(spark):
+    """Stream-maintained snapshot (foreachBatch merge_upsert over CDC
+    micro-batches) must equal both the one-shot batch apply AND the
+    target snapshot the diff was derived from."""
+    import shutil
+    import tempfile
+
+    from rel_db_to_graph_spark.operators.increment import (
+        merge_upsert,
+        snapshot_diff,
+    )
+    from rel_db_to_graph_spark.queries import _cdc_snapshots
+    from rel_db_to_graph_spark.streaming.cdc import run_cdc_stream
+
+    old, new = _cdc_snapshots(spark, SF_SMOKE)
+    old = old.localCheckpoint(eager=True)
+    new = new.localCheckpoint(eager=True)
+    changes = (snapshot_diff(old, new, "o_orderkey")
+               .join(new, "o_orderkey", "left"))
+
+    src_dir = tempfile.mkdtemp(prefix="cdc_src_")
+    ckpt = f"/tmp/spark_cdc_ckpt_cdc_test"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    try:
+        # two files → at least one micro-batch each under availableNow
+        changes.filter(F.col("o_orderkey") % 2 == 0) \
+            .write.mode("overwrite").parquet(f"{src_dir}/b0")
+        changes.filter(F.col("o_orderkey") % 2 != 0) \
+            .write.mode("append").parquet(f"{src_dir}/b0")
+        stream = (spark.readStream.schema(changes.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(f"{src_dir}/b0"))
+        sink = run_cdc_stream(stream, old, "o_orderkey",
+                              query_name="cdc_test")
+        got = sink.current().select("o_orderkey", "o_custkey",
+                                    "o_totalprice")
+        want_batch = merge_upsert(old, changes, "o_orderkey") \
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+        want_new = new.select("o_orderkey", "o_custkey", "o_totalprice")
+        assert got.exceptAll(want_batch).count() == 0
+        assert want_batch.exceptAll(got).count() == 0
+        assert got.exceptAll(want_new).count() == 0
+        assert want_new.exceptAll(got).count() == 0
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
