@@ -73,6 +73,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hyperball_audit": Q.q_hyperball_audit,
     "harmonic_audit": Q.q_harmonic_audit,
     "snapshot_diff": Q.q_snapshot_diff,
+    "profile_orders": Q.q_profile_orders,
     "merge_upsert": Q.q_merge_upsert,
     "quality_lr_score": Q.q_quality_lr_score,
     "quality_lr_train": Q.q_quality_lr_train,

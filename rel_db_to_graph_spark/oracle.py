@@ -1011,6 +1011,38 @@ SELECT doc_id, n_bigrams, logw,
 FROM w
 """
 
+def _profile_sql(table: str, num_cols: list[str],
+                 str_cols: list[str], order: list[str]) -> str:
+    """Twin of operators/profile.py::profile_table — one independent
+    per-column SELECT, unioned; numeric min/max as DOUBLE, other
+    min/max CAST to VARCHAR."""
+    parts = []
+    for c in order:
+        if c in num_cols:
+            mm = (f"CAST(min({c}) AS DOUBLE) AS min_num, "
+                  f"CAST(max({c}) AS DOUBLE) AS max_num, "
+                  f"CAST(NULL AS VARCHAR) AS min_str, "
+                  f"CAST(NULL AS VARCHAR) AS max_str")
+        else:
+            mm = (f"CAST(NULL AS DOUBLE) AS min_num, "
+                  f"CAST(NULL AS DOUBLE) AS max_num, "
+                  f"CAST(min(CAST({c} AS VARCHAR)) AS VARCHAR) AS min_str, "
+                  f"CAST(max(CAST({c} AS VARCHAR)) AS VARCHAR) AS max_str")
+        parts.append(
+            f"SELECT '{c}' AS \"column\", count(*) AS n_rows, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_nulls, "
+            f"count(DISTINCT {c}) AS n_distinct, {mm} FROM {table}")
+    return "\nUNION ALL\n".join(parts)
+
+
+PROFILE_ORDERS = _profile_sql(
+    "orders",
+    num_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+    str_cols=["o_orderstatus", "o_orderdate", "o_orderpriority"],
+    order=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+           "o_orderdate", "o_orderpriority"])
+
 #: Twin of queries.py::q_snapshot_diff — the change set derived
 #: SEMANTICALLY (key membership + the one perturbed column), fully
 #: independent of the Spark side's md5 row-fingerprint shortcut.
@@ -2071,6 +2103,7 @@ ORACLES: dict[str, str] = {
     "lm_nll": DOC_NLL,
     "dsir_select": DSIR_SELECT,
     "snapshot_diff": SNAPSHOT_DIFF,
+    "profile_orders": PROFILE_ORDERS,
     "merge_upsert": MERGE_UPSERT,
     "doc_chunks": DOC_CHUNKS,
     "repetition": REPETITION,

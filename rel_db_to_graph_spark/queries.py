@@ -918,6 +918,15 @@ def _cdc_snapshots(spark: SparkSession, sf_dir: str):
     return old, new
 
 
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (operators/profile.py): per-column null count,
+    exact distinct count, numeric/string min-max — computed for all six
+    orders columns in ONE scan (fused wide aggregation + stack unpivot).
+    The oracle profiles each column independently."""
+    from rel_db_to_graph_spark.operators.profile import profile_table
+    return profile_table(load_table(spark, sf_dir, "orders"))
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC diff (operators/increment.py): one full-outer join on the
     key + an md5 row fingerprint over the non-key columns -> one row

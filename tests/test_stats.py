@@ -119,3 +119,20 @@ def test_cms_deterministic(spark):
     a = sorted(map(tuple, cms_audit(_docs(spark), k=10).collect()))
     b = sorted(map(tuple, cms_audit(_docs(spark), k=10).collect()))
     assert a == b
+
+
+def test_profile_table_one_scan_and_values(spark):
+    from rel_db_to_graph_spark.operators.profile import profile_table
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, None, 4.0), (2, "b", None)],
+        "k long, s string, x double")
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert rows["k"]["n_distinct"] == 2 and rows["k"]["n_nulls"] == 0
+    assert rows["k"]["min_num"] == 1.0 and rows["k"]["max_num"] == 2.0
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["min_str"] == "a"
+    assert rows["x"]["n_nulls"] == 1 and rows["x"]["max_num"] == 4.0
+    assert rows["s"]["min_num"] is None
+    # single scan: exactly one aggregate over one relation in the plan
+    plan = (profile_table(df)._jdf.queryExecution().optimizedPlan()
+            .toString())
+    assert plan.count("LogicalRDD") == 1
