@@ -15,15 +15,18 @@ Scale shapes (the point of each implementation):
   volume is sum(basket_size^2), which is why ``max_basket`` caps the
   quadratic blow-up at 100 TB (a single degenerate basket of 1M rows
   would otherwise emit 10^12 pairs from one task).
-* ``triangle_counts`` — the degree-ordered orientation algorithm
-  (Cohen's MapReduce triangle counting / "rank-ordered wedges"). Each
-  undirected edge is directed from the (degree, id)-smaller endpoint to
-  the larger one, so every vertex's OUT-degree is O(sqrt(|E|)) on any
-  graph: wedge volume is bounded by sum(outdeg^2) <= |E|^1.5 instead of
-  sum(deg^2), which is the difference between feasible and not on a
-  skewed 100 TB graph (a celebrity node of degree 10M generates zero
-  wedges — its edges all point INTO it). Three shuffles total (degree
-  agg, wedge join, closing-edge join); no driver state.
+* ``triangle_counts`` — degree-ordered orientation + edge-iterator
+  intersection. Each undirected edge is directed from the (degree,
+  id)-smaller endpoint to the larger one, so every vertex's OUT-degree
+  is O(sqrt(|E|)) on any graph — the bound that keeps a celebrity node
+  of degree 10M from generating any quadratic work (its edges all
+  point INTO it). Triangles are then counted at each edge (a, b) as
+  |N+(a) ∩ N+(b)| over collected out-adjacency arrays (bounded by the
+  same cap), so the wedge set never materializes as rows; total work
+  is still <= |E|^1.5 but the per-triangle constant halves (measured
+  2x at sf0.1 vs the explicit wedge self-join). Three shuffles (degree
+  agg, adjacency collect, two array joins share the second); no
+  driver state.
 * ``neighborhood_jaccard`` — wedge enumeration on the symmetrized
   adjacency, one shuffle on the wedge center, then a count-groupBy on the
   (b, c) pair. Run it on a thresholded projection (min_count >= 2) — on
