@@ -1979,6 +1979,18 @@ LEFT JOIN core ON core.node = deg.node
 
 GRAPH_FEATURES = _graph_features_sql()
 
+#: Twin of q_node_strength — weighted degree over the full projection.
+NODE_STRENGTH = f"""
+WITH {_COPURCHASE_CTE},
+inc AS (SELECT u AS node, w FROM pairs
+        UNION ALL SELECT v, w FROM pairs)
+SELECT node AS l_partkey, CAST(sum(w) AS BIGINT) AS strength,
+       count(*) AS n_neighbors
+FROM inc GROUP BY node
+"""
+
+
+
 #: Twin of queries.py::q_hyperball_audit — recomputes the EXACT 1- and
 #: 2-ball sizes (closed neighborhoods) and claims the HLL estimates
 #: land within tolerance; a drifting sketch flips a boolean → red row.
@@ -2152,6 +2164,7 @@ ORACLES: dict[str, str] = {
     "k_core": K_CORE,
     "label_prop": LABEL_PROP,
     "graph_features": GRAPH_FEATURES,
+    "node_strength": NODE_STRENGTH,
     "hyperball_audit": HYPERBALL_AUDIT,
     "harmonic_audit": HARMONIC_AUDIT,
     "cluster_rep": CLUSTER_REP,

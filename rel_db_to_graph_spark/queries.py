@@ -1714,6 +1714,21 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("l_partkey"), "community")
 
 
+def q_node_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-degree (strength) centrality on the full co-purchase
+    projection: per node the sum of incident edge weights and neighbor
+    count — the first-order importance signal on weighted graphs (one
+    partial-aggregated groupBy over the symmetrized incidence)."""
+    e = _copurchase_base(spark, sf_dir)
+    both = (e.select(F.col("u").alias("node"), "w")
+            .unionByName(e.select(F.col("v").alias("node"), "w")))
+    return (both.groupBy("node")
+            .agg(F.sum("w").alias("strength"),
+                 F.count("*").alias("n_neighbors"))
+            .select(F.col("node").alias("l_partkey"), "strength",
+                    "n_neighbors"))
+
+
 def q_graph_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-analytics capstone: ONE wide per-node feature table on the
     thresholded co-purchase graph — degree, triangle count, LPA
