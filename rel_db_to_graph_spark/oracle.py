@@ -1979,6 +1979,33 @@ LEFT JOIN core ON core.node = deg.node
 
 GRAPH_FEATURES = _graph_features_sql()
 
+#: Twin of q_assortativity — identical moment shapes: exact integer
+#: sums, one final double expression, 6 dp.
+ASSORTATIVITY = f"""
+WITH {_COPURCHASE_CTE},
+p2 AS MATERIALIZED (SELECT u, v FROM pairs WHERE w >= 2),
+deg AS MATERIALIZED (SELECT n AS node, count(*) AS deg FROM
+      (SELECT u AS n FROM p2 UNION ALL SELECT v FROM p2) GROUP BY n),
+sym AS (SELECT u AS a, v AS b FROM p2 UNION ALL SELECT v, u FROM p2),
+j AS (SELECT da.deg AS x, db.deg AS y FROM sym
+      JOIN deg da ON da.node = sym.a JOIN deg db ON db.node = sym.b),
+m AS (SELECT count(*) AS n,
+             sum(CAST(x AS DECIMAL(27,0))) AS sx,
+             sum(CAST(y AS DECIMAL(27,0))) AS sy,
+             sum(CAST(x * y AS DECIMAL(27,0))) AS sxy,
+             sum(CAST(x * x AS DECIMAL(27,0))) AS sxx,
+             sum(CAST(y * y AS DECIMAL(27,0))) AS syy
+      FROM j)
+SELECT n AS n_endpoints,
+       round((CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(syy AS DOUBLE) * n - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           AS assortativity
+FROM m
+"""
+
+
+
 #: Twin of q_node_strength — weighted degree over the full projection.
 NODE_STRENGTH = f"""
 WITH {_COPURCHASE_CTE},
@@ -2165,6 +2192,7 @@ ORACLES: dict[str, str] = {
     "label_prop": LABEL_PROP,
     "graph_features": GRAPH_FEATURES,
     "node_strength": NODE_STRENGTH,
+    "assortativity": ASSORTATIVITY,
     "hyperball_audit": HYPERBALL_AUDIT,
     "harmonic_audit": HARMONIC_AUDIT,
     "cluster_rep": CLUSTER_REP,

@@ -1729,6 +1729,42 @@ def q_node_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_neighbors"))
 
 
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the thresholded co-purchase graph: the
+    Pearson correlation of endpoint degrees over the symmetrized edge
+    list (Newman 2002) — one degree pass + one edge join + a 5-moment
+    aggregation. All moments are exact integer sums (degrees are
+    ints), accumulated in DECIMAL so the one final double expression
+    is bit-stable cross-engine; rounded to 6 dp."""
+    from rel_db_to_graph_spark.operators.graph_analytics import degrees
+    e = (_copurchase_base(spark, sf_dir).filter(F.col("w") >= 2)
+         .localCheckpoint(eager=True))
+    deg = degrees(e)
+    sym = (e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+           .unionByName(e.select(F.col("v").alias("a"),
+                                 F.col("u").alias("b"))))
+    j = (sym.join(deg.select(F.col("node").alias("a"),
+                             F.col("deg").alias("x")), "a")
+         .join(deg.select(F.col("node").alias("b"),
+                          F.col("deg").alias("y")), "b"))
+    m = j.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(27,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(27,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(27,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(27,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(27,0)")).alias("syy"))
+    num = (F.col("sxy").cast("double") * F.col("n")
+           - F.col("sx").cast("double") * F.col("sy").cast("double"))
+    den = F.sqrt(
+        (F.col("sxx").cast("double") * F.col("n")
+         - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        * (F.col("syy").cast("double") * F.col("n")
+           - F.col("sy").cast("double") * F.col("sy").cast("double")))
+    return m.select(F.col("n").alias("n_endpoints"),
+                    F.round(num / den, 6).alias("assortativity"))
+
+
 def q_graph_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-analytics capstone: ONE wide per-node feature table on the
     thresholded co-purchase graph — degree, triangle count, LPA
