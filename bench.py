@@ -112,6 +112,8 @@ def main() -> None:
             for df in list(g["nodes"].values()) + list(g["edges"].values()):
                 df.unpersist()
         _GRAPH_CACHE.clear()
+        for df in _COPURCHASE_CACHE.values():
+            df.unpersist()
         _COPURCHASE_CACHE.clear()
 
     spark.range(1000).count()

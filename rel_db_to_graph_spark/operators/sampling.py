@@ -15,6 +15,8 @@ with the frontier checkpointed between hops to cut lineage.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -212,13 +214,35 @@ def sample_incoming(edges: DataFrame, seeds: DataFrame,
 # tests/test_sampling.py::test_store_path_bit_identical.
 
 
+@contextmanager
+def _forced_bucketed_scan(spark):
+    """Scope in which bucketed reads stay bucketed. autoBucketedScan
+    would silently turn the probe's bucketed read back into a plain
+    file scan (no bucket pruning) because no join consumes the bucket
+    partitioning — force it off, and RESTORE the previous value on exit
+    so the shared session's planner settings do not leak into queries
+    that run after a sampled-trainer run (ADVICE r6: cobucket_pair
+    join plans executed under the mutated conf)."""
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def _probe_incoming(spark, table: str, dst_ids: list) -> DataFrame:
     """Edges of ``table`` whose dst is in ``dst_ids``, as a
-    bucket+row-group-pruned scan. autoBucketedScan would silently turn
-    the bucketed read back into a plain file scan (no bucket pruning)
-    because no join consumes the bucket partitioning — force it off."""
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
-                   "false")
+    bucket+row-group-pruned scan. Callers must EXECUTE the returned
+    frame inside ``_forced_bucketed_scan`` (the conf is read at
+    planning time, not at DataFrame construction)."""
     return spark.table(table).filter(F.col("dst").isin(dst_ids))
 
 
@@ -234,20 +258,24 @@ def sample_incoming_store(spark, table: str, seeds: DataFrame,
     frontier = _collect_ids(seeds, "node_id")
     layers = []
     last = len(fanouts) - 1
-    for hop, fanout in enumerate(fanouts):
-        if not frontier:
-            break
-        pruned = _probe_incoming(spark, table, frontier)
-        fr_df = spark.createDataFrame(
-            [(int(i),) for i in frontier], "node_id bigint")
-        hop_edges = sample_incoming(pruned, fr_df, [fanout], seed,
-                                    hop0=hop)
-        layers.append(hop_edges)
-        if hop == last:        # no next frontier needed — skip the job
-            break
-        hop_edges = hop_edges.localCheckpoint(eager=True)
-        layers[-1] = hop_edges
-        frontier = _collect_ids(hop_edges, "src")
+    with _forced_bucketed_scan(spark):
+        for hop, fanout in enumerate(fanouts):
+            if not frontier:
+                break
+            pruned = _probe_incoming(spark, table, frontier)
+            fr_df = spark.createDataFrame(
+                [(int(i),) for i in frontier], "node_id bigint")
+            # every hop (incl. the last) localCheckpoints INSIDE the
+            # scoped conf: the probe's plan is resolved at execution
+            # time, so a lazily-returned last hop would re-plan under
+            # the restored conf and silently lose bucket pruning
+            hop_edges = sample_incoming(pruned, fr_df, [fanout], seed,
+                                        hop0=hop).localCheckpoint(
+                                            eager=True)
+            layers.append(hop_edges)
+            if hop == last:    # no next frontier needed — skip the job
+                break
+            frontier = _collect_ids(hop_edges, "src")
     if not layers:
         return spark.createDataFrame([], "src bigint, dst bigint, hop int")
     out = layers[0]
@@ -269,27 +297,31 @@ def sample_incoming_hetero_store(spark, tables: dict, seeds: dict,
     frontier = {t: _collect_ids(df, "node_id") for t, df in seeds.items()}
     layers = []
     last = len(fanouts) - 1
-    for hop, fanout in enumerate(fanouts):
-        live = {et: tbl for et, tbl in tables.items()
-                if et[2] in frontier and frontier[et[2]]}
-        if not live:
-            break
-        pruned = {et: _probe_incoming(spark, tbl, frontier[et[2]])
-                  for et, tbl in live.items()}
-        fr_dfs = {t: spark.createDataFrame([(int(i),) for i in ids],
-                                           "node_id bigint")
-                  for t, ids in frontier.items() if ids}
-        hop_edges = sample_incoming_hetero(pruned, fr_dfs, [fanout],
-                                           seed, hop0=hop)
-        layers.append(hop_edges)
-        if hop == last:        # no next frontier needed — skip the job
-            break
-        hop_edges = hop_edges.localCheckpoint(eager=True)
-        layers[-1] = hop_edges
-        nxt: dict[str, set] = {}
-        for r in hop_edges.select("src_table", "src").distinct().collect():
-            nxt.setdefault(r["src_table"], set()).add(r["src"])
-        frontier = {t: sorted(ids) for t, ids in nxt.items()}
+    with _forced_bucketed_scan(spark):
+        for hop, fanout in enumerate(fanouts):
+            live = {et: tbl for et, tbl in tables.items()
+                    if et[2] in frontier and frontier[et[2]]}
+            if not live:
+                break
+            pruned = {et: _probe_incoming(spark, tbl, frontier[et[2]])
+                      for et, tbl in live.items()}
+            fr_dfs = {t: spark.createDataFrame([(int(i),) for i in ids],
+                                               "node_id bigint")
+                      for t, ids in frontier.items() if ids}
+            # checkpoint every hop inside the scoped conf — see
+            # sample_incoming_store for why the last hop must not
+            # escape the scope lazily
+            hop_edges = sample_incoming_hetero(
+                pruned, fr_dfs, [fanout], seed,
+                hop0=hop).localCheckpoint(eager=True)
+            layers.append(hop_edges)
+            if hop == last:    # no next frontier needed — skip the job
+                break
+            nxt: dict[str, set] = {}
+            for r in hop_edges.select("src_table",
+                                      "src").distinct().collect():
+                nxt.setdefault(r["src_table"], set()).add(r["src"])
+            frontier = {t: sorted(ids) for t, ids in nxt.items()}
     if not layers:
         raise ValueError("no edge type matched any seed node type")
     out = layers[0]

@@ -1588,7 +1588,10 @@ def _copurchase_base(spark: SparkSession, sf_dir: str,
     key = (spark.sparkContext.applicationId, sf_dir, max_basket)
     if key not in _COPURCHASE_CACHE:
         while len(_COPURCHASE_CACHE) >= 2:
-            _COPURCHASE_CACHE.pop(next(iter(_COPURCHASE_CACHE)))
+            # release the evicted entry's checkpoint blocks (ADVICE r6:
+            # mirrors clear_graph_cache's _GRAPH_CACHE handling)
+            _COPURCHASE_CACHE.pop(
+                next(iter(_COPURCHASE_CACHE))).unpersist()
         _COPURCHASE_CACHE[key] = copurchase_edges(
             load_table(spark, sf_dir, "lineitem"), min_count=1,
             max_basket=max_basket).localCheckpoint(eager=True)

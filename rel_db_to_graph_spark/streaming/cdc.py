@@ -42,15 +42,26 @@ class SnapshotMaintainer:
 
 def run_cdc_stream(changes_stream: DataFrame, base: DataFrame,
                    pk: str, query_name: str = "cdc_apply",
-                   op_col: str = "op") -> SnapshotMaintainer:
+                   op_col: str = "op",
+                   checkpoint_dir: str | None = None) -> SnapshotMaintainer:
     """Drain ``changes_stream`` (availableNow) into a SnapshotMaintainer
-    and return it once every pending micro-batch is applied."""
+    and return it once every pending micro-batch is applied.
+
+    ``checkpoint_dir`` defaults to a FRESH temp directory per call: a
+    fixed reusable path would make a second invocation with the same
+    ``query_name`` (new process, fresh base/stream) find committed
+    offsets and silently skip every already-numbered batch (ADVICE r6).
+    Pass an explicit directory only for genuine resume-after-failure,
+    where skipping committed batches is exactly the contract."""
+    if checkpoint_dir is None:
+        import tempfile
+        checkpoint_dir = tempfile.mkdtemp(
+            prefix=f"spark_cdc_ckpt_{query_name}_")
     sink = SnapshotMaintainer(base, pk, op_col)
     q = (changes_stream.writeStream
          .foreachBatch(sink.apply_batch)
          .queryName(query_name)
-         .option("checkpointLocation",
-                 f"/tmp/spark_cdc_ckpt_{query_name}")
+         .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()

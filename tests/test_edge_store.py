@@ -70,12 +70,16 @@ def test_store_probe_plan_is_bucket_pruned(spark):
     """The probe's FileScan must carry the pushed In(dst, ...) filter
     AND select a strict subset of buckets — the property that makes the
     per-batch cost ~|frontier| instead of |E| at 100 TB."""
-    from rel_db_to_graph_spark.operators.sampling import _probe_incoming
+    from rel_db_to_graph_spark.operators.sampling import (
+        _forced_bucketed_scan,
+        _probe_incoming,
+    )
 
     edges = _edges(spark, n=2000, deg=6)
     write_edge_table(edges, "t_edge_store_plan", num_buckets=16)
-    probe = _probe_incoming(spark, "t_edge_store_plan", [5, 77, 123])
-    plan = probe._jdf.queryExecution().executedPlan().toString()
+    with _forced_bucketed_scan(spark):
+        probe = _probe_incoming(spark, "t_edge_store_plan", [5, 77, 123])
+        plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "In(dst" in plan, plan
     assert "SelectedBucketsCount" in plan, plan
     sel = plan.split("SelectedBucketsCount: ")[1]
@@ -83,6 +87,10 @@ def test_store_probe_plan_is_bucket_pruned(spark):
         sel.split(" out of ")[1].split(")")[0].split("\n")[0].strip())
     assert k < n, f"no buckets pruned: {k}/{n}"
     assert "Exchange" not in plan
+    # ADVICE r6: the probe's planner override must not leak into the
+    # shared session after the store path returns
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    assert spark.conf.get(key) != "false"
 
 
 def test_sampled_hetero_trainer_history_unchanged_with_store(spark):

@@ -108,7 +108,38 @@ def test_merge_upsert_roundtrips_to_new(spark):
     merged = merge_upsert(old, diff.join(new, "k", "left"), "k")
     assert ({tuple(r) for r in merged.collect()}
             == {tuple(r) for r in new.collect()})
-    # null-valued payload columns survive the fingerprint (\\x00 sentinel)
+    # null-valued payload columns survive the fingerprint
     old2 = spark.createDataFrame([(1, None)], "k long, v string")
     new2 = spark.createDataFrame([(1, None)], "k long, v string")
     assert snapshot_diff(old2, new2, "k").count() == 0
+
+
+def test_snapshot_diff_fingerprint_is_injection_proof(spark):
+    """Adversarial values for the old concat_ws("\\x1f", …, "\\x00")
+    scheme (VERDICT r6 item 2 / ADVICE r6): a value containing the
+    separator byte must not shift content between columns, and a
+    literal sentinel string must not alias NULL. Every pair below is a
+    GENUINE update the old fingerprint would have missed (no 'U'
+    emitted) and a genuine no-op it could have flagged."""
+    from rel_db_to_graph_spark.operators.increment import snapshot_diff
+
+    schema = "k long, a string, b string"
+    cases = [
+        # separator shift: ("x\x1fy", "z") vs ("x", "y\x1fz") concat
+        # identically under the old scheme — must be detected as U
+        ([(1, "x\x1fy", "z")], [(1, "x", "y\x1fz")], {1: "U"}),
+        # literal sentinel vs NULL — old scheme hashed both to "\x00"
+        ([(2, "\x00", "b")], [(2, None, "b")], {2: "U"}),
+        ([(3, None, None)], [(3, "\x00", "\x00")], {3: "U"}),
+        # unchanged adversarial rows must stay quiet
+        ([(4, "x\x1fy", None)], [(4, "x\x1fy", None)], {}),
+        ([(5, "\x00", "\x1f")], [(5, "\x00", "\x1f")], {}),
+        # values that LOOK like JSON must not alias real structure
+        ([(6, '","b":"', "q")], [(6, '","b":"q', None)], {6: "U"}),
+    ]
+    for old_rows, new_rows, want in cases:
+        old = spark.createDataFrame(old_rows, schema)
+        new = spark.createDataFrame(new_rows, schema)
+        got = {r["k"]: r["op"]
+               for r in snapshot_diff(old, new, "k").collect()}
+        assert got == want, (old_rows, new_rows, got, want)

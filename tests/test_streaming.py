@@ -270,8 +270,6 @@ def test_streaming_cdc_apply_matches_batch_merge(spark):
                .join(new, "o_orderkey", "left"))
 
     src_dir = tempfile.mkdtemp(prefix="cdc_src_")
-    ckpt = f"/tmp/spark_cdc_ckpt_cdc_test"
-    shutil.rmtree(ckpt, ignore_errors=True)
     try:
         # two files → at least one micro-batch each under availableNow
         changes.filter(F.col("o_orderkey") % 2 == 0) \
@@ -292,6 +290,18 @@ def test_streaming_cdc_apply_matches_batch_merge(spark):
         assert want_batch.exceptAll(got).count() == 0
         assert got.exceptAll(want_new).count() == 0
         assert want_new.exceptAll(got).count() == 0
+
+        # ADVICE r6: a SECOND invocation with the same query_name must
+        # reprocess from scratch (fresh default checkpoint per call),
+        # not silently skip batches committed by the first run.
+        stream2 = (spark.readStream.schema(changes.schema)
+                   .option("maxFilesPerTrigger", 1)
+                   .parquet(f"{src_dir}/b0"))
+        sink2 = run_cdc_stream(stream2, old, "o_orderkey",
+                               query_name="cdc_test")
+        got2 = sink2.current().select("o_orderkey", "o_custkey",
+                                      "o_totalprice")
+        assert got2.exceptAll(want_new).count() == 0
+        assert want_new.exceptAll(got2).count() == 0
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)

@@ -15,13 +15,17 @@ from rel_db_to_graph_spark import queries as Q  # noqa: E402
 
 NEW = ["bpe_tokenize", "dsir_select", "knn_classify", "label_prop",
        "hyperball_audit", "harmonic_audit", "snapshot_diff",
-       "merge_upsert", "graph_features", "profile_orders"]
+       "merge_upsert", "graph_features", "profile_orders",
+       # ADVICE r6: added in the same round but after the first audit
+       # run — re-audited separately (see BASELINE.md round-6 addendum)
+       "node_strength", "assortativity"]
 
 
 def main() -> None:
     spark = get_spark(app_name="audit_sf1_r6")
     spark.sparkContext.setLogLevel("ERROR")
-    fns = {n: getattr(Q, f"q_{n}") for n in NEW}
+    names = sys.argv[1:] or NEW
+    fns = {n: getattr(Q, f"q_{n}") for n in names}
     for n, fn in fns.items():           # warm codegen at smoke SF
         fn(spark, "/root/testdata/sf0.001").write.format("noop") \
             .mode("overwrite").save()
