@@ -57,6 +57,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # QUERIES below is the REGISTRY (grouped by tier for readability);
 # its literal order only breaks ties.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "audio_meta": Q.q_audio_meta,
     "semantic_dedup": Q.q_semantic_dedup,
     "ann_pq": Q.q_ann_pq,
     "ann_ivfpq": Q.q_ann_ivfpq,

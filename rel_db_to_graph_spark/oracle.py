@@ -1617,6 +1617,48 @@ SELECT doc_id,
 FROM documents
 """
 
+# Twin of the REAL RIFF/WAVE parser (multimodal.py::parse_wav): the
+# payload builder derives sample rate / channels / frame count — and
+# every PCM16 sample value — arithmetically from doc_id, so this twin
+# recomputes byte length, floor-division duration AND the RMS (via a
+# generate_series over interleaved sample indexes) WITHOUT parsing
+# binary. Sample i is ((doc_id*31 + i*7) % 2048) - 1024: squares are
+# exact integers <= 1024^2, their sum < 2^53, so AVG is bit-exact in
+# both engines and round(sqrt(.), 6) matches the Python side.
+# Header = 44 B (RIFF 12 + fmt 24 + data header 8); every 17th doc is
+# truncated to 5 bytes -> unknown_format error row.
+AUDIO_META = """
+WITH p AS (
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                WHEN 2 THEN 22050 ELSE 44100 END AS sr,
+           1 + doc_id % 2 AS ch,
+           50 + doc_id % 101 AS nf
+    FROM documents
+), idx AS (
+    -- DuckDB's generate_series cannot take lateral column bounds;
+    -- unnest(range(..)) fans each doc out to its sample indexes
+    SELECT doc_id, sr, ch, nf, unnest(range(0, nf * ch)) AS i
+    FROM p WHERE doc_id % 17 != 0
+), valid AS (
+    SELECT doc_id, sr, ch, nf,
+           ROUND(sqrt(AVG(pow(((doc_id * 31 + i * 7) % 2048) - 1024,
+                              2))), 6) AS rms
+    FROM idx
+    GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id, CAST(44 + 2 * nf * ch AS INTEGER) AS byte_len,
+       'wav' AS format, CAST(sr AS INTEGER) AS sample_rate,
+       CAST(ch AS INTEGER) AS channels, CAST(16 AS INTEGER) AS bits,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST((nf * 1000) // sr AS BIGINT) AS duration_ms,
+       rms, CAST(NULL AS VARCHAR) AS error
+FROM valid
+UNION ALL
+SELECT doc_id, 5, NULL, 0, 0, 0, 0, 0, NULL, 'unknown_format'
+FROM p WHERE doc_id % 17 = 0
+"""
+
 EVENTS_HOURLY = """
 SELECT event_type,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
@@ -2175,6 +2217,7 @@ ORACLES: dict[str, str] = {
     "corpus_clean": CORPUS_CLEAN,
     "events_funnel": EVENTS_FUNNEL,
     "multimodal_meta": MULTIMODAL_META,
+    "audio_meta": AUDIO_META,
     "events_hourly": EVENTS_HOURLY,
     "events_sessionize": EVENTS_SESSIONIZE,
     "events_asof": EVENTS_ASOF,

@@ -106,3 +106,82 @@ def test_frame_sample_fanout_and_determinism(spark):
     # repartitioning does not change the sample
     again = sample_frames(media.repartition(8), k=4).collect()
     assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
+
+
+def test_parse_wav_real_container():
+    """Hand-built RIFF/WAVE bytes (with a LIST chunk before fmt and an
+    odd-size pad to exercise word alignment) parse exactly."""
+    import math
+    import struct
+
+    from rel_db_to_graph_spark.operators.multimodal import parse_wav
+
+    samples = [100, -200, 300, -400, 500, -600]          # 3 frames x 2 ch
+    pcm = struct.pack("<6h", *samples)
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"   # pad byte
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(odd) + len(pcm)) + b"WAVE"
+           + odd
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000,
+                                   8000 * 4, 4, 16)
+           + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    sr, ch, bits, n_frames, rms, err = parse_wav(wav)
+    assert (sr, ch, bits, n_frames, err) == (8000, 2, 16, 3, None)
+    want = round(math.sqrt(sum(v * v for v in samples) / 6), 6)
+    assert rms == want
+
+
+def test_parse_wav_corrupt_paths():
+    import struct
+
+    from rel_db_to_graph_spark.operators.multimodal import parse_wav
+
+    assert parse_wav(b"RIFF\x00\x00")[5] == "unknown_format"
+    assert parse_wav(b"OggS" + b"\x00" * 40)[5] == "unknown_format"
+    # declared chunk size runs past the buffer
+    bad = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 999) + b"\x00" * 4)
+    assert parse_wav(bad)[5] == "truncated_chunk"
+    # no fmt chunk at all
+    nofmt = (b"RIFF" + struct.pack("<I", 12) + b"WAVE"
+             + b"data" + struct.pack("<I", 2) + b"\x00\x00")
+    assert parse_wav(nofmt)[5] == "no_fmt"
+    # non-PCM encoding (IEEE float = 3)
+    enc = (b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000,
+                                   32000, 4, 32))
+    assert parse_wav(enc)[5] == "unsupported_encoding"
+    # fmt but zero data
+    nodata = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+              + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                      16000, 2, 16)
+              + b"data" + struct.pack("<I", 0))
+    assert parse_wav(nodata)[5] == "no_data"
+
+
+def test_decode_audio_meta_matches_arithmetic(spark):
+    """Spark-side byte parse must equal the doc_id arithmetic the
+    payload builder encoded (the same property the oracle checks)."""
+    from rel_db_to_graph_spark.operators.multimodal import (
+        attach_audio_payload,
+        decode_audio_meta,
+    )
+    from rel_db_to_graph_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(120)
+    rows = decode_audio_meta(attach_audio_payload(docs)).collect()
+    assert len(rows) == 120
+    for r in rows:
+        if r.doc_id % 17 == 0:
+            assert r.error == "unknown_format" and r.byte_len == 5
+            assert r.format is None and r.rms is None
+        else:
+            sr = (8000, 16000, 22050, 44100)[r.doc_id % 4]
+            ch = 1 + r.doc_id % 2
+            nf = 50 + r.doc_id % 101
+            assert r.error is None and r.format == "wav"
+            assert (r.sample_rate, r.channels, r.bits) == (sr, ch, 16)
+            assert r.n_frames == nf
+            assert r.byte_len == 44 + 2 * nf * ch
+            assert r.duration_ms == nf * 1000 // sr
+            assert r.rms is not None and 0 < r.rms < 1024
