@@ -91,7 +91,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gat_stack_train_sampled": Q.q_gat_stack_train_sampled,
     "layout_compact": Q.q_layout_compact,
     "gat_stack_train": Q.q_gat_stack_train,
-    "corpus_stats_approx": Q.q_corpus_stats_approx,
     "hetero_neighbor_sample": Q.q_hetero_neighbor_sample,
     "hetero_link_train": Q.q_hetero_link_train,
     "token_pack": Q.q_token_pack,
@@ -106,7 +105,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "node_jaccard": Q.q_node_jaccard,
     "graph_bfs": Q.q_graph_bfs,
     "cluster_rep": Q.q_cluster_rep,
-    "event_pivot": Q.q_event_pivot,
     "event_unpivot": Q.q_event_unpivot,
     "k_core": Q.q_k_core,
     "triangle_increment": Q.q_triangle_increment,
@@ -157,9 +155,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": Q.q_simhash,
     "ngram_jaccard": Q.q_ngram_jaccard,
     "ann_brute": Q.q_ann_brute,
-    "ann_lsh": Q.q_ann_lsh,
-    "ann_filtered": Q.q_ann_filtered,
-    "ann_batch": Q.q_ann_batch,
+    "ann_variants": Q.q_ann_variants,
     "ann_ivf": Q.q_ann_ivf,
     "corpus_clean": Q.q_corpus_clean,
     "rollup_pricing": Q.q_rollup_pricing,

@@ -1218,6 +1218,22 @@ SELECT query_id, vec_id, score, CAST(rnk AS INTEGER) AS rnk
 FROM r WHERE rnk <= 5
 """
 
+# One-slot union of the three ANN variant twins (driver-window
+# capacity consolidation, VERDICT r6 item 3): tags keep each variant's
+# rows distinct so a wrong answer in any branch still hash-mismatches.
+ANN_VARIANTS = f"""
+SELECT 'lsh' AS variant, CAST(0 AS BIGINT) AS query_id, vec_id, score,
+       CAST(NULL AS INTEGER) AS rnk
+FROM ({ANN_LSH})
+UNION ALL
+SELECT 'filtered', CAST(0 AS BIGINT), vec_id, score,
+       CAST(NULL AS INTEGER)
+FROM ({ANN_FILTERED})
+UNION ALL
+SELECT 'batch', query_id, vec_id, score, rnk
+FROM ({ANN_BATCH})
+"""
+
 #: Twin of operators/similarity.py::knn_classify — same neighbor sets
 #: as ANN_BATCH (id-ordered enumeration vs broadcast window: identical
 #: ranks), then label join + (votes desc, label asc) argmax.
@@ -2119,10 +2135,10 @@ GROUP BY p.p_brand
 
 _EVENT_TYPES_SQL = ("click", "error", "purchase", "signup", "view")
 
-EVENT_PIVOT = "SELECT user_id, " + ", ".join(
-    f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
-    for t in _EVENT_TYPES_SQL) + " FROM events GROUP BY user_id"
-
+# event_unpivot's lineage is stack(pivot(events)) with zero cells
+# dropped, so this single twin checks BOTH the pivot mapping and the
+# unpivot (a mis-mapped pivot column changes n_events) — the standalone
+# event_pivot registry slot was consolidated away (VERDICT r6 item 3).
 EVENT_UNPIVOT = f"""
 SELECT user_id, event_type, count(*) AS n_events
 FROM events
@@ -2200,13 +2216,11 @@ ORACLES: dict[str, str] = {
     "degree_histogram": DEGREE_HISTOGRAM,
     "decontaminate": DECONTAMINATE,
     "frame_sample": FRAME_SAMPLE,
-    "ann_filtered": ANN_FILTERED,
-    "ann_batch": ANN_BATCH,
+    "ann_variants": ANN_VARIANTS,
     "simhash": SIMHASH,
     "ngram_jaccard": NGRAM_JACCARD,
     "ann_brute": ANN_BRUTE,
     "knn_classify": KNN_CLASSIFY,
-    "ann_lsh": ANN_LSH,
     "ann_ivf": ANN_IVF,
     "ann_pq": ANN_PQ,
     "ann_ivfpq": ANN_IVFPQ,
@@ -2239,7 +2253,6 @@ ORACLES: dict[str, str] = {
     "hyperball_audit": HYPERBALL_AUDIT,
     "harmonic_audit": HARMONIC_AUDIT,
     "cluster_rep": CLUSTER_REP,
-    "event_pivot": EVENT_PIVOT,
     "event_unpivot": EVENT_UNPIVOT,
     "triangle_increment": TRIANGLE_INCREMENT,
     "small_lots": SMALL_LOTS,

@@ -1270,6 +1270,35 @@ def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_topk(e, query_ids=[0, 1, 2], k=5)
 
 
+def q_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed, metadata-filtered, and batched ANN in ONE
+    registry query (driver-window capacity consolidation, VERDICT r6
+    item 3): the three variants' results union with a tag column, so
+    each keeps its own oracle-checked semantics while costing one
+    window slot instead of three. Per-variant plans are unchanged —
+    the union is lazy branches, not a fused scan (each branch keeps
+    its own broadcast/TakeOrdered shape)."""
+    from rel_db_to_graph_spark.operators.similarity import (
+        batch_topk,
+        filtered_topk,
+        lsh_topk,
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    tag = lambda df, name: df.select(  # noqa: E731
+        F.lit(name).alias("variant"),
+        F.col("query_id") if "query_id" in df.columns
+        else F.lit(0).cast("long").alias("query_id"),
+        "vec_id", "score",
+        F.col("rnk") if "rnk" in df.columns
+        else F.lit(None).cast("int").alias("rnk"))
+    return (tag(lsh_topk(e, query_id=0), "lsh")
+            .unionByName(tag(filtered_topk(
+                e, query_id=0, predicate=F.col("label") == 3, k=10),
+                "filtered"))
+            .unionByName(tag(batch_topk(e, query_ids=[0, 1, 2], k=5),
+                             "batch")))
+
+
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN majority-vote classification (operators/similarity.py):
     top-10 cosine neighbors per query in one corpus pass, label join,

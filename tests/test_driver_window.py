@@ -70,3 +70,44 @@ def test_no_oracle_backed_query_is_stale_beyond_two_rounds():
     assert not stale, (
         f"oracle-backed queries {stale} last verified in round "
         f"<= r{latest - 2} yet rest outside the window")
+
+
+def test_registry_capacity_survives_two_projected_rounds():
+    """VERDICT r6 item 3: with WINDOW=50 and the <=2-round staleness
+    bar, the derived rotation is only satisfiable while the registry
+    stays under ~150 - growth. This test SIMULATES two future driver
+    rounds — each fronts the 50 stalest, then GROWTH projected new
+    queries join the registry — and asserts the staleness invariant
+    still holds after each, so the capacity cliff becomes a test
+    failure in the round BEFORE it binds (consolidate overlapping
+    queries when it fires; see q_ann_variants for the pattern)."""
+    GROWTH = 12          # addition budget per round (historical mean;
+                         # adding more than this in one round is itself
+                         # a capacity decision — this test prices it)
+
+    mod = _entry_module()
+    sim_last: dict[str, int] = {}
+    rounds = [0]
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        r = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+        rounds.append(r)
+        for name in json.load(open(path)):
+            sim_last[name] = max(sim_last.get(name, 0), r)
+    latest = max(rounds)
+    names = list(mod.QUERIES)
+    pos = {n: i for i, n in enumerate(names)}
+    for future in (latest + 1, latest + 2):
+        order = sorted(names, key=lambda n: (sim_last.get(n, 0),
+                                             pos.get(n, 10_000)))
+        for n in order[:WINDOW]:
+            sim_last[n] = future
+        names = names + [f"_projected_r{future}_{i}" for i in range(GROWTH)]
+        order = sorted(names, key=lambda n: (sim_last.get(n, 0),
+                                             pos.get(n, 10_000)))
+        stale = [n for n in order[WINDOW:]
+                 if sim_last.get(n, 0) <= future - 2]
+        assert not stale, (
+            f"registry at {len(names)} queries can no longer keep "
+            f"staleness <= 2 rounds after simulated round {future}: "
+            f"{stale[:8]}... — consolidate overlapping queries NOW "
+            f"(the cliff binds next round)")
