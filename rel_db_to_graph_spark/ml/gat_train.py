@@ -903,8 +903,10 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
     on the restricted frames. Per-batch shuffle volume is
     O(fanout × batch_size), independent of |E|.
 
-    Validation runs fanout=-1 (the full graph — the reference's eval
-    mode, dataloader.py:33) with no grads.
+    Validation runs fanout=-1 (full neighborhoods — the reference's
+    eval mode, dataloader.py:33) with no grads, restricted to the val
+    set's dependency closure computed ONCE per run (it is parameter-
+    independent), so per-epoch val cost is O(|closure|), not O(|E|).
 
     Exactness anchor (tested): with fanout ≥ max in-degree and a single
     batch, every sampled epoch is bit-for-bit the full-batch epoch —
@@ -952,10 +954,41 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
     train = split.filter(F.col("split") == "train").drop("split").cache()
     val = split.filter(F.col("split") == "val").drop("split").cache()
     n_train = train.count()
-    val.count()
+    n_val = val.count()
     n_batches = max(1, -(-n_train // max(1, batch_size)))
     steps = (n_batches if max_batches is None
              else min(n_batches, max_batches))
+
+    # Per-epoch validation used to forward the FULL graph — the one
+    # remaining full-|E| term in the sampled training path (VERDICT r6
+    # item 4; sf1 wall-clock was validation-dominated). The val
+    # forward's dependency closure is PARAMETER-independent, so compute
+    # it once: full in-neighborhoods ([-1] fanouts — the reference's
+    # eval semantics, dataloader.py:33) of the val endpoints, one hop
+    # per layer, restricted to the edges/features that forward actually
+    # reads. Identical val stats (the same per-dst edge sets feed every
+    # softmax/sum — pinned by the exactness-anchor tests and
+    # test_val_closure_matches_full_graph), but per-epoch cost is
+    # O(|closure|) instead of O(|E|): the full edge frames are scanned
+    # once here, not once per epoch.
+    val_sub, val_fcut = graph_edges, feats
+    if n_val:
+        vseeds = {src_type: val.select(F.col("src").alias("node_id"))}
+        vdst = val.select(F.col("dst").alias("node_id"))
+        vseeds[dst_type] = (vseeds[dst_type].unionAll(vdst)
+                            if dst_type in vseeds else vdst)
+        try:
+            vsamp = sample_incoming_hetero(
+                graph_edges, vseeds, [-1] * len(fanouts), seed=seed)
+        except ValueError:      # no edge type reaches any val endpoint
+            vsamp = None
+        if vsamp is not None:
+            val_sub, val_fcut = _batch_closure(vsamp, vseeds,
+                                               edge_types, feats)
+            val_sub = {et: df.localCheckpoint(eager=True)
+                       for et, df in val_sub.items()}
+            val_fcut = {t: df.localCheckpoint(eager=True)
+                        for t, df in val_fcut.items()}
 
     def flat(ps, bias):
         out = []
@@ -1026,7 +1059,7 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
             losses.append(stats["loss"] * stats["n"])
             ns.append(stats["n"])
         n_seen = sum(ns)
-        vstats = _hetero_epoch(graph_edges, feats, val, params, b,
+        vstats = _hetero_epoch(val_sub, val_fcut, val, params, b,
                                src_type, dst_type, with_grads=False)
         result.history.append({
             "epoch": epoch,
@@ -1061,7 +1094,8 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
     ``train_hetero_gat_sampled``: content-addressed batch membership,
     per-batch k-hop in-edge closure via ``sample_incoming`` (L2),
     the unchanged ``_stack_epoch`` over the restricted frames, one
-    AdamW step per batch, full-neighborhood validation. Per-batch
+    AdamW step per batch, full-neighborhood validation over the val
+    set's once-computed k-hop dependency closure. Per-batch
     shuffle volume is O(Π-bounded fanout tree × hidden), independent of
     |E|. Exactness anchor (tested): fanouts ≥ max in-degree at every
     hop + a single batch reproduces full-batch ``train_gat_stack``
@@ -1096,10 +1130,29 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
     train = split.filter(F.col("split") == "train").drop("split").cache()
     val = split.filter(F.col("split") == "val").drop("split").cache()
     n_train = train.count()
-    val.count()
+    n_val = val.count()
     n_batches = max(1, -(-n_train // max(1, batch_size)))
     steps = (n_batches if max_batches is None
              else min(n_batches, max_batches))
+
+    # One-time val dependency closure — k hops of FULL in-neighborhoods
+    # ([-1] per layer) of the val endpoints; per-epoch validation then
+    # forwards O(|closure|) instead of O(|E|). Same rationale and
+    # exactness argument as train_hetero_gat_sampled above.
+    val_sub, val_fcut = edges, feats
+    if n_val:
+        vseeds = (val.select(F.col("src").alias("node_id"))
+                  .unionAll(val.select(F.col("dst").alias("node_id")))
+                  .distinct())
+        vsamp = sample_incoming(edges, vseeds, [-1] * layers, seed=seed
+                                ).localCheckpoint(eager=True)
+        val_sub = (vsamp.select("src", "dst").distinct()
+                   .localCheckpoint(eager=True))
+        vids = (vseeds
+                .unionAll(vsamp.select(F.col("src").alias("node_id")))
+                .unionAll(vsamp.select(F.col("dst").alias("node_id")))
+                ).distinct()
+        val_fcut = feats.join(vids, "node_id").localCheckpoint(eager=True)
 
     def flat(ps, bias):
         out = []
@@ -1156,7 +1209,7 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
             losses.append(stats["loss"] * stats["n"])
             ns.append(stats["n"])
         n_seen = sum(ns)
-        vstats = _stack_epoch(edges, feats, val, params, b,
+        vstats = _stack_epoch(val_sub, val_fcut, val, params, b,
                               with_grads=False)
         result.history.append({
             "epoch": epoch,

@@ -704,3 +704,67 @@ def test_sample_incoming_multihop_bound(spark):
     assert all(r.dst == 0 for r in h0)
     edge_set = set(hub)
     assert all((r.src, r.dst) in edge_set for r in rows)
+
+
+def test_val_closure_matches_full_graph(spark):
+    """The val-set dependency closure (round-7: per-epoch validation no
+    longer forwards the full graph) must produce IDENTICAL val stats:
+    full in-neighborhoods of the val endpoints restricted to the
+    closure feed every softmax/sum the full-graph forward feeds."""
+    from rel_db_to_graph_spark.ml.gat_train import (
+        _batch_closure,
+        _hetero_epoch,
+        _stack_epoch,
+    )
+    from rel_db_to_graph_spark.operators.sampling import (
+        sample_incoming,
+        sample_incoming_hetero,
+    )
+
+    # hetero: arbitrary "val" subset + random params
+    edges, feats, ex_df = _toy_hetero(spark)
+    val = ex_df.filter((F.col("src") + F.col("dst")) % 3 == 0)
+    rng = np.random.default_rng(7)
+    params = {
+        "W0": {"A": rng.normal(size=(2, 2)), "B": rng.normal(size=(2, 3))},
+        "Wself": {"A": rng.normal(size=(2, 2)),
+                  "B": rng.normal(size=(2, 2))},
+        "attn": {et: (rng.normal(size=(2, 2)), rng.normal(size=(2, 2)),
+                      rng.normal(size=2))
+                 for et in sorted(edges)},
+    }
+    full = _hetero_epoch(edges, feats, val, params, 0.1, "A", "B",
+                         with_grads=False)
+    vseeds = {"A": val.select(F.col("src").alias("node_id")),
+              "B": val.select(F.col("dst").alias("node_id"))}
+    vsamp = sample_incoming_hetero(edges, vseeds, [-1], seed=1)
+    sub, fcut = _batch_closure(vsamp, vseeds, sorted(edges), feats)
+    clo = _hetero_epoch(sub, fcut, val, params, 0.1, "A", "B",
+                        with_grads=False)
+    assert clo["n"] == full["n"] > 0
+    assert abs(clo["loss"] - full["loss"]) < 1e-12
+    assert clo["acc"] == full["acc"]
+
+    # homogeneous 2-layer stack: 2-hop closure
+    e_df, f_df, ex = _toy_homo(spark)
+    val2 = ex.filter((F.col("src") * 7 + F.col("dst")) % 4 == 0)
+    sparams = [(rng.normal(size=(2, 2)), rng.normal(size=(2, 2)),
+                rng.normal(size=2)),
+               (rng.normal(size=(2, 2)), rng.normal(size=(2, 2)),
+                rng.normal(size=2))]
+    full2 = _stack_epoch(e_df, f_df, val2, sparams, -0.05,
+                         with_grads=False)
+    vseeds2 = (val2.select(F.col("src").alias("node_id"))
+               .unionAll(val2.select(F.col("dst").alias("node_id")))
+               .distinct())
+    vsamp2 = sample_incoming(e_df, vseeds2, [-1, -1], seed=1)
+    sub2 = vsamp2.select("src", "dst").distinct()
+    vids = (vseeds2
+            .unionAll(vsamp2.select(F.col("src").alias("node_id")))
+            .unionAll(vsamp2.select(F.col("dst").alias("node_id")))
+            ).distinct()
+    clo2 = _stack_epoch(sub2, f_df.join(vids, "node_id"), val2, sparams,
+                        -0.05, with_grads=False)
+    assert clo2["n"] == full2["n"] > 0
+    assert abs(clo2["loss"] - full2["loss"]) < 1e-12
+    assert clo2["acc"] == full2["acc"]
