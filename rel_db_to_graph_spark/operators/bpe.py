@@ -44,6 +44,23 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .groupBy("word").agg(F.count("*").alias("n")))
 
 
+def sequence_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) where ``word`` is the WHOLE normalized document text,
+    spaces kept as symbols — the SentencePiece-style no-pre-tokenization
+    merge domain. With whitespace pre-tokenization a tiny vocabulary
+    saturates after a few hundred merges (the sf testdata has ~40
+    distinct words); without it merges keep combining across word
+    boundaries into phrases, so a tokenizer-realistic merge count
+    (2k-32k) is actually learnable, and every training round scans a
+    corpus-sized (not vocab-sized) table — the honest scale regime the
+    round-7 sf1 audit measures (tools/bpe_scale_audit.py). Identical
+    texts still group, so the shared round loop and its python twin
+    apply verbatim."""
+    return (docs.select(normalize(F.col(text_col)).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word").agg(F.count("*").alias("n")))
+
+
 def _chars(colname: str) -> Column:
     """Split the named string column into its character array."""
     return F.expr(f"transform(sequence(1, length({colname})), "
@@ -101,7 +118,8 @@ def bpe_train(docs: DataFrame, n_merges: int = 10,
 
 
 def bpe_train_batched(docs: DataFrame, n_merges: int = 100,
-                      batch: int = 8, text_col: str = "text") -> list[dict]:
+                      batch: int = 8, text_col: str = "text",
+                      pretokenize: bool = True) -> list[dict]:
     """Learn up to ``n_merges`` merges with ~n_merges/batch driver
     round-trips instead of n_merges (VERDICT r5 item 7 — the shape that
     makes a realistic 32k-vocab training feasible: at batch=32 that is
@@ -124,8 +142,14 @@ def bpe_train_batched(docs: DataFrame, n_merges: int = 100,
     out-rank a later batch-mate. batch=1 reproduces ``bpe_train``
     exactly (tested); the batched sequence itself is deterministic and
     pinned against a python twin implementing the same policy
-    (tests/test_bpe.py)."""
-    words = (word_counts(docs, text_col)
+    (tests/test_bpe.py).
+
+    ``pretokenize=False`` trains over whole normalized documents
+    (``sequence_counts``) instead of the whitespace vocabulary — the
+    SentencePiece-style regime where merges cross word boundaries and
+    rounds scan a corpus-sized table."""
+    counts = word_counts if pretokenize else sequence_counts
+    words = (counts(docs, text_col)
              .select("n", _chars("word").alias("syms"))
              .localCheckpoint(eager=True))
 
@@ -186,7 +210,8 @@ def bpe_tokenize(docs: DataFrame, merges: list[dict],
 
 def bpe_tokenize_ranked(docs: DataFrame, merges: list[dict],
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        pretokenize: bool = True) -> DataFrame:
     """(doc_id, n_pieces) via the RANK-based tokenizer — the shape that
     survives a realistic vocabulary. ``bpe_tokenize`` folds one rewrite
     expression per merge into the plan: fine at ~100 merges, but a 32k
@@ -204,6 +229,7 @@ def bpe_tokenize_ranked(docs: DataFrame, merges: list[dict],
     """
     ranks = {(m["left"], m["right"]): i for m in merges
              for i in [m["step"]]}
+    pretok = bool(pretokenize)
 
     def run(batches):
         import re
@@ -245,8 +271,12 @@ def bpe_tokenize_ranked(docs: DataFrame, merges: list[dict],
             out = {"doc_id": [], "n_pieces": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 t = re.sub(r"[^a-z0-9 ]", " ", str(text).lower())
-                words = [w for w in re.sub(r" +", " ", t).strip().split(" ")
-                         if w]
+                t = re.sub(r" +", " ", t).strip()
+                # pretokenize=False: the whole normalized text is one
+                # symbol sequence (spaces are symbols) — the twin of
+                # sequence_counts training
+                words = ([w for w in t.split(" ") if w] if pretok
+                         else ([t] if t else []))
                 out["doc_id"].append(doc_id)
                 out["n_pieces"].append(sum(n_pieces_of(w) for w in words))
             yield _pd.DataFrame(out)

@@ -188,3 +188,50 @@ def test_ranked_tokenizer_equals_fold_tokenizer(spark):
     ranked = {r.doc_id: r.n_pieces
               for r in bpe_tokenize_ranked(docs, merges).collect()}
     assert fold == ranked and len(fold) == 500
+
+
+def _norm_text(text: str) -> str:
+    t = re.sub(r"[^a-z0-9 ]", " ", text.lower())
+    return re.sub(r" +", " ", t).strip()
+
+
+def test_raw_mode_matches_python_twin(spark):
+    """pretokenize=False (SentencePiece-style: the whole normalized
+    text is one symbol sequence, spaces are symbols) must follow the
+    SAME batched policy over sequence_counts — the shared round loop
+    means the existing twin applies verbatim with whole-text keys."""
+    from rel_db_to_graph_spark.operators.bpe import (
+        bpe_train_batched,
+        sequence_counts,
+    )
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    freq = {r.word: r.n for r in sequence_counts(docs).collect()}
+    want, _ = _python_bpe_batched(freq, n_merges=48, batch=8)
+    got = bpe_train_batched(docs, n_merges=48, batch=8,
+                            pretokenize=False)
+    assert [(m["step"], m["left"], m["right"], m["pair_count"])
+            for m in got] == want
+    # merges must cross word boundaries in this regime
+    assert any(" " in m["left"] + m["right"] for m in got)
+
+
+def test_raw_ranked_tokenizer_matches_vocab_rewrite(spark):
+    """Raw-mode ranked tokenizer vs the python twin's final vocab: a
+    document's piece count is the length of its fully-merged
+    sequence."""
+    from rel_db_to_graph_spark.operators.bpe import (
+        bpe_tokenize_ranked,
+        bpe_train_batched,
+        sequence_counts,
+    )
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    freq = {r.word: r.n for r in sequence_counts(docs).collect()}
+    _, vocab = _python_bpe_batched(freq, n_merges=48, batch=8)
+    merges = bpe_train_batched(docs, n_merges=48, batch=8,
+                               pretokenize=False)
+    got = {r.doc_id: r.n_pieces
+           for r in bpe_tokenize_ranked(docs, merges,
+                                        pretokenize=False).collect()}
+    want = {r.doc_id: len(vocab[_norm_text(r.text)])
+            for r in docs.collect()}
+    assert got == want and len(got) == 40

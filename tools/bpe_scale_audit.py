@@ -19,7 +19,7 @@ from rel_db_to_graph_spark import get_spark  # noqa: E402
 from rel_db_to_graph_spark.operators.bpe import (  # noqa: E402
     bpe_tokenize_ranked,
     bpe_train_batched,
-    word_counts,
+    sequence_counts,
 )
 from rel_db_to_graph_spark.sources.catalog import load_table  # noqa: E402
 
@@ -39,16 +39,20 @@ def main() -> None:
 
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
-    vocab = word_counts(docs).count()
+    # SentencePiece-style (pretokenize=False): whole documents are the
+    # symbol sequences — the regime where 2k+ merges are learnable and
+    # rounds scan a corpus-sized table (see operators/bpe.py).
+    vocab = sequence_counts(docs).count()
 
     j0 = _max_job_id(sc)
     t0 = time.time()
-    merges = bpe_train_batched(docs, n_merges=n_merges, batch=batch)
+    merges = bpe_train_batched(docs, n_merges=n_merges, batch=batch,
+                               pretokenize=False)
     t_train = time.time() - t0
     jobs_train = _max_job_id(sc) - j0
 
     t1 = time.time()
-    total = (bpe_tokenize_ranked(docs, merges)
+    total = (bpe_tokenize_ranked(docs, merges, pretokenize=False)
              .agg(F.sum("n_pieces").alias("s")).collect()[0]["s"])
     t_tok = time.time() - t1
     jobs_tok = _max_job_id(sc) - j0 - jobs_train
