@@ -47,7 +47,7 @@ forward/backward twin in tests/test_gat_train.py.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rel_db_to_graph_spark.functions.vector import dot, sigmoid
@@ -247,23 +247,31 @@ def _forward_layer(edges: DataFrame, emb: DataFrame, Wl: np.ndarray,
           .withColumn("_r", F.transform(
               "_q", lambda x: F.when(x > 0, x).otherwise(x * F.lit(_LEAKY))))
           .withColumn("_e", dot(F.col("_r"), a_lit)))
-    mx = ef.groupBy("dst").agg(F.max("_e").alias("_mx"))
-    wtd = ef.join(mx, "dst").withColumn("_w",
-                                        F.exp(F.col("_e") - F.col("_mx")))
-    z = wtd.groupBy("dst").agg(F.sum("_w").alias("_z"))
-    al = (wtd.join(z, "dst")
+    # softmax over each dst's in-edges in ONE shuffle: an unordered
+    # whole-partition window computes max and sum together, where the
+    # groupBy+join×2 form paid three extra exchanges per layer —
+    # per-stage overhead was the measured wall-clock dominator of a
+    # sampled gradient step (round-7 stage diet)
+    wd = Window.partitionBy("dst")
+    al = (ef.withColumn("_mx", F.max("_e").over(wd))
+          .withColumn("_w", F.exp(F.col("_e") - F.col("_mx")))
+          .withColumn("_z", F.sum("_w").over(wd))
           .withColumn("_alpha", F.col("_w") / F.col("_z"))
           .localCheckpoint(eager=False))
-    per_dim = (al.select("dst", "_alpha",
-                         F.posexplode("_s").alias("pos", "x"))
-               .groupBy("dst", "pos")
-               .agg(F.sum(F.col("_alpha") * F.col("x")).alias("v")))
+    # message aggregation as h fixed-width column sums — no posexplode
+    # row blow-up, no (dst, pos) shuffle, no collect_list rebuild.
+    # h is a small compile-time constant (model width), so h aggregate
+    # expressions stay comfortably inside one codegen stage.
+    msum = al.groupBy("dst").agg(
+        *[F.sum(F.col("_alpha") * F.col("_s").getItem(i)).alias(f"_m{i}")
+          for i in range(h)])
     zeros = F.array_repeat(F.lit(0.0), h)
     act = ((lambda c: F.transform(c, lambda x: sigmoid(x)))
            if activation == "sigmoid" else (lambda c: F.col(c)))
     H = (demb.select("node_id")
-         .join(_to_array(per_dim, "dst", "pos", "v", "_m")
-               .withColumnRenamed("dst", "node_id"), "node_id", "left")
+         .join(msum.select(F.col("dst").alias("node_id"),
+                           F.array(*[F.col(f"_m{i}") for i in range(h)])
+                           .alias("_m")), "node_id", "left")
          .select("node_id",
                  F.coalesce("_m", zeros).alias("_m"),
                  F.coalesce(act("_m"), zeros).alias("_h"))
@@ -271,18 +279,59 @@ def _forward_layer(edges: DataFrame, emb: DataFrame, Wl: np.ndarray,
     return al, H
 
 
-def _backward_layer(al: DataFrame, H: DataFrame, G: DataFrame,
-                    emb_in: DataFrame, Wl: np.ndarray, Wr: np.ndarray,
-                    a: np.ndarray, n: int,
-                    dst_emb_in: DataFrame | None = None,
-                    activation: str = "sigmoid"):
+def _wgrad_cells(D: DataFrame, side_feats: DataFrame) -> DataFrame:
+    """(r, c, v) cell partial sums of Σ_nodes d ⊗ x for a node-level
+    gradient frame D = (node_id, pos, gs) — the frame form of the ∂L/∂W
+    reduction, returned UNcollected so many parameter reductions can
+    fuse into one gradient-sync job (see _collect_tagged_cells)."""
+    return (D.join(side_feats.select("node_id",
+                                     F.col("emb").alias("_x")),
+                   "node_id")
+            .select(F.col("pos").alias("r"), "gs",
+                    F.posexplode("_x").alias("c", "xc"))
+            .groupBy("r", "c")
+            .agg(F.sum(F.col("gs") * F.col("xc")).alias("v")))
+
+
+def _collect_tagged_cells(tagged: list[tuple[str, DataFrame]]) -> dict:
+    """ONE gradient-sync job per step (round-7 perf fix): union every
+    (r, c, v) reduction frame with a tag column and collect once,
+    instead of one driver job per parameter. A gradient step used to
+    run ~12 tiny collects, each paying full plan/codegen/scheduling
+    latency (~2 s on a 500-example batch — measured dominating the sf1
+    sampled trainers); the fused union executes the shared lineage once
+    and returns every parameter's cells in a single action. This is
+    also the right cluster shape: one gradient barrier per step, not
+    twelve. Per-group sums are unchanged, so gradients are numerically
+    identical (anchor tests pin this). Returns {tag: [(r, c, v)...]}."""
+    if not tagged:
+        return {}
+    frames = [df.select(F.lit(name).alias("k"), "r", "c", "v")
+              for name, df in tagged]
+    u = frames[0]
+    for df in frames[1:]:
+        u = u.unionByName(df)
+    out: dict = {name: [] for name, _ in tagged}
+    for row in u.collect():
+        out[row.k].append(row)
+    return out
+
+
+def _backward_layer_frames(al: DataFrame, H: DataFrame, G: DataFrame,
+                           emb_in: DataFrame, Wl: np.ndarray,
+                           Wr: np.ndarray, a: np.ndarray,
+                           dst_emb_in: DataFrame | None = None,
+                           activation: str = "sigmoid"):
     """Backward through one attention layer given node-level ``G`` =
     (node_id, _g) = ∂L/∂h (already summed over all downstream paths).
-    Returns (gWl, gWr, ga, DSDT) where DSDT = (node_id, _dsa, _dta) is
-    the node-level (∂L/∂s, ∂L/∂t) pair a deeper layer needs to continue
-    the chain (∂L/∂emb_in = Wlᵀ·_dsa + Wrᵀ·_dta). ``dst_emb_in`` /
-    ``activation`` mirror _forward_layer's bipartite + pre-activation
-    modes ('none' → gm = g directly, no sigmoid chain)."""
+    Returns UNcollected reduction frames (ga_cells, gWl_cells,
+    gWr_cells, DSDT): the cell frames are (r, c, v) partial sums ready
+    for the fused gradient-sync collect, and DSDT = (node_id, _dsa,
+    _dta) is the node-level (∂L/∂s, ∂L/∂t) pair a deeper layer needs to
+    continue the chain (∂L/∂emb_in = Wlᵀ·_dsa + Wrᵀ·_dta).
+    ``dst_emb_in`` / ``activation`` mirror _forward_layer's bipartite +
+    pre-activation modes ('none' → gm = g directly, no sigmoid
+    chain)."""
     h = Wl.shape[0]
     a_lit = _arr_lit(a)
     demb_in = emb_in if dst_emb_in is None else dst_emb_in
@@ -301,40 +350,60 @@ def _backward_layer(al: DataFrame, H: DataFrame, G: DataFrame,
               lambda q, ak: F.col("_ge") * ak
               * F.when(q > 0, F.lit(1.0)).otherwise(F.lit(_LEAKY))))
           .localCheckpoint(eager=False))
-    ga_rows = (eb.select(F.posexplode(F.expr(
+    ga_cells = (eb.select(F.posexplode(F.expr(
         "zip_with(_r, _q, (r, q) -> _ge * r)")).alias("pos", "gx"))
-        .groupBy("pos").agg(F.sum("gx").alias("v")).collect())
-    ga = [v / n for v in _collect_vec(ga_rows, h)]
+        .groupBy("pos").agg(F.sum("gx").alias("v"))
+        .select(F.col("pos").alias("r"), F.lit(0).alias("c"), "v"))
 
-    DS = (eb.select(F.col("src").alias("node_id"),
-                    F.posexplode(F.expr(
-                        "zip_with(transform(_gm, g -> _alpha * g), _dq,"
-                        " (mg, dq) -> mg + dq)")).alias("pos", "gx"))
-          .groupBy("node_id", "pos").agg(F.sum("gx").alias("gs")))
-    DT = (eb.select(F.col("dst").alias("node_id"),
-                    F.posexplode("_dq").alias("pos", "gx"))
-          .groupBy("node_id", "pos").agg(F.sum("gx").alias("gs")))
-
-    def w_grad(D, side_feats, n_cols):
-        rows = (D.join(side_feats.select("node_id",
-                                         F.col("emb").alias("_x")),
-                       "node_id")
-                .select(F.col("pos").alias("r"), "gs",
-                        F.posexplode("_x").alias("c", "xc"))
-                .groupBy("r", "c")
-                .agg(F.sum(F.col("gs") * F.col("xc")).alias("v")).collect())
-        return _collect_mat(rows, h, n_cols) / n
-
-    gWl = w_grad(DS, emb_in, Wl.shape[1])
-    gWr = w_grad(DT, demb_in, Wr.shape[1])
+    # node-level (∂L/∂s, ∂L/∂t) as h fixed-width column sums — one
+    # shuffle each, no posexplode row blow-up, no (node, pos) shuffle,
+    # no collect_list rebuild (round-7 stage diet; per-edge values are
+    # algebraically identical to the old zip_with long form)
+    ds_arr = (eb.groupBy(F.col("src").alias("node_id")).agg(
+        *[F.sum(F.col("_alpha") * F.col("_gm").getItem(i)
+                + F.col("_dq").getItem(i)).alias(f"_d{i}")
+          for i in range(h)])
+        .select("node_id", F.array(*[F.col(f"_d{i}") for i in range(h)])
+                .alias("_dsa")))
+    dt_arr = (eb.groupBy(F.col("dst").alias("node_id")).agg(
+        *[F.sum(F.col("_dq").getItem(i)).alias(f"_d{i}")
+          for i in range(h)])
+        .select("node_id", F.array(*[F.col(f"_d{i}") for i in range(h)])
+                .alias("_dta")))
+    # map-only long views of the already-aggregated arrays feed the
+    # per-parameter cell reductions
+    gWl_cells = _wgrad_cells(
+        ds_arr.select("node_id",
+                      F.posexplode("_dsa").alias("pos", "gs")), emb_in)
+    gWr_cells = _wgrad_cells(
+        dt_arr.select("node_id",
+                      F.posexplode("_dta").alias("pos", "gs")), demb_in)
     zeros = F.array_repeat(F.lit(0.0), h)
-    DSDT = (_to_array(DS, "node_id", "pos", "gs", "_dsa")
-            .join(_to_array(DT, "node_id", "pos", "gs", "_dta"),
-                  "node_id", "full")
+    DSDT = (ds_arr.join(dt_arr, "node_id", "full")
             .select("node_id",
                     F.coalesce("_dsa", zeros).alias("_dsa"),
                     F.coalesce("_dta", zeros).alias("_dta"))
             .localCheckpoint(eager=False))
+    return ga_cells, gWl_cells, gWr_cells, DSDT
+
+
+def _backward_layer(al: DataFrame, H: DataFrame, G: DataFrame,
+                    emb_in: DataFrame, Wl: np.ndarray, Wr: np.ndarray,
+                    a: np.ndarray, n: int,
+                    dst_emb_in: DataFrame | None = None,
+                    activation: str = "sigmoid"):
+    """Collected form of ``_backward_layer_frames`` (kept for the
+    single-layer ``_gat_epoch`` path): returns (gWl, gWr, ga, DSDT)
+    with gradients already normalized by ``n``."""
+    h = Wl.shape[0]
+    ga_cells, gWl_cells, gWr_cells, DSDT = _backward_layer_frames(
+        al, H, G, emb_in, Wl, Wr, a, dst_emb_in=dst_emb_in,
+        activation=activation)
+    got = _collect_tagged_cells([("ga", ga_cells), ("Wl", gWl_cells),
+                                 ("Wr", gWr_cells)])
+    ga = [float(x) for x in _collect_mat(got["ga"], h, 1)[:, 0] / n]
+    gWl = _collect_mat(got["Wl"], h, Wl.shape[1]) / n
+    gWr = _collect_mat(got["Wr"], h, Wr.shape[1]) / n
     return gWl, gWr, ga, DSDT
 
 
@@ -386,26 +455,29 @@ def _stack_epoch(edges: DataFrame, feats: DataFrame, examples: DataFrame,
                              [0.0] * len(a)) for (Wl, Wr, a) in params]
         return out
 
-    # symmetric decoder: ∂L/∂h_x = Σ err·h_other over both endpoint roles
-    gtop_long = (ex.select(F.col("src").alias("node_id"),
-                           F.posexplode(F.transform(
-                               "_hv", lambda x: F.col("_err") * x))
-                           .alias("pos", "gx"))
-                 .unionByName(
-                     ex.select(F.col("dst").alias("node_id"),
-                               F.posexplode(F.transform(
-                                   "_hu", lambda x: F.col("_err") * x))
-                               .alias("pos", "gx")))
-                 .groupBy("node_id", "pos").agg(F.sum("gx").alias("v")))
-    G = _to_array(gtop_long, "node_id", "pos", "v", "_g")
+    # symmetric decoder: ∂L/∂h_x = Σ err·h_other over both endpoint
+    # roles — hdim fixed-width column sums in one shuffle (stage diet)
+    G = (ex.select(F.col("src").alias("node_id"), "_err",
+                   F.col("_hv").alias("_o"))
+         .unionByName(ex.select(F.col("dst").alias("node_id"), "_err",
+                                F.col("_hu").alias("_o")))
+         .groupBy("node_id").agg(
+             *[F.sum(F.col("_err") * F.col("_o").getItem(i))
+               .alias(f"_g{i}") for i in range(hdim)])
+         .select("node_id",
+                 F.array(*[F.col(f"_g{i}") for i in range(hdim)])
+                 .alias("_g")))
 
-    grads: list[tuple] = [None] * len(params)
+    # lazily chain every layer's reductions, then ONE fused
+    # gradient-sync collect (same rationale as _hetero_epoch)
+    tagged: list[tuple[str, DataFrame]] = []
     for li in range(len(params) - 1, -1, -1):
         Wl, Wr, a = params[li]
         al, H = layers[li]
-        gWl, gWr, ga, DSDT = _backward_layer(
-            al, H, G, embs[li], Wl, Wr, a, n)
-        grads[li] = (gWl, gWr, ga)
+        ga_c, gWl_c, gWr_c, DSDT = _backward_layer_frames(
+            al, H, G, embs[li], Wl, Wr, a)
+        tagged += [(f"L{li}:ga", ga_c), (f"L{li}:Wl", gWl_c),
+                   (f"L{li}:Wr", gWr_c)]
         if li > 0:
             # chain to the previous layer's output h^{l-1}
             G = DSDT.select(
@@ -414,6 +486,15 @@ def _stack_epoch(edges: DataFrame, feats: DataFrame, examples: DataFrame,
                     linear_layer(F.col("_dsa"), Wl.T, activation=None),
                     linear_layer(F.col("_dta"), Wr.T, activation=None),
                     lambda x, yy: x + yy).alias("_g"))
+    got = _collect_tagged_cells(tagged)
+    grads: list[tuple] = [None] * len(params)
+    for li, (Wl, Wr, a) in enumerate(params):
+        h = Wl.shape[0]
+        grads[li] = (
+            _collect_mat(got[f"L{li}:Wl"], h, Wl.shape[1]) / n,
+            _collect_mat(got[f"L{li}:Wr"], h, Wr.shape[1]) / n,
+            [float(x) for x in
+             _collect_mat(got[f"L{li}:ga"], h, 1)[:, 0] / n])
     return {"loss": row.loss_sum / n, "acc": row.correct / n, "n": n,
             "gb": row.gb_sum / n, "grads": grads}
 
@@ -511,17 +592,23 @@ def _add_G(g1: DataFrame | None, g2: DataFrame, h: int) -> DataFrame:
                                lambda x, y: x + y).alias("_g")))
 
 
-def _node_outer_grad(G: DataFrame, feats: DataFrame, h: int, d: int,
-                     n: int, col: str = "_g") -> np.ndarray:
-    """Σ_nodes g ⊗ x as a (row, col) partial-aggregated reduction —
-    the ∂L/∂W cell sums for any per-node linear map."""
-    rows = (G.select("node_id", F.posexplode(col).alias("r", "gv"))
+def _outer_cells(G: DataFrame, feats: DataFrame,
+                 col: str = "_g") -> DataFrame:
+    """(r, c, v) cell partial sums of Σ_nodes g ⊗ x — the ∂L/∂W
+    reduction for any per-node linear map, returned UNcollected for the
+    fused gradient-sync job."""
+    return (G.select("node_id", F.posexplode(col).alias("r", "gv"))
             .join(feats.select("node_id", F.col("emb").alias("_x")),
                   "node_id")
             .select("r", "gv", F.posexplode("_x").alias("c", "xc"))
             .groupBy("r", "c")
-            .agg(F.sum(F.col("gv") * F.col("xc")).alias("v")).collect())
-    return _collect_mat(rows, h, d) / n
+            .agg(F.sum(F.col("gv") * F.col("xc")).alias("v")))
+
+
+def _node_outer_grad(G: DataFrame, feats: DataFrame, h: int, d: int,
+                     n: int, col: str = "_g") -> np.ndarray:
+    """Collected form of ``_outer_cells`` (one job)."""
+    return _collect_mat(_outer_cells(G, feats, col).collect(), h, d) / n
 
 
 def _hetero_epoch(graph_edges: dict, feats: dict, examples: DataFrame,
@@ -612,24 +699,20 @@ def _hetero_epoch(graph_edges: dict, feats: dict, examples: DataFrame,
     if not with_grads or n == 0:
         return stats
 
-    # decoder → per-type ∂L/∂h1 (src/dst roles may share a type)
+    # decoder → per-type ∂L/∂h1 (src/dst roles may share a type);
+    # h fixed-width column sums, one shuffle per role (stage diet)
     G1: dict[str, DataFrame | None] = {t: None for t in types}
-    gu = _to_array(
-        ex.select(F.col("src").alias("node_id"),
-                  F.posexplode(F.transform(
-                      "_hv", lambda x: F.col("_err") * x))
-                  .alias("pos", "gx"))
-        .groupBy("node_id", "pos").agg(F.sum("gx").alias("v")),
-        "node_id", "pos", "v", "_g")
-    gv = _to_array(
-        ex.select(F.col("dst").alias("node_id"),
-                  F.posexplode(F.transform(
-                      "_hu", lambda x: F.col("_err") * x))
-                  .alias("pos", "gx"))
-        .groupBy("node_id", "pos").agg(F.sum("gx").alias("v")),
-        "node_id", "pos", "v", "_g")
-    G1[src_type] = _add_G(G1[src_type], gu, hidden)
-    G1[dst_type] = _add_G(G1[dst_type], gv, hidden)
+
+    def _dec_grad(id_col: str, other: str) -> DataFrame:
+        return (ex.groupBy(F.col(id_col).alias("node_id")).agg(
+            *[F.sum(F.col("_err") * F.col(other).getItem(i))
+              .alias(f"_g{i}") for i in range(hidden)])
+            .select("node_id",
+                    F.array(*[F.col(f"_g{i}") for i in range(hidden)])
+                    .alias("_g")))
+
+    G1[src_type] = _add_G(G1[src_type], _dec_grad("src", "_hv"), hidden)
+    G1[dst_type] = _add_G(G1[dst_type], _dec_grad("dst", "_hu"), hidden)
 
     # sigmoid chain at the combined output: gp = G1 ⊙ h1(1−h1)
     gp = {}
@@ -642,12 +725,17 @@ def _hetero_epoch(graph_edges: dict, feats: dict, examples: DataFrame,
                      .alias("_g"))
                  .localCheckpoint(eager=False))
 
+    # Every parameter's (r, c, v) reduction is built LAZILY and
+    # collected in ONE fused gradient-sync job (_collect_tagged_cells):
+    # a step used to pay ~12 small driver jobs, each with full
+    # plan/codegen/scheduling latency — the measured wall-clock
+    # dominator of the sf1 sampled trainers (round 7).
+    tagged: list[tuple[str, DataFrame]] = []
     grads = {"W0": {}, "Wself": {}, "attn": {}}
     Gh0: dict[str, DataFrame | None] = {t: None for t in types}
     for t in types:
         if t in gp:
-            grads["Wself"][t] = _node_outer_grad(
-                gp[t], h0[t], hidden, hidden, n)
+            tagged.append((f"Wself:{t}", _outer_cells(gp[t], h0[t])))
             Gh0[t] = _add_G(Gh0[t], _apply_WT(gp[t], params["Wself"][t]),
                             hidden)
         else:
@@ -660,16 +748,17 @@ def _hetero_epoch(graph_edges: dict, feats: dict, examples: DataFrame,
                                  [0.0] * hidden)
             continue
         al, H = layer_cache[et]
-        gWl, gWr, ga, DSDT = _backward_layer(
-            al, H, gp[d], h0[s], Wl, Wr, a, n,
+        ga_c, gWl_c, gWr_c, DSDT = _backward_layer_frames(
+            al, H, gp[d], h0[s], Wl, Wr, a,
             dst_emb_in=h0[d], activation="none")
-        grads["attn"][et] = (gWl, gWr, ga)
+        key = "|".join(et)
+        tagged += [(f"attn_ga:{key}", ga_c), (f"attn_Wl:{key}", gWl_c),
+                   (f"attn_Wr:{key}", gWr_c)]
         Gh0[s] = _add_G(Gh0[s], _apply_WT(
             DSDT.select("node_id", F.col("_dsa").alias("_g")), Wl), hidden)
         Gh0[d] = _add_G(Gh0[d], _apply_WT(
             DSDT.select("node_id", F.col("_dta").alias("_g")), Wr), hidden)
     for t in types:
-        d_t = params["W0"][t].shape[1]
         if Gh0[t] is None:
             grads["W0"][t] = np.zeros_like(params["W0"][t])
             continue
@@ -677,7 +766,26 @@ def _hetero_epoch(graph_edges: dict, feats: dict, examples: DataFrame,
                .select("node_id", F.expr(
                    "zip_with(_g, emb, (g, hh) -> g * hh * (1d - hh))")
                    .alias("_g")))
-        grads["W0"][t] = _node_outer_grad(gm0, feats[t], hidden, d_t, n)
+        tagged.append((f"W0:{t}", _outer_cells(gm0, feats[t])))
+    got = _collect_tagged_cells(tagged)
+    for t in types:
+        if f"Wself:{t}" in got:
+            grads["Wself"][t] = _collect_mat(
+                got[f"Wself:{t}"], hidden, hidden) / n
+        if f"W0:{t}" in got:
+            grads["W0"][t] = _collect_mat(
+                got[f"W0:{t}"], hidden, params["W0"][t].shape[1]) / n
+    for et in edge_types:
+        key = "|".join(et)
+        if f"attn_ga:{key}" in got:
+            Wl, Wr, _a = params["attn"][et]
+            grads["attn"][et] = (
+                _collect_mat(got[f"attn_Wl:{key}"], hidden,
+                             Wl.shape[1]) / n,
+                _collect_mat(got[f"attn_Wr:{key}"], hidden,
+                             Wr.shape[1]) / n,
+                [float(x) for x in
+                 _collect_mat(got[f"attn_ga:{key}"], hidden, 1)[:, 0] / n])
     stats["grads"] = grads
     return stats
 
@@ -849,27 +957,54 @@ def _batch_closure(samp: DataFrame, seeds: dict, edge_types: list,
     for one mini-batch: edges grouped back by edge type, and feats cut
     to the dependency closure (seeds ∪ every endpoint of a sampled
     edge). Gradients only flow through seed embeddings, so this closure
-    is exactly what the full epoch would touch for these examples."""
+    is exactly what the full epoch would touch for these examples.
+
+    The whole closure materializes in ONE eager localCheckpoint (a
+    tagged union of every per-type edge/feature frame): an epoch's
+    stats + fused-gradient jobs all root in these frames, and leaving
+    them lazy made each job re-execute the closure filters/joins —
+    measured at ~2x the whole gradient step at sf1 — while
+    checkpointing each frame separately paid ~4 driver jobs of
+    scheduling floor per batch (round 7). The returned sub/fcut frames
+    are plain filters of the RAM-resident union."""
     samp = samp.localCheckpoint(eager=True)   # one sampling pass, k readers
-    sub = {}
+    arr_null = F.lit(None).cast("array<double>")
+    long_null = F.lit(None).cast("bigint")
+    parts = []
     for (s, rel, d) in edge_types:
-        sub[(s, rel, d)] = (samp.filter(
+        parts.append(samp.filter(
             (F.col("src_table") == s) & (F.col("relation") == rel)
             & (F.col("dst_table") == d))
-            .select("src", "dst").distinct())
-    fcut = {}
+            .select("src", "dst").distinct()
+            .select(F.lit("e").alias("kind"),
+                    F.lit("|".join((s, rel, d))).alias("tag"),
+                    "src", "dst", long_null.alias("node_id"),
+                    arr_null.alias("emb")))
     for t in feats:
-        parts = []
+        idp = []
         if t in seeds:
-            parts.append(seeds[t])
-        parts.append(samp.filter(F.col("src_table") == t)
-                     .select(F.col("src").alias("node_id")))
-        parts.append(samp.filter(F.col("dst_table") == t)
-                     .select(F.col("dst").alias("node_id")))
-        ids = parts[0]
-        for p in parts[1:]:
+            idp.append(seeds[t])
+        idp.append(samp.filter(F.col("src_table") == t)
+                   .select(F.col("src").alias("node_id")))
+        idp.append(samp.filter(F.col("dst_table") == t)
+                   .select(F.col("dst").alias("node_id")))
+        ids = idp[0]
+        for p in idp[1:]:
             ids = ids.unionAll(p)
-        fcut[t] = feats[t].join(ids.distinct(), "node_id")
+        parts.append(feats[t].join(ids.distinct(), "node_id")
+                     .select(F.lit("f").alias("kind"),
+                             F.lit(t).alias("tag"),
+                             long_null.alias("src"),
+                             long_null.alias("dst"), "node_id", "emb"))
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    allc = allc.localCheckpoint(eager=True)
+    sub = {et: allc.filter((F.col("kind") == "e")
+                           & (F.col("tag") == "|".join(et)))
+           .select("src", "dst") for et in edge_types}
+    fcut = {t: allc.filter((F.col("kind") == "f") & (F.col("tag") == t))
+            .select("node_id", "emb") for t in feats}
     return sub, fcut
 
 
@@ -983,12 +1118,9 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
         except ValueError:      # no edge type reaches any val endpoint
             vsamp = None
         if vsamp is not None:
+            # _batch_closure RAM-checkpoints every returned frame
             val_sub, val_fcut = _batch_closure(vsamp, vseeds,
                                                edge_types, feats)
-            val_sub = {et: df.localCheckpoint(eager=True)
-                       for et, df in val_sub.items()}
-            val_fcut = {t: df.localCheckpoint(eager=True)
-                        for t, df in val_fcut.items()}
 
     def flat(ps, bias):
         out = []
@@ -1028,9 +1160,11 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
     for epoch in range(epochs):
         losses, ns = [], []
         for bi in range(steps):
+            # eager checkpoint: the batch frame roots the seed collects
+            # AND both epoch jobs — keep it a RAM scan, not a re-filter
             batch = train.filter(
                 F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
-                       F.lit(n_batches)) == bi)
+                       F.lit(n_batches)) == bi).localCheckpoint(eager=True)
             seeds = {src_type: batch.select(F.col("src").alias("node_id"))}
             dst_seed = batch.select(F.col("dst").alias("node_id"))
             if dst_type in seeds:
@@ -1179,9 +1313,11 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
     for epoch in range(epochs):
         losses, ns = [], []
         for bi in range(steps):
+            # eager checkpoints (batch + closure below): both epoch
+            # jobs root here — RAM scans, not per-job re-derivation
             batch = train.filter(
                 F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
-                       F.lit(n_batches)) == bi)
+                       F.lit(n_batches)) == bi).localCheckpoint(eager=True)
             seeds = (batch.select(F.col("src").alias("node_id"))
                      .unionAll(batch.select(F.col("dst").alias("node_id")))
                      .distinct())
@@ -1194,12 +1330,25 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
                 samp = sample_incoming(
                     edges, seeds, fanouts, seed=batch_seed,
                 ).localCheckpoint(eager=True)
-            sub = samp.select("src", "dst").distinct()
             ids = (seeds
                    .unionAll(samp.select(F.col("src").alias("node_id")))
                    .unionAll(samp.select(F.col("dst").alias("node_id")))
                    ).distinct()
-            fcut = feats.join(ids, "node_id")
+            # one-job closure materialization (see _batch_closure)
+            allc = (samp.select("src", "dst").distinct()
+                    .select(F.lit("e").alias("kind"), "src", "dst",
+                            F.lit(None).cast("bigint").alias("node_id"),
+                            F.lit(None).cast("array<double>").alias("emb"))
+                    .unionByName(
+                        feats.join(ids, "node_id")
+                        .select(F.lit("f").alias("kind"),
+                                F.lit(None).cast("bigint").alias("src"),
+                                F.lit(None).cast("bigint").alias("dst"),
+                                "node_id", "emb"))
+                    .localCheckpoint(eager=True))
+            sub = allc.filter(F.col("kind") == "e").select("src", "dst")
+            fcut = allc.filter(F.col("kind") == "f").select("node_id",
+                                                            "emb")
             stats = _stack_epoch(sub, fcut, batch, params, b)
             if stats["n"] == 0:
                 continue

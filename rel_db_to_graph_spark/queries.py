@@ -505,6 +505,27 @@ def q_hetero_link_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epoch int, train_loss double, val_acc double")
 
 
+def _cap_examples(ex: DataFrame, cap: int = 50_000,
+                  seed: int = 4241) -> DataFrame:
+    """Content-addressed bound on a labeled example set for the
+    bounded-runtime sampled-trainer DEMO queries: ``max_batches``
+    already bounds gradient steps per epoch, but at sf1 the example
+    set itself (and with it the val split, its dependency closure, and
+    the per-epoch eval forward) grew unboundedly — 600k val edges
+    validating a model trained on 2x512 examples (round-7 sf1 profile:
+    validation-dominated). The cap is the SAME content-addressed-subset
+    idiom the batch filter uses, so it is deterministic on any
+    partitioning; it is a no-op below ~1.2x cap, so driver-SF
+    (<= sf0.01) results are byte-identical. The trainer itself stays
+    uncapped — exactness anchors and scale semantics are untouched."""
+    n = ex.count()
+    if n <= cap * 6 // 5:
+        return ex
+    k = -(-n // cap)
+    return ex.filter(F.pmod(F.xxhash64("src", "dst", F.lit(seed)),
+                            F.lit(k)) == 0)
+
+
 def q_hetero_link_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2→L10 composed (rows-only; iterative + sampled): mini-batch
     training of the full hetero model through SAMPLED dependency
@@ -537,6 +558,7 @@ def q_hetero_link_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rel_db_to_graph_spark.sources.bucketed import write_edge_store
     tables = write_edge_store(sub_edges, num_buckets=16,
                               prefix="q_hetero_sampled")
+    labeled = _cap_examples(labeled)
     res = train_hetero_gat_sampled(
         sub_edges, feats, labeled, src_type="orders", dst_type="customer",
         hidden=2, fanouts=[15], batch_size=512, max_batches=2,
@@ -593,6 +615,7 @@ def q_gat_stack_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_edge_store.py)
     from rel_db_to_graph_spark.sources.bucketed import write_edge_table
     write_edge_table(edges, "q_gat_stack_sampled_edges", num_buckets=16)
+    ex = _cap_examples(ex)
     res = train_gat_stack_sampled(edges, feats, ex, hidden=2, layers=2,
                                   fanouts=[15, 15], batch_size=512,
                                   max_batches=2, epochs=2, lr=0.05,
