@@ -1117,6 +1117,25 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step int, left string, right string, pair_count long")
 
 
+def q_bpe_train_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style BPE — NO pre-tokenization (round 7,
+    operators/bpe.py::sequence_counts): whole normalized documents are
+    the symbol sequences, spaces are symbols, merges cross word
+    boundaries into phrases. This is the regime the sf1 2,000-merge
+    scale proof runs (BASELINE.md) — the pretokenized path saturates on
+    this corpus's ~40-word vocabulary, so realistic merge counts are
+    only learnable here. 24 merges, batch 8. Rows-only (iterative; the
+    batched policy over sequence_counts is pinned against the python
+    twin in tests/test_bpe.py::test_raw_mode_matches_python_twin)."""
+    from rel_db_to_graph_spark.operators.bpe import bpe_train_batched
+    merges = bpe_train_batched(load_table(spark, sf_dir, "documents"),
+                               n_merges=24, batch=8, pretokenize=False)
+    return spark.createDataFrame(
+        [(m["step"], m["left"], m["right"], m["pair_count"])
+         for m in merges],
+        "step int, left string, right string, pair_count long")
+
+
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end tokenizer application: learn 100 batched merges, then
     tokenize the whole corpus with the RANK-based Arrow tokenizer (the
