@@ -58,6 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # its literal order only breaks ties.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_meta": Q.q_audio_meta,
+    "video_meta": Q.q_video_meta,
     "bpe_train_raw": Q.q_bpe_train_raw,
     "semantic_dedup": Q.q_semantic_dedup,
     "ann_pq": Q.q_ann_pq,

@@ -1135,13 +1135,53 @@ FROM (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS toks
 
 
 FRAME_SAMPLE = """
-WITH base AS (SELECT doc_id, md5(text) AS digest,
-                     octet_length(encode(text)) AS dur FROM documents),
-f AS (SELECT doc_id, digest, dur, unnest(range(0, 4)) AS fi FROM base)
-SELECT doc_id, CAST(fi AS INTEGER) AS frame_index,
-       CAST(fi * dur // 4 AS BIGINT) AS frame_ts_ms,
-       md5(digest || ':' || CAST(fi AS VARCHAR)) AS frame_md5
-FROM f
+WITH p AS (
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 10 WHEN 1 THEN 15
+                WHEN 2 THEN 24 ELSE 30 END AS fps,
+           4 + doc_id % 13 AS nf
+    FROM documents WHERE doc_id % 17 != 0
+), j AS (SELECT doc_id, fps, nf, unnest(range(0, 4)) AS ji FROM p),
+fsel AS (SELECT doc_id, fps, ji, (ji * nf) // 4 AS f FROM j)
+SELECT doc_id, CAST(ji AS INTEGER) AS frame_index,
+       CAST(f AS INTEGER) AS src_frame,
+       CAST(f * (1000000 // fps) // 1000 AS BIGINT) AS frame_ts_ms,
+       CAST(16 + 2 * ((doc_id + 3 * f) % 16) AS INTEGER) AS frame_len,
+       CAST(list_sum(list_transform(
+                range(0, 16 + 2 * ((doc_id + 3 * f) % 16)),
+                i -> (doc_id * 31 + f * 17 + i * 7) % 256))
+            AS BIGINT) AS frame_sum
+FROM fsel
+"""
+
+VIDEO_META = """
+WITH p AS (
+    SELECT doc_id,
+           32 + (doc_id % 64) * 4 AS w,
+           24 + ((doc_id * 5) % 64) * 4 AS h,
+           CASE doc_id % 4 WHEN 0 THEN 10 WHEN 1 THEN 15
+                WHEN 2 THEN 24 ELSE 30 END AS fps,
+           4 + doc_id % 13 AS nf
+    FROM documents
+), fr AS (
+    SELECT doc_id, w, h, fps, nf, unnest(range(0, nf)) AS f
+    FROM p WHERE doc_id % 17 != 0
+), agg AS (
+    SELECT doc_id, w, h, fps, nf,
+           SUM(16 + 2 * ((doc_id + 3 * f) % 16)) AS frame_bytes
+    FROM fr GROUP BY 1, 2, 3, 4, 5
+)
+SELECT doc_id, CAST(224 + 8 * nf + frame_bytes AS INTEGER) AS byte_len,
+       'avi' AS format, CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height, CAST(fps AS INTEGER) AS fps,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(nf * (1000000 // fps) // 1000 AS BIGINT) AS duration_ms,
+       CAST(frame_bytes AS BIGINT) AS frame_bytes,
+       CAST(NULL AS VARCHAR) AS error
+FROM agg
+UNION ALL
+SELECT doc_id, 5, NULL, 0, 0, 0, 0, 0, 0, 'unknown_format'
+FROM p WHERE doc_id % 17 = 0
 """
 
 DECONTAMINATE = f"""
@@ -2232,6 +2272,7 @@ ORACLES: dict[str, str] = {
     "events_funnel": EVENTS_FUNNEL,
     "multimodal_meta": MULTIMODAL_META,
     "audio_meta": AUDIO_META,
+    "video_meta": VIDEO_META,
     "events_hourly": EVENTS_HOURLY,
     "events_sessionize": EVENTS_SESSIONIZE,
     "events_asof": EVENTS_ASOF,

@@ -1212,12 +1212,37 @@ def q_chunk_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal frame sampling: 4 evenly-spaced 'frames' per payload
-    via Arrow-batched mapInPandas (1→k fan-out; deterministic stub
-    hashes — see operators/multimodal.py)."""
-    from rel_db_to_graph_spark.operators.multimodal import sample_frames
+    """REAL video frame sampling (round 7 — replaces the md5-arithmetic
+    stub): payloads carry genuine RIFF/AVI containers and the 4
+    evenly-spaced frames per doc are EXTRACTED from the movi list's
+    '00dc' chunks — timestamp from the stream clock, actual chunk
+    length, and payload byte sum. The oracle recomputes all of it
+    arithmetically from doc_id, so a mis-walked chunk list or
+    off-by-one in the uniform-sampling index hash-mismatches."""
+    from rel_db_to_graph_spark.operators.multimodal import (
+        attach_video_payload,
+        sample_frames,
+    )
     d = load_table(spark, sf_dir, "documents")
-    return sample_frames(attach_payload(d), k=4)
+    return sample_frames(attach_video_payload(d), k=4)
+
+
+def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AVI/RIFF decode (closes the video modality the way round 6
+    closed images and round 7 closed audio): payloads carry genuine
+    AVI containers (nested LIST chunks: hdrl→avih/strl→strh/strf,
+    movi→frame chunks) with doc_id-deterministic geometry; the Spark
+    side walks the RIFF tree with struct.unpack, recursing into LISTs,
+    and totals the actual frame-chunk payload bytes. Every 17th doc is
+    truncated (quarantine-row path). The oracle recomputes container
+    byte length, dimensions, fps, duration AND total frame bytes
+    arithmetically from doc_id."""
+    from rel_db_to_graph_spark.operators.multimodal import (
+        attach_video_payload,
+        decode_video_meta,
+    )
+    media = attach_video_payload(load_table(spark, sf_dir, "documents"))
+    return decode_video_meta(media)
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:

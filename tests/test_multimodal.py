@@ -84,28 +84,117 @@ def test_decode_image_meta_parses_constructed_headers(spark):
             assert r.format == fmt
 
 
-def test_frame_sample_fanout_and_determinism(spark):
+def test_frame_sample_extracts_real_chunks(spark):
+    """k-frame uniform sampling reads ACTUAL '00dc' chunk payloads out
+    of the AVI container: lengths and byte sums must equal the builder
+    arithmetic, corrupt docs yield zero frames, and the sample is
+    partitioning-invariant."""
     from rel_db_to_graph_spark.operators.multimodal import (
-        attach_payload,
+        attach_video_payload,
         sample_frames,
     )
     from rel_db_to_graph_spark.sources.catalog import load_table
     from tests.conftest import SF_SMOKE
 
-    media = attach_payload(load_table(spark, SF_SMOKE, "documents").limit(20))
+    media = attach_video_payload(
+        load_table(spark, SF_SMOKE, "documents").limit(40))
     frames = sample_frames(media, k=4).collect()
-    assert len(frames) == 80                      # exact 1 -> k fan-out
+    good = [d for d in range(40) if d % 17 != 0]
+    assert len(frames) == 4 * len(good)           # corrupt docs -> 0 rows
     by_doc = {}
     for r in frames:
         by_doc.setdefault(r.doc_id, []).append(r)
-    for rows in by_doc.values():
-        idx = sorted(r.frame_index for r in rows)
-        assert idx == [0, 1, 2, 3]
-        ts = [r.frame_ts_ms for r in sorted(rows, key=lambda r: r.frame_index)]
-        assert ts == sorted(ts) and ts[0] == 0    # evenly spaced from 0
-    # repartitioning does not change the sample
+    assert sorted(by_doc) == good
+    for doc_id, rows in by_doc.items():
+        nf = 4 + doc_id % 13
+        fps = (10, 15, 24, 30)[doc_id % 4]
+        for r in sorted(rows, key=lambda r: r.frame_index):
+            f = r.frame_index * nf // 4
+            assert r.src_frame == f
+            assert r.frame_ts_ms == f * (1_000_000 // fps) // 1000
+            flen = 16 + 2 * ((doc_id + 3 * f) % 16)
+            assert r.frame_len == flen
+            assert r.frame_sum == sum(
+                (doc_id * 31 + f * 17 + i * 7) % 256 for i in range(flen))
     again = sample_frames(media.repartition(8), k=4).collect()
     assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
+
+
+def test_parse_avi_real_container():
+    """Hand-built RIFF/AVI bytes — with an out-of-order extra chunk and
+    an odd-size frame (pad byte) — parse exactly, frames included."""
+    import struct
+
+    from rel_db_to_graph_spark.operators.multimodal import parse_avi
+
+    avih = struct.pack("<10I", 40000, 0, 0, 0, 2, 0, 1, 0, 320, 240) \
+        + b"\x00" * 16
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHI", 0, 0, 0, 0)
+            + struct.pack("<II", 1, 25) + struct.pack("<III", 0, 2, 0)
+            + struct.pack("<II", 0, 0) + struct.pack("<4H", 0, 0, 320, 240))
+    strl = b"strl" + b"strh" + struct.pack("<I", len(strh)) + strh
+    hdrl = (b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+            + b"LIST" + struct.pack("<I", len(strl)) + strl)
+    f0 = b"\x01\x02\x03"                           # odd length -> pad byte
+    f1 = b"\x04\x05\x06\x07"
+    movi = (b"movi"
+            + b"00dc" + struct.pack("<I", len(f0)) + f0 + b"\x00"
+            + b"00db" + struct.pack("<I", len(f1)) + f1)
+    junk = b"JUNK" + struct.pack("<I", 4) + b"zzzz"
+    body = (b"AVI " + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+            + junk + b"LIST" + struct.pack("<I", len(movi)) + movi)
+    raw = b"RIFF" + struct.pack("<I", len(body)) + body
+    w, h, fps, nf, frames, err = parse_avi(raw)
+    assert (w, h, fps, nf, err) == (320, 240, 25, 2, None)
+    assert frames == [f0, f1]
+
+
+def test_parse_avi_corrupt_paths():
+    import struct
+
+    from rel_db_to_graph_spark.operators.multimodal import parse_avi
+
+    assert parse_avi(b"RIFF\x00")[5] == "unknown_format"
+    assert parse_avi(b"RIFF" + struct.pack("<I", 4) + b"WAVE")[5] == \
+        "unknown_format"
+    # declared chunk size runs past the buffer
+    bad = (b"RIFF" + struct.pack("<I", 100) + b"AVI "
+           + b"avih" + struct.pack("<I", 999) + b"\x00" * 8)
+    assert parse_avi(bad)[5] == "truncated_chunk"
+    # well-formed RIFF tree but no avih header
+    noav = (b"RIFF" + struct.pack("<I", 16) + b"AVI "
+            + b"JUNK" + struct.pack("<I", 4) + b"zzzz")
+    assert parse_avi(noav)[5] == "no_avih"
+
+
+def test_decode_video_meta_matches_arithmetic(spark):
+    """Spark-side byte parse must equal the doc_id arithmetic the
+    payload builder encoded (the same property the oracle checks)."""
+    from rel_db_to_graph_spark.operators.multimodal import (
+        attach_video_payload,
+        decode_video_meta,
+    )
+    from rel_db_to_graph_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(120)
+    rows = decode_video_meta(attach_video_payload(docs)).collect()
+    assert len(rows) == 120
+    for r in rows:
+        if r.doc_id % 17 == 0:
+            assert r.error == "unknown_format" and r.byte_len == 5
+            assert r.format is None and r.frame_bytes == 0
+        else:
+            fps = (10, 15, 24, 30)[r.doc_id % 4]
+            nf = 4 + r.doc_id % 13
+            assert r.error is None and r.format == "avi"
+            assert r.width == 32 + (r.doc_id % 64) * 4
+            assert r.height == 24 + ((r.doc_id * 5) % 64) * 4
+            assert (r.fps, r.n_frames) == (fps, nf)
+            assert r.duration_ms == nf * (1_000_000 // fps) // 1000
+            fb = sum(16 + 2 * ((r.doc_id + 3 * f) % 16) for f in range(nf))
+            assert r.frame_bytes == fb
+            assert r.byte_len == 224 + 8 * nf + fb
 
 
 def test_parse_wav_real_container():
