@@ -189,7 +189,14 @@ def _last_verified_round() -> dict[str, int]:
     in (hash-match for oracle-backed, row-count for rows-only),
     derived from the committed CORRECTNESS_r*.json files (0 = never).
     Errored or mismatched rows do NOT count, so a query that failed
-    its last check sorts back into the window after its fix."""
+    its last check sorts back into the window after its fix.
+
+    A rows-only green counts ONLY while the query still has no oracle
+    entry: when a query is upgraded from rows-only to oracle-backed,
+    its old ``no_oracle`` greens stop counting, it re-sorts to the
+    never-checked front of the window, and the upgrade earns its first
+    HASH-checked driver row in the very next round instead of waiting
+    out a full rotation."""
     import glob
     import json
 
@@ -207,7 +214,8 @@ def _last_verified_round() -> dict[str, int]:
             green = (
                 row.get("hash_match") is True
                 or (row.get("err") == "no_oracle"
-                    and row.get("spark_rows") is not None)
+                    and row.get("spark_rows") is not None
+                    and name not in _oracle.ORACLES)
             )
             if green:
                 last[name] = max(last.get(name, 0), rnd)

@@ -22,15 +22,27 @@ from pyspark.sql import functions as F
 
 
 def sample_neighbors(edges: DataFrame, frontier: DataFrame, fanout: int,
-                     seed: int = 42, hop: int = 0) -> DataFrame:
+                     seed: int = 42, hop: int = 0,
+                     draw: str = "xxhash64") -> DataFrame:
     """≤ fanout out-edges per frontier node: (src, dst) sampled by
     hash-rank. fanout=-1 → full neighborhood (the reference's eval mode,
-    dataloader.py:33)."""
+    dataloader.py:33).
+
+    ``draw``: 'xxhash64' (default — cheapest JVM hash, the 100 TB
+    choice) or 'md5' (bit-identical in DuckDB, so the registry query
+    can be hash-checked against an independent SQL twin). The sampling
+    SHAPE — frontier join + bounded per-src window — is identical
+    either way; only the rank key changes."""
     joined = edges.join(frontier.select("src").distinct(), "src")
     if fanout < 0:
         return joined.select("src", "dst")
-    w = Window.partitionBy("src").orderBy(
-        F.xxhash64("src", "dst", F.lit(seed + hop)), F.col("dst"))
+    if draw == "md5":
+        rank_key = F.md5(F.concat_ws(
+            ":", F.col("src").cast("string"), F.col("dst").cast("string"),
+            F.lit(str(seed + hop))))
+    else:
+        rank_key = F.xxhash64("src", "dst", F.lit(seed + hop))
+    w = Window.partitionBy("src").orderBy(rank_key, F.col("dst"))
     return (
         joined.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= fanout)
@@ -39,7 +51,8 @@ def sample_neighbors(edges: DataFrame, frontier: DataFrame, fanout: int,
 
 
 def sample_subgraph(edges: DataFrame, seeds: DataFrame, fanouts: list[int],
-                    seed: int = 42, hop0: int = 0) -> DataFrame:
+                    seed: int = 42, hop0: int = 0,
+                    draw: str = "xxhash64") -> DataFrame:
     """Multi-hop neighborhood: union of per-hop sampled edges with the
     next frontier = sampled dst set. Returns (src, dst, hop).
 
@@ -50,7 +63,8 @@ def sample_subgraph(edges: DataFrame, seeds: DataFrame, fanouts: list[int],
     layers = []
     for i, fanout in enumerate(fanouts):
         hop = hop0 + i
-        hop_edges = sample_neighbors(edges, frontier, fanout, seed, hop)
+        hop_edges = sample_neighbors(edges, frontier, fanout, seed, hop,
+                                     draw=draw)
         layers.append(hop_edges.withColumn("hop", F.lit(hop)))
         frontier = hop_edges.select(F.col("dst").alias("src")).distinct()
         # lineage cut between hops: each hop's plan otherwise nests the
@@ -72,7 +86,8 @@ def _edge_type_seed(seed: int, edge_type: tuple[str, str, str]) -> int:
 
 def sample_hetero_subgraph(graph: dict, seeds: dict[str, DataFrame],
                            fanouts: list[int], seed: int = 42,
-                           hop0: int = 0) -> DataFrame:
+                           hop0: int = 0,
+                           draw: str = "xxhash64") -> DataFrame:
     """L2, heterogeneous (LinkNeighborLoader parity, dataloader.py:24-51):
     per hop, EVERY edge type whose src type is in the current frontier
     samples ≤ fanout out-edges per frontier node; the next frontier of a
@@ -101,7 +116,8 @@ def sample_hetero_subgraph(graph: dict, seeds: dict[str, DataFrame],
                 continue
             hop_edges = sample_neighbors(
                 edges, frontier[s].select(F.col("node_id").alias("src")),
-                fanout, seed=_edge_type_seed(seed, (s, rel, d)), hop=hop)
+                fanout, seed=_edge_type_seed(seed, (s, rel, d)), hop=hop,
+                draw=draw)
             layers.append(hop_edges.select(
                 F.lit(s).alias("src_table"), F.lit(rel).alias("relation"),
                 F.lit(d).alias("dst_table"), "src", "dst",
@@ -123,7 +139,8 @@ def sample_hetero_subgraph(graph: dict, seeds: dict[str, DataFrame],
 
 
 def negative_sample(positives: DataFrame, node_ids: DataFrame,
-                    ratio: int = 1, seed: int = 42) -> DataFrame:
+                    ratio: int = 1, seed: int = 42,
+                    draw: str = "xxhash64") -> DataFrame:
     """Binary negative sampling (neg_sampling='binary', dataloader.py:27):
     corrupt dst uniformly over the node set, reject collisions with
     positives (anti-join). Returns (src, dst, label) with positives
@@ -137,11 +154,21 @@ def negative_sample(positives: DataFrame, node_ids: DataFrame,
     pos = positives.select("src", "dst", F.lit(1).alias("label"))
     negs = []
     for i in range(ratio):
+        if draw == "md5":
+            digest = F.md5(F.concat_ws(
+                ":", F.col("src").cast("string"),
+                F.col("dst").cast("string"), F.lit(str(i)),
+                F.lit(str(seed))))
+            corrupt = F.pmod(
+                F.conv(F.substring(digest, 1, 8), 16, 10).cast("long"),
+                F.lit(n)).cast("long")
+        else:
+            corrupt = F.pmod(F.xxhash64("src", "dst", F.lit(i), F.lit(seed)),
+                             F.lit(n)).cast("long")
         negs.append(
             positives.select(
                 "src",
-                F.pmod(F.xxhash64("src", "dst", F.lit(i), F.lit(seed)),
-                       F.lit(n)).cast("long").alias("dst"),
+                corrupt.alias("dst"),
                 F.lit(0).alias("label"),
             )
         )

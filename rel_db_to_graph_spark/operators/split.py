@@ -24,12 +24,26 @@ from pyspark.sql import functions as F
 
 def hash_split(edges: DataFrame, val_frac: float = 0.15,
                test_frac: float = 0.0, seed: int = 42,
-               src: str = "src", dst: str = "dst") -> DataFrame:
+               src: str = "src", dst: str = "dst",
+               draw: str = "xxhash64") -> DataFrame:
     """Adds a 'split' column ∈ {train,val,test}; content-addressed draw:
-    u = xxhash64(src, dst, seed) scaled to [0,1). Deterministic for any
-    partitioning/cluster shape, no shuffle."""
-    h = F.xxhash64(F.col(src), F.col(dst), F.lit(seed))
-    u = (F.pmod(h, F.lit(1_000_000)).cast("double") / F.lit(1_000_000.0))
+    u = hash(src, dst, seed) scaled to [0,1). Deterministic for any
+    partitioning/cluster shape, no shuffle.
+
+    ``draw`` picks the hash: 'xxhash64' (default — cheapest JVM hash,
+    the 100 TB choice) or 'md5' (first 8 hex chars / 2^32, the exact
+    recipe operators/sample.py::hash_draw uses — bit-identical in
+    DuckDB, which is what lets the registry query be hash-checked
+    against an independent SQL twin instead of rows-only)."""
+    if draw == "md5":
+        digest = F.md5(F.concat_ws(
+            ":", F.col(src).cast("string"), F.col(dst).cast("string"),
+            F.lit(str(seed))))
+        u = (F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+             / F.lit(float(2 ** 32)))
+    else:
+        h = F.xxhash64(F.col(src), F.col(dst), F.lit(seed))
+        u = (F.pmod(h, F.lit(1_000_000)).cast("double") / F.lit(1_000_000.0))
     train_cut = 1.0 - val_frac - test_frac
     val_cut = 1.0 - test_frac
     return edges.withColumn(

@@ -557,6 +557,167 @@ def _draw_sql(key: str, seed: int) -> str:
     return f"({_hex32_sql(d)} / 4294967296.0)"
 
 
+def _edge_draw_sql(tag: str) -> str:
+    """Twin of the md5 draw variant in operators/sampling.py /
+    split.py: md5('src:dst:tag'), used either as a lexicographic rank
+    key (neighbor sampling) or Horner-parsed to a 32-bit int (split
+    threshold, corrupt-dst modulus)."""
+    return (f"md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)"
+            f" || ':{tag}')")
+
+
+#: L1 twin (upgrades link_split from rows-only): same dense-id FK edge
+#: derivation as EDGES_FK, same md5-draw u = hex32/2^32, same 0.85 cut.
+LINK_SPLIT = f"""
+WITH e AS ({EDGES_FK}),
+d AS (SELECT ({_hex32_sql(_edge_draw_sql('42'))} / 4294967296.0) AS u
+      FROM e)
+SELECT CASE WHEN u < CAST(0.85 AS DOUBLE) THEN 'train' ELSE 'val' END
+           AS split,
+       count(*) AS n_edges
+FROM d GROUP BY 1
+"""
+
+#: L2 twin (upgrades neighbor_sample from rows-only): unrolled 2-hop
+#: fanout-[3,2] sampling — per-src row_number over the md5 rank key,
+#: frontier = distinct sampled dsts. MATERIALIZED per the iterative-CTE
+#: rule (each hop re-references the edge set).
+NEIGHBOR_SAMPLE = f"""
+WITH e AS MATERIALIZED ({EDGES_JUNCTION}),
+seeds AS (SELECT DISTINCT src FROM e ORDER BY src LIMIT 10),
+r0 AS (SELECT e.src, e.dst,
+              row_number() OVER (
+                  PARTITION BY e.src
+                  ORDER BY {_edge_draw_sql('42')}, e.dst) AS rk
+       FROM e JOIN seeds USING (src)),
+h0 AS MATERIALIZED (SELECT src, dst FROM r0 WHERE rk <= 3),
+f1 AS (SELECT DISTINCT dst AS src FROM h0),
+r1 AS (SELECT e.src, e.dst,
+              row_number() OVER (
+                  PARTITION BY e.src
+                  ORDER BY {_edge_draw_sql('43')}, e.dst) AS rk
+       FROM e JOIN f1 USING (src)),
+h1 AS (SELECT src, dst FROM r1 WHERE rk <= 2)
+SELECT src, dst, CAST(0 AS INTEGER) AS hop FROM h0
+UNION ALL
+SELECT src, dst, CAST(1 AS INTEGER) AS hop FROM h1
+"""
+
+#: L3 twin (upgrades negative_sample from rows-only): positives ∪
+#: (md5-drawn corrupt dst mod |customer|, false negatives rejected by
+#: NOT EXISTS — the Spark side's left_anti).
+NEGATIVE_SAMPLE = f"""
+WITH e AS MATERIALIZED ({EDGES_FK}),
+n AS (SELECT count(*) AS n_nodes FROM customer),
+pos AS (SELECT src, dst, CAST(1 AS INTEGER) AS label FROM e),
+negs AS (SELECT src,
+                CAST({_hex32_sql(_edge_draw_sql('0:42'))} % n.n_nodes
+                     AS BIGINT) AS dst,
+                CAST(0 AS INTEGER) AS label
+         FROM e, n)
+SELECT * FROM pos
+UNION ALL
+SELECT g.src, g.dst, g.label FROM negs g
+WHERE NOT EXISTS (SELECT 1 FROM e
+                  WHERE e.src = g.src AND e.dst = g.dst)
+"""
+
+
+def _hetero_neighbor_sample_sql() -> str:
+    """L2-heterogeneous twin (upgrades hetero_neighbor_sample from
+    rows-only): replays sample_hetero_subgraph over the FULL build_graph
+    edge dict — 5 FK/junction types + their reverses + per-table self
+    loops, scalable (bucketed) dense ids — from 5 customer seeds,
+    fanouts [2, 2], md5 rank keys, per-edge-type seeds derived exactly
+    like operators/sampling.py::_edge_type_seed. The SQL is GENERATED
+    from the same edge catalog the Spark side infers, so a drift in
+    either side's graph assembly (missing reverse type, wrong per-type
+    seed, frontier not unioned across landing types) hash-mismatches."""
+    import hashlib
+
+    from rel_db_to_graph_spark.plans.inference import edge_catalog_py
+
+    def type_seed(s: str, rel: str, d: str) -> int:
+        tag = f"{s}|{rel}|{d}".encode()
+        return 42 + int.from_bytes(hashlib.md5(tag).digest()[:4], "big")
+
+    pks = {"region": "r_regionkey", "nation": "n_nationkey",
+           "customer": "c_custkey", "supplier": "s_suppkey",
+           "part": "p_partkey", "orders": "o_orderkey"}
+    ecat = edge_catalog_py()
+
+    # edge-type CTEs (dense scalable ids, same null-drop as edge_pairs)
+    ctes = [f"{t}_ids AS MATERIALIZED ({ids_scalable_cte(t, pk)})"
+            for t, pk in pks.items()]
+    etype_cte: dict[tuple[str, str, str], str] = {}
+    for e in ecat:
+        s, rel, d = e["src_table"], e["relation"], e["dst_table"]
+        name = f"e_{s}_{rel}_{d}"
+        ctes.append(
+            f"{name} AS MATERIALIZED ("
+            f"SELECT si.node_id AS src, di.node_id AS dst "
+            f"FROM {e['pair_table']} "
+            f"JOIN {s}_ids si ON {e['src_col']} = si.pk "
+            f"JOIN {d}_ids di ON {e['dst_col']} = di.pk "
+            f"WHERE {e['src_col']} IS NOT NULL "
+            f"AND {e['dst_col']} IS NOT NULL)")
+        etype_cte[(s, rel, d)] = name
+    for e in ecat:                                     # reverses (s != d)
+        s, rel, d = e["src_table"], e["relation"], e["dst_table"]
+        name = f"e_{d}_REVERSE_{rel}_{s}"
+        ctes.append(f"{name} AS (SELECT dst AS src, src AS dst "
+                    f"FROM {etype_cte[(s, rel, d)]})")
+        etype_cte[(d, f"REVERSE_{rel}", s)] = name
+    for t in pks:                                      # self loops
+        name = f"e_{t}_SELF_LOOP_{t}"
+        ctes.append(f"{name} AS (SELECT node_id AS src, node_id AS dst "
+                    f"FROM {t}_ids)")
+        etype_cte[(t, "SELF_LOOP", t)] = name
+
+    ctes.append("f0_customer AS (SELECT node_id FROM customer_ids "
+                "ORDER BY node_id LIMIT 5)")
+
+    hop_blocks: list[tuple[tuple[str, str, str], int, str]] = []
+    frontier = {"customer": "f0_customer"}
+    for hop in (0, 1):
+        nxt: dict[str, list[str]] = {}
+        for key in sorted(etype_cte):
+            s, rel, d = key
+            if s not in frontier:
+                continue
+            tag = type_seed(s, rel, d) + hop
+            hname = f"h{hop}_{s}_{rel}_{d}"
+            ctes.append(
+                f"{hname} AS MATERIALIZED (SELECT src, dst FROM ("
+                f"SELECT e.src, e.dst, row_number() OVER ("
+                f"PARTITION BY e.src ORDER BY "
+                f"md5(CAST(e.src AS VARCHAR) || ':' || "
+                f"CAST(e.dst AS VARCHAR) || ':{tag}'), e.dst) AS rk "
+                f"FROM {etype_cte[key]} e "
+                f"JOIN {frontier[s]} f ON e.src = f.node_id) "
+                f"WHERE rk <= 2)")
+            hop_blocks.append((key, hop, hname))
+            nxt.setdefault(d, []).append(hname)
+        frontier = {}
+        for d, parts in nxt.items():
+            fname = f"f{hop + 1}_{d}"
+            union = " UNION ".join(f"SELECT dst AS node_id FROM {p}"
+                                   for p in parts)
+            ctes.append(f"{fname} AS MATERIALIZED ({union})")
+            frontier[d] = fname
+
+    selects = [
+        f"SELECT '{s}' AS src_table, '{rel}' AS relation, "
+        f"'{d}' AS dst_table, CAST({hop} AS INTEGER) AS hop, "
+        f"count(*) AS n_edges FROM {hname} HAVING count(*) > 0"
+        for (s, rel, d), hop, hname in hop_blocks]
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects))
+
+
+HETERO_NEIGHBOR_SAMPLE = _hetero_neighbor_sample_sql()
+
+
 HASH_SAMPLE = f"""
 WITH d AS (SELECT doc_id, lang, {_draw_sql('doc_id', 7)} AS draw,
                   CASE lang WHEN 'en' THEN CAST(0.25 AS DOUBLE)
@@ -1803,6 +1964,23 @@ FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
+#: Invariant twin for the layout-compaction audit (upgrades
+#: layout_compact from rows-only): the Spark side derives every field
+#: from the ACTUAL rewritten parquet files — n_files from the directory
+#: listing, n_rows by summing real file row counts, range_overlaps from
+#: real per-file [min,max] sort-key footer spans. The oracle states what
+#: those measurements MUST equal if the compaction is correct: exactly
+#: the requested 4 files, perfect row conservation vs the source table,
+#: and zero overlapping key ranges (the property that makes row-group
+#: pruning effective). A lost/duplicated row, an empty output split, or
+#: a non-disjoint range hash-mismatches.
+LAYOUT_COMPACT = """
+SELECT CAST(4 AS INTEGER) AS n_files,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(0 AS INTEGER) AS range_overlaps
+FROM documents
+"""
+
 EVENTS_ATTRIBUTION = """
 WITH p AS (
     SELECT event_id, user_id, epoch_us(ts) AS pe
@@ -2208,6 +2386,10 @@ ORACLES: dict[str, str] = {
     "node_features": NODE_FEATURES,
     "edges_fk": EDGES_FK,
     "edges_junction": EDGES_JUNCTION,
+    "link_split": LINK_SPLIT,
+    "neighbor_sample": NEIGHBOR_SAMPLE,
+    "negative_sample": NEGATIVE_SAMPLE,
+    "hetero_neighbor_sample": HETERO_NEIGHBOR_SAMPLE,
     "edges_attr": EDGES_ATTR,
     "degree": DEGREE,
     "hetero_counts": HETERO_COUNTS,
@@ -2278,6 +2460,7 @@ ORACLES: dict[str, str] = {
     "events_asof": EVENTS_ASOF,
     "events_attribution": EVENTS_ATTRIBUTION,
     "rollup_pricing": ROLLUP_PRICING,
+    "layout_compact": LAYOUT_COMPACT,
     "cube_pricing": CUBE_PRICING,
     "funnel_ordered": FUNNEL_ORDERED,
     "topn_per_group": TOPN_PER_GROUP,

@@ -399,38 +399,55 @@ def q_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- sampled ops (rows-only checks)
 
 def q_link_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L1 (rows-only): content-addressed 0.85/0.15 link split — counts."""
+    """L1: content-addressed 0.85/0.15 link split — counts. Uses the
+    md5 draw variant (operators/split.py::hash_split) so the split is
+    bit-identical in DuckDB and the query is HASH-CHECKED against an
+    independent SQL twin (was rows-only through r6); the trainers keep
+    the default xxhash64 draw — same split shape, cheaper hash."""
     e = q_edges_fk(spark, sf_dir)
-    return hash_split(e).groupBy("split").agg(F.count("*").alias("n_edges"))
+    return (hash_split(e, draw="md5")
+            .groupBy("split").agg(F.count("*").alias("n_edges")))
 
 
 def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 (rows-only): 2-hop fanout-bounded neighborhood of 10 seed orders."""
+    """L2: 2-hop fanout-bounded neighborhood of 10 seed orders. Uses
+    the md5 rank-key variant (operators/sampling.py::sample_neighbors)
+    so every per-src hash-rank window is reproducible in DuckDB and the
+    sampled edge set is HASH-CHECKED against an unrolled 2-hop SQL twin
+    (was rows-only through r6); trainers keep the xxhash64 default."""
     e = q_edges_junction(spark, sf_dir)
     seeds = e.select("src").distinct().orderBy("src").limit(10)
-    return sample_subgraph(e, seeds, fanouts=[3, 2])
+    return sample_subgraph(e, seeds, fanouts=[3, 2], draw="md5")
 
 
 def q_hetero_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 heterogeneous (rows-only): 2-hop fanout-2 sampling across the
-    WHOLE graph dict from 5 customer seeds — per-edge-type-per-hop edge
-    counts (the LinkNeighborLoader shape, dataloader.py:24-51)."""
+    """L2 heterogeneous: 2-hop fanout-2 sampling across the WHOLE graph
+    dict from 5 customer seeds — per-edge-type-per-hop edge counts (the
+    LinkNeighborLoader shape, dataloader.py:24-51). Uses the md5 rank
+    key so every per-type per-hop window is reproducible in DuckDB: the
+    oracle is GENERATED from the same edge catalog (FK + reverse + self
+    loop types, scalable ids, per-type seeds) and hash-checks the full
+    sampled census (was rows-only through r6)."""
     from rel_db_to_graph_spark.operators.sampling import sample_hetero_subgraph
 
     g = build_graph(spark, sf_dir)
     seeds = {"customer":
              g["nodes"]["customer"].select("node_id").orderBy("node_id").limit(5)}
-    sub = sample_hetero_subgraph(g, seeds, fanouts=[2, 2])
+    sub = sample_hetero_subgraph(g, seeds, fanouts=[2, 2], draw="md5")
     return (sub.groupBy("src_table", "relation", "dst_table", "hop")
             .agg(F.count("*").alias("n_edges"))
             .orderBy("hop", "src_table", "relation", "dst_table"))
 
 
 def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 (rows-only): binary negative sampling over orders→customer."""
+    """L3: binary negative sampling over orders→customer. Uses the md5
+    corrupt-dst draw (operators/sampling.py::negative_sample) so the
+    drawn negatives are bit-identical in DuckDB and the full labeled
+    set is HASH-CHECKED against an independent SQL twin (was rows-only
+    through r6); trainers keep the xxhash64 default."""
     e = q_edges_fk(spark, sf_dir)
     cid = dense_ids(load_table(spark, sf_dir, "customer"), "c_custkey")
-    return negative_sample(e, cid, ratio=1)
+    return negative_sample(e, cid, ratio=1, draw="md5")
 
 
 def q_link_pred_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1515,11 +1532,14 @@ def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_layout_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Layout maintenance (rows-only; file-layout outcome isn't
-    SQL-expressible): compact the documents table into 4 range-clustered
-    internally-sorted parquet files, then audit the result — one row:
-    (n_files, n_rows, range_overlaps). range_overlaps must be 0: the
-    per-file sort-key [min,max] spans are disjoint, which is exactly
+    """Layout maintenance: compact the documents table into 4
+    range-clustered internally-sorted parquet files, then audit the
+    result — one row: (n_files, n_rows, range_overlaps), every field
+    measured from the ACTUAL rewritten files (directory listing, file
+    row counts, per-file sort-key [min,max] footer spans). Hash-checked
+    against an invariant oracle (was rows-only through r6): correct
+    compaction means exactly 4 files, row conservation vs the source
+    table, and 0 range overlaps — the disjoint spans are exactly
     what makes parquet row-group pruning effective after compaction.
     The rewrite is a RangePartitioning exchange + partition-local sorts
     (plan-pinned in tests/test_layout.py — never a global sort)."""
