@@ -72,6 +72,29 @@ def test_no_oracle_backed_query_is_stale_beyond_two_rounds():
         f"<= r{latest - 2} yet rest outside the window")
 
 
+def test_newly_oracled_queries_front_the_window():
+    """Round-7 rule: a rows-only green stops counting as 'verified' the
+    moment the query gains an oracle entry, so an upgraded query
+    re-sorts to the never-checked front and earns its first HASH-checked
+    driver row the very next round (instead of resting on a no_oracle
+    green for a full rotation)."""
+    mod = _entry_module()
+    order = list(mod.queries())
+    oracled = set(mod.oracle_sql())
+    hash_green: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        for name, row in json.load(open(path)).items():
+            if row.get("hash_match") is True:
+                hash_green.add(name)
+    never_hash_checked = [n for n in order
+                          if n in oracled and n not in hash_green]
+    outside = sorted(set(never_hash_checked) - set(order[:WINDOW]))
+    assert not outside, (
+        f"{outside} have an oracle but no hash-checked driver row, yet "
+        f"sit past position {WINDOW} — the no_oracle-discount rule in "
+        f"_last_verified_round should front them")
+
+
 def test_registry_capacity_survives_two_projected_rounds():
     """VERDICT r6 item 3: with WINDOW=50 and the <=2-round staleness
     bar, the derived rotation is only satisfiable while the registry

@@ -67,6 +67,49 @@ def test_split_exhaustive_any_input(spark, n, seed):
     assert set(counts) <= {"train", "val", "test"}
 
 
+def test_md5_draw_variants_share_the_sampling_shape(spark):
+    """The md5 draw (registry/oracle path) and the default xxhash64
+    draw (trainer path) must be interchangeable in every respect
+    except WHICH pseudo-random elements are drawn: same split
+    exhaustiveness, identical per-src sampled-edge counts
+    (min(degree, fanout) is draw-independent), and identical
+    negative-set size per positive row before collision rejection."""
+    from rel_db_to_graph_spark.operators.sampling import (
+        negative_sample,
+        sample_neighbors,
+    )
+
+    e = spark.range(200).select(
+        (F.col("id") % 40).alias("src"), (F.col("id") * 7 % 23).alias("dst"),
+    ).distinct()
+    # split: both draws tag every row with a valid tier
+    for draw in ("xxhash64", "md5"):
+        tagged = hash_split(e, val_frac=0.2, draw=draw)
+        counts = {r.split: r.c for r in
+                  tagged.groupBy("split").agg(F.count("*").alias("c"))
+                  .collect()}
+        assert sum(counts.values()) == e.count()
+        assert set(counts) <= {"train", "val", "test"}
+    # neighbor sampling: per-src counts are draw-independent, and each
+    # draw's sampled set is a subset of the true edge set
+    frontier = e.select("src").distinct()
+    per_src = {}
+    for draw in ("xxhash64", "md5"):
+        s = sample_neighbors(e, frontier, fanout=3, draw=draw)
+        assert s.join(e, ["src", "dst"], "left_anti").count() == 0
+        per_src[draw] = {r.src: r.c for r in
+                         s.groupBy("src").agg(F.count("*").alias("c"))
+                         .collect()}
+    assert per_src["md5"] == per_src["xxhash64"]
+    # negative sampling: one corrupt draw per positive, both draws
+    nodes = spark.range(23).select(F.col("id").alias("node_id"))
+    for draw in ("xxhash64", "md5"):
+        labeled = negative_sample(e, nodes, ratio=1, draw=draw)
+        n_pos = labeled.filter("label = 1").count()
+        assert n_pos == e.count()
+        assert labeled.filter("label = 0").count() <= n_pos
+
+
 def test_aggregates_partition_invariant(spark):
     """The decimal-sum discipline: identical results at any partitioning."""
     from rel_db_to_graph_spark.queries import q_pricing_summary
