@@ -1698,6 +1698,106 @@ ANN_IVFPQ = _ivfpq_sql()
 QUALITY_LR_SCORE = _quality_lr_sql()
 
 
+def _quality_lr_train_sql(iters: int = 6, ridge: float = 1e-4) -> str:
+    """Twin of ml/quality.py::train_quality_irls — DuckDB RETRAINS the
+    logistic regression (upgrades quality_lr_train from rows-only): the
+    full IRLS/Newton loop is unrolled into CTE chains, one round =
+    (a) the 15 weighted Gram sums + 5 gradient sums + accuracy count
+    over the feature frame under the current beta, (b) ridge-regularized
+    normal equations solved by unrolled Gaussian elimination on the 5x5
+    system (no pivoting — the matrix is SPD by construction), (c) the
+    Newton update. The per-iteration accuracy history is the output.
+
+    Cross-engine exactness: the feature expressions are the proven
+    quality_lr_score twins; the accuracy is INTEGER-derived
+    (count(p > 0.5 == label) / n), so the only float sensitivity is a
+    document's z crossing 0 within ~1e-12 of the engines' sum-order /
+    solver (LAPACK vs elimination) divergence — away from that measure-
+    zero boundary the history is bit-identical, and the test data is
+    fixed."""
+    d = 5
+    feats = (
+        "feats AS MATERIALIZED (SELECT "
+        "(length(replace(norm, ' ', '')) / len(toks) - 4.5) AS a1, "
+        "(5.0 * (len(list_filter(toks, t -> list_contains("
+        f"{_STOPLIST}, t))) / len(toks))) AS a2, "
+        "(5.0 * (length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))"
+        " / length(text))) AS a3, "
+        "(len(toks) / 100.0 - 0.5) AS a4, 1.0 AS a5, "
+        "CAST((" + SIGMOID.format(
+            z="0.4 * (length(replace(norm, ' ', '')) / len(toks)) "
+              "+ 2.0 * (len(list_filter(toks, t -> list_contains("
+              f"{_STOPLIST}, t))) / len(toks)) "
+              "- 5.0 * (length(regexp_replace(text, '[a-zA-Z0-9 ]', '', "
+              "'g')) / length(text)) - 2.0")
+        + ") > 0.5 AS INT) AS label FROM t0)")
+    parts = [
+        f"n0 AS (SELECT doc_id, text, {_NORM_TEXT} AS norm FROM documents)",
+        "t0 AS (SELECT doc_id, text, norm, string_split(norm, ' ')"
+        " AS toks FROM n0)",
+        feats,
+        "nn AS (SELECT count(*) AS n FROM feats)",
+        "beta0 AS MATERIALIZED (SELECT " + ", ".join(
+            f"0.0 AS b{i}" for i in range(1, d + 1)) + ")",
+    ]
+    for t in range(iters):
+        z = "greatest(least(0.0 + " + " + ".join(
+            f"b.b{i} * a{i}" for i in range(1, d)) + " + b.b5, 30.0), -30.0)"
+        inner = (f"SELECT f.*, {SIGMOID.format(z=z)} AS p "
+                 f"FROM feats f, beta{t} b")
+        sums = [f"sum(p * (1 - p) * a{i} * a{j}) AS h{i}{j}"
+                for i in range(1, d + 1) for j in range(i, d + 1)]
+        sums += [f"sum((CAST(label AS DOUBLE) - p) * a{i}) AS g{i}"
+                 for i in range(1, d + 1)]
+        sums.append("sum(CAST(CAST(p > 0.5 AS INT) = label AS BIGINT))"
+                    " AS correct")
+        parts.append(f"st{t} AS MATERIALIZED (SELECT " + ", ".join(sums)
+                     + f" FROM ({inner}))")
+        # normal equations: H = Gram/n + ridge*I, g = grad/n - ridge*beta
+        m_cols = [f"(h{i}{j} / n)" + (f" + {ridge!r}" if i == j else "")
+                  + f" AS a{i}{j}"
+                  for i in range(1, d + 1) for j in range(i, d + 1)]
+        m_cols += [f"(g{i} / n) - {ridge!r} * b.b{i} AS g{i}"
+                   for i in range(1, d + 1)]
+        parts.append(f"m{t}0 AS MATERIALIZED (SELECT " + ", ".join(m_cols)
+                     + f" FROM st{t}, nn, beta{t} b)")
+        prev = f"m{t}0"
+        for k in range(1, d):                # eliminate column k
+            cols = [f"a{i}{j} - (a{k}{i} / a{k}{k}) * a{k}{j} AS a{i}{j}"
+                    for i in range(k + 1, d + 1)
+                    for j in range(i, d + 1)]
+            cols += [f"g{i} - (a{k}{i} / a{k}{k}) * g{k} AS g{i}"
+                     for i in range(k + 1, d + 1)]
+            parts.append(f"el{t}{k} AS MATERIALIZED (SELECT " + ", ".join(cols)
+                         + f" FROM {prev})")
+            prev = f"el{t}{k}"
+        # back substitution: x_d from the last pivot, upward
+        tri = {1: f"m{t}0", 2: f"el{t}1", 3: f"el{t}2",
+               4: f"el{t}3", 5: f"el{t}4"}
+        for i in range(d, 0, -1):
+            terms = "".join(f" - e.a{i}{j} * x.x{j}"
+                            for j in range(i + 1, d + 1))
+            src = f"FROM {tri[i]} e"
+            if i < d:
+                src += f", x{t}{i + 1} x"
+            carry = ", ".join(f"x.x{j}" for j in range(i + 1, d + 1))
+            sel = f"(e.g{i}{terms}) / e.a{i}{i} AS x{i}"
+            if carry:
+                sel += ", " + carry
+            parts.append(f"x{t}{i} AS MATERIALIZED (SELECT {sel} {src})")
+        parts.append(
+            f"beta{t + 1} AS MATERIALIZED (SELECT " + ", ".join(
+                f"b.b{i} + x.x{i} AS b{i}" for i in range(1, d + 1))
+            + f" FROM beta{t} b, x{t}1 x)")
+    finals = [f"SELECT CAST({t} AS INTEGER) AS iter, "
+              f"CAST(correct AS DOUBLE) / n AS acc FROM st{t}, nn"
+              for t in range(iters)]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+QUALITY_LR_TRAIN = _quality_lr_train_sql()
+
+
 def _curation_sql(threshold: float = 0.2, k: int = 8, iters: int = 3,
                   cap: int = 10) -> str:
     """Twin of queries.py::q_curation_pipeline — the end-to-end
@@ -2448,6 +2548,7 @@ ORACLES: dict[str, str] = {
     "ann_ivfpq": ANN_IVFPQ,
     "semantic_dedup": SEMANTIC_DEDUP,
     "quality_lr_score": QUALITY_LR_SCORE,
+    "quality_lr_train": QUALITY_LR_TRAIN,
     "curation_pipeline": CURATION_PIPELINE,
     "embedding_dedup": EMBEDDING_DEDUP,
     "corpus_clean": CORPUS_CLEAN,

@@ -1417,9 +1417,15 @@ def q_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learned quality filter, TRAINING pass (rows-only: iterative
-    float math) — IRLS over DataFrame Gram/gradient reductions; returns
-    the per-iteration accuracy history."""
+    """Learned quality filter, TRAINING pass — IRLS over DataFrame
+    Gram/gradient reductions; returns the per-iteration accuracy
+    history. HASH-CHECKED (was rows-only through r6): the DuckDB twin
+    RETRAINS the classifier — the full Newton loop unrolled into CTE
+    chains, normal equations solved by generated Gaussian elimination
+    (oracle.py::_quality_lr_train_sql). The accuracy history is
+    integer-derived (correct/n), so the match is robust to sum-order /
+    solver last-ulp divergence while still pinning every iteration's
+    decision boundary."""
     from rel_db_to_graph_spark.ml.quality import train_quality_irls
     m = train_quality_irls(load_table(spark, sf_dir, "documents"), iters=6)
     return spark.createDataFrame(
