@@ -22,10 +22,12 @@ best pair and rewriting. So each merge round is
 Simplifications vs production BPE (documented, pinned by the pure-
 python twin in tests): no end-of-word marker, whitespace pre-
 tokenization via text.py::normalize/tokens. Deterministic by
-construction — no seeds anywhere. Rows-only for the driver (the
-merge-apply fold has no tractable ANSI-SQL twin; SURVEY §5's
-convention for iterative ops), crosschecked against a reference
-python implementation in tests/test_bpe.py.
+construction — no seeds anywhere. HASH-CHECKED by the driver since
+round 7: the DuckDB twin (oracle.py::_bpe_parts) retrains the
+tokenizer — unrolled rounds, the same greedy batch-accept policy,
+and wrapped-string replace() rewrites reproducing the greedy merge
+fold exactly; also crosschecked against a reference python
+implementation in tests/test_bpe.py.
 """
 
 from __future__ import annotations

@@ -1798,6 +1798,133 @@ def _quality_lr_train_sql(iters: int = 6, ridge: float = 1e-4) -> str:
 QUALITY_LR_TRAIN = _quality_lr_train_sql()
 
 
+def _bpe_parts(n_merges: int, batch: int, rounds: int,
+               pretokenize: bool) -> tuple[list[str], str, list[tuple]]:
+    """Shared CTE chain for the BPE twins — DuckDB RETRAINS the
+    tokenizer (twin of operators/bpe.py::bpe_train_batched): per
+    unrolled round, (a) adjacent-pair counts over the (distinct word,
+    freq) table, (b) the driver's greedy batch-accept policy as a chain
+    of scalar CTEs — the j-th accept is the lowest-ranked candidate in
+    the top 4*batch (count desc, then lexicographic) whose symbols are
+    disjoint from accepts 1..j-1, gated by want = min(batch, n_merges -
+    already-accepted), (c) the vocabulary rewrite as nested replace()
+    calls in acceptance order.
+
+    Sequences are wrapped strings — every symbol as '|sym|', so the
+    pair (l, r) is the substring '|l||r|' and DuckDB's left-to-right
+    non-overlapping replace() reproduces the Spark fold's greedy merge
+    EXACTLY (symbols are [a-z0-9 ]*, so '|' can never collide; the
+    [a,a,a] -> [aa,a] overlap case is covered because the wrapped
+    pattern consumes both full symbols). Rounds past exhaustion no-op:
+    empty accept CTEs coalesce to a chr(1) pattern that never matches.
+    Returns (parts, final-words-CTE name, accept (round, j, cte) list).
+    """
+    if pretokenize:
+        wc = ("wc AS (SELECT word, count(*) AS n FROM ("
+              f"SELECT unnest(string_split({_NORM_TEXT}, ' ')) AS word "
+              "FROM documents) WHERE word != '' GROUP BY word)")
+    else:
+        wc = (f"wc AS (SELECT word, count(*) AS n FROM ("
+              f"SELECT {_NORM_TEXT} AS word FROM documents) "
+              "WHERE word != '' GROUP BY word)")
+    parts = [
+        wc,
+        "w1 AS MATERIALIZED (SELECT word, n, "
+        "regexp_replace(word, '(.)', '|\\1|', 'g') AS seq FROM wc)",
+    ]
+    accepts: list[tuple[int, int, str]] = []
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"rk{r} AS MATERIALIZED (SELECT a, b, cnt, row_number() "
+            "OVER (ORDER BY cnt DESC, a, b) AS rn FROM ("
+            "SELECT s[i] AS a, s[i + 1] AS b, CAST(sum(n) AS BIGINT)"
+            " AS cnt FROM (SELECT n, string_split(trim(seq, '|'), '||')"
+            f" AS s FROM w{r}), unnest(range(1, len(s))) AS t(i) "
+            "GROUP BY 1, 2))")
+        # running accepted-count: a per-round CTE (a flat sum over ALL
+        # previous accepts blows DuckDB's binder recursion at ~128 terms)
+        if r == 1:
+            parts.append("cm1 AS MATERIALIZED (SELECT 0 AS cm)")
+        else:
+            inc = " + ".join(f"(SELECT count(*) FROM ac{r - 1}_{j})"
+                             for j in range(1, batch + 1))
+            parts.append(f"cm{r} AS MATERIALIZED (SELECT "
+                         f"(SELECT cm FROM cm{r - 1}) + ({inc}) AS cm)")
+        parts.append(f"wt{r} AS MATERIALIZED (SELECT "
+                     f"least({batch}, {n_merges} - "
+                     f"(SELECT cm FROM cm{r})) AS want)")
+        round_acc: list[str] = []
+        for j in range(1, batch + 1):
+            used = " UNION ALL ".join(
+                f"SELECT a AS s FROM {c} UNION ALL SELECT b AS s FROM {c}"
+                for c in round_acc)
+            cond = ""
+            if used:
+                cond = (f" AND a NOT IN (SELECT s FROM ({used}))"
+                        f" AND b NOT IN (SELECT s FROM ({used}))")
+            name = f"ac{r}_{j}"
+            parts.append(
+                f"{name} AS MATERIALIZED (SELECT a, b, cnt FROM rk{r} "
+                f"WHERE rn <= {4 * batch} AND cnt > 0 "
+                f"AND {j} <= (SELECT want FROM wt{r}){cond} "
+                "ORDER BY rn LIMIT 1)")
+            accepts.append((r, j, name))
+            round_acc.append(name)
+        expr = "seq"
+        for c in round_acc:
+            pat = (f"coalesce((SELECT '|' || a || '||' || b || '|' "
+                   f"FROM {c}), chr(1))")
+            rep = f"coalesce((SELECT '|' || a || b || '|' FROM {c}), chr(1))"
+            expr = f"replace({expr}, {pat}, {rep})"
+        parts.append(f"w{r + 1} AS MATERIALIZED "
+                     f"(SELECT word, n, {expr} AS seq FROM w{r})")
+    return parts, f"w{rounds + 1}", accepts
+
+
+def _bpe_train_sql(n_merges: int, batch: int, rounds: int,
+                   pretokenize: bool) -> str:
+    """Merge-list twin of bpe_train_batched: (step, left, right,
+    pair_count) in acceptance order."""
+    parts, _, accepts = _bpe_parts(n_merges, batch, rounds, pretokenize)
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS r, {j} AS j, a, b, cnt FROM {c}"
+        for r, j, c in accepts)
+    parts.append(f"allac AS ({union})")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            "SELECT CAST(row_number() OVER (ORDER BY r, j) - 1 AS INTEGER)"
+            " AS step, a AS \"left\", b AS \"right\", cnt AS pair_count "
+            "FROM allac")
+
+
+def _bpe_tokenize_sql(n_merges: int, batch: int, rounds: int) -> str:
+    """Tokenizer twin of bpe_tokenize_ranked over the trained merges:
+    the training chain's FINAL rewritten word table already holds every
+    word's piece sequence (rank-based inference == the in-training-
+    order fold because a merge's parts always predate it, so later
+    merges cannot create earlier merges' pairs — equality also pinned
+    Spark-side in tests/test_bpe.py), so n_pieces(doc) is just the sum
+    of its words' final symbol counts."""
+    parts, wf, _ = _bpe_parts(n_merges, batch, rounds, pretokenize=True)
+    parts.append(f"wp AS (SELECT word, len(string_split(trim(seq, '|'), "
+                 f"'||')) AS k FROM {wf})")
+    parts.append("dw AS (SELECT doc_id, word FROM ("
+                 f"SELECT doc_id, unnest(string_split({_NORM_TEXT}, ' '))"
+                 " AS word FROM documents) WHERE word != '')")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            "SELECT d.doc_id, CAST(coalesce(sum(x.k), 0) AS BIGINT)"
+            " AS n_pieces "
+            "FROM (SELECT doc_id FROM documents) d "
+            "LEFT JOIN (SELECT dw.doc_id, wp.k FROM dw JOIN wp USING (word))"
+            " x USING (doc_id) GROUP BY d.doc_id")
+
+
+BPE_TRAIN = _bpe_train_sql(n_merges=100, batch=16, rounds=12,
+                           pretokenize=True)
+BPE_TRAIN_RAW = _bpe_train_sql(n_merges=24, batch=8, rounds=6,
+                               pretokenize=False)
+BPE_TOKENIZE = _bpe_tokenize_sql(n_merges=100, batch=16, rounds=12)
+
+
 def _curation_sql(threshold: float = 0.2, k: int = 8, iters: int = 3,
                   cap: int = 10) -> str:
     """Twin of queries.py::q_curation_pipeline — the end-to-end
@@ -2549,6 +2676,9 @@ ORACLES: dict[str, str] = {
     "semantic_dedup": SEMANTIC_DEDUP,
     "quality_lr_score": QUALITY_LR_SCORE,
     "quality_lr_train": QUALITY_LR_TRAIN,
+    "bpe_train": BPE_TRAIN,
+    "bpe_train_raw": BPE_TRAIN_RAW,
+    "bpe_tokenize": BPE_TOKENIZE,
     "curation_pipeline": CURATION_PIPELINE,
     "embedding_dedup": EMBEDDING_DEDUP,
     "corpus_clean": CORPUS_CLEAN,

@@ -1119,12 +1119,16 @@ def q_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE vocabulary training, BATCHED (operators/bpe.py, round 6):
-    100 merges learned in ~7 rounds of 16 symbol-disjoint accepts — the
-    job shape that scales to a realistic 32k vocabulary (rounds, not
-    merges, cost a driver round-trip). Rows-only (the merge-apply fold
-    has no ANSI twin); deterministic — the batched policy is pinned
-    against a pure-python twin in tests/test_bpe.py, and batch=1
-    reproduces classic sequential BPE exactly."""
+    up to 100 merges learned in rounds of 16 symbol-disjoint accepts —
+    the job shape that scales to a realistic 32k vocabulary (rounds,
+    not merges, cost a driver round-trip). HASH-CHECKED (was rows-only
+    through r6): the DuckDB twin RETRAINS the tokenizer — unrolled
+    rounds of pair counting, the same greedy batch-accept policy as
+    scalar-CTE chains, and wrapped-string replace() rewrites that
+    reproduce the greedy merge fold exactly (oracle.py::_bpe_parts) —
+    and must emit the identical (step, left, right, pair_count) merge
+    list. Also pinned against a pure-python twin in tests/test_bpe.py;
+    batch=1 reproduces classic sequential BPE exactly."""
     from rel_db_to_graph_spark.operators.bpe import bpe_train_batched
     merges = bpe_train_batched(load_table(spark, sf_dir, "documents"),
                                n_merges=100, batch=16)
@@ -1141,9 +1145,12 @@ def q_bpe_train_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries into phrases. This is the regime the sf1 2,000-merge
     scale proof runs (BASELINE.md) — the pretokenized path saturates on
     this corpus's ~40-word vocabulary, so realistic merge counts are
-    only learnable here. 24 merges, batch 8. Rows-only (iterative; the
-    batched policy over sequence_counts is pinned against the python
-    twin in tests/test_bpe.py::test_raw_mode_matches_python_twin)."""
+    only learnable here. 24 merges, batch 8. HASH-CHECKED (was
+    rows-only through r6): the DuckDB twin retrains over the same
+    whole-document sequences (oracle.py::_bpe_parts with
+    pretokenize=False — spaces are symbols there too); also pinned
+    against the python twin in
+    tests/test_bpe.py::test_raw_mode_matches_python_twin."""
     from rel_db_to_graph_spark.operators.bpe import bpe_train_batched
     merges = bpe_train_batched(load_table(spark, sf_dir, "documents"),
                                n_merges=24, batch=8, pretokenize=False)
@@ -1158,9 +1165,13 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize the whole corpus with the RANK-based Arrow tokenizer (the
     vocab-scale path — the merge table ships once as a rank dict; the
     fold-expression path would blow codegen at real vocabulary sizes).
-    Returns (doc_id, n_pieces). Rows-only (merge application has no
-    ANSI twin); the ranked tokenizer is equality-pinned against the
-    fold path and the python twin in tests/test_bpe.py."""
+    Returns (doc_id, n_pieces). HASH-CHECKED (was rows-only through
+    r6): the DuckDB twin retrains the merges AND tokenizes — its final
+    rewritten word table IS the piece-count map (rank-based inference
+    == the in-training-order fold because later merges cannot create
+    earlier merges' pairs; oracle.py::_bpe_tokenize_sql). The ranked
+    tokenizer is also equality-pinned against the fold path and the
+    python twin in tests/test_bpe.py."""
     from rel_db_to_graph_spark.operators.bpe import (
         bpe_tokenize_ranked,
         bpe_train_batched,
