@@ -234,6 +234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins; seeded/sampled ops (link_split, neighbor_sample,
-    negative_sample) are intentionally absent → rows-only checks."""
+    """DuckDB twins — 117 of the 124 registry queries, including the
+    seeded/sampled ops (md5-draw variants since round 7) and the
+    retraining twins (BPE, IRLS). The seven absent keys are the
+    trained-GNN queries (real backprop: gradient float sums are not
+    quantized, so cross-engine bit-exactness is impossible by design) →
+    rows-only checks plus numpy twins and exactness-anchor tests."""
     return dict(_oracle.ORACLES)

@@ -272,7 +272,11 @@ def bpe_tokenize_ranked(docs: DataFrame, merges: list[dict],
         for pdf in batches:
             out = {"doc_id": [], "n_pieces": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                t = re.sub(r"[^a-z0-9 ]", " ", str(text).lower())
+                # NULL text -> 0 pieces (str(None) would tokenize the
+                # literal word 'none'), matching normalize()'s NULL
+                # propagation and the DuckDB twin's LEFT JOIN zero
+                t = "" if text is None else str(text)
+                t = re.sub(r"[^a-z0-9 ]", " ", t.lower())
                 t = re.sub(r" +", " ", t).strip()
                 # pretokenize=False: the whole normalized text is one
                 # symbol sequence (spaces are symbols) — the twin of

@@ -30,9 +30,11 @@ def sample_neighbors(edges: DataFrame, frontier: DataFrame, fanout: int,
 
     ``draw``: 'xxhash64' (default — cheapest JVM hash, the 100 TB
     choice) or 'md5' (bit-identical in DuckDB, so the registry query
-    can be hash-checked against an independent SQL twin). The sampling
-    SHAPE — frontier join + bounded per-src window — is identical
-    either way; only the rank key changes."""
+    can be hash-checked against an independent SQL twin; requires
+    NON-NULL src/dst — concat_ws drops NULLs while the twin's '||'
+    propagates them — which the null-dropped edge frames guarantee).
+    The sampling SHAPE — frontier join + bounded per-src window — is
+    identical either way; only the rank key changes."""
     joined = edges.join(frontier.select("src").distinct(), "src")
     if fanout < 0:
         return joined.select("src", "dst")

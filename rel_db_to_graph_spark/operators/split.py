@@ -34,7 +34,11 @@ def hash_split(edges: DataFrame, val_frac: float = 0.15,
     the 100 TB choice) or 'md5' (first 8 hex chars / 2^32, the exact
     recipe operators/sample.py::hash_draw uses — bit-identical in
     DuckDB, which is what lets the registry query be hash-checked
-    against an independent SQL twin instead of rows-only)."""
+    against an independent SQL twin instead of rows-only). The md5
+    variant requires NON-NULL key columns (concat_ws drops NULLs
+    Spark-side while the twin's '||' propagates them); the registry
+    queries feed null-dropped edge frames, and the xxhash64 default
+    has no such precondition."""
     if draw == "md5":
         digest = F.md5(F.concat_ws(
             ":", F.col(src).cast("string"), F.col(dst).cast("string"),

@@ -641,10 +641,10 @@ def _hetero_neighbor_sample_sql() -> str:
         tag = f"{s}|{rel}|{d}".encode()
         return 42 + int.from_bytes(hashlib.md5(tag).digest()[:4], "big")
 
-    pks = {"region": "r_regionkey", "nation": "n_nationkey",
-           "customer": "c_custkey", "supplier": "s_suppkey",
-           "part": "p_partkey", "orders": "o_orderkey"}
-    ecat = edge_catalog_py()
+    from rel_db_to_graph_spark.plans.inference import node_tables_py
+
+    pks = dict(node_tables_py())     # derived, not hand-copied: a
+    ecat = edge_catalog_py()         # registry change flows into both
 
     # edge-type CTEs (dense scalable ids, same null-drop as edge_pairs)
     ctes = [f"{t}_ids AS MATERIALIZED ({ids_scalable_cte(t, pk)})"
@@ -662,8 +662,10 @@ def _hetero_neighbor_sample_sql() -> str:
             f"WHERE {e['src_col']} IS NOT NULL "
             f"AND {e['dst_col']} IS NOT NULL)")
         etype_cte[(s, rel, d)] = name
-    for e in ecat:                                     # reverses (s != d)
+    for e in ecat:
         s, rel, d = e["src_table"], e["relation"], e["dst_table"]
+        if s == d:       # build_graph skips self-type reverses (C:245)
+            continue
         name = f"e_{d}_REVERSE_{rel}_{s}"
         ctes.append(f"{name} AS (SELECT dst AS src, src AS dst "
                     f"FROM {etype_cte[(s, rel, d)]})")
@@ -1881,14 +1883,32 @@ def _bpe_parts(n_merges: int, batch: int, rounds: int,
     return parts, f"w{rounds + 1}", accepts
 
 
+def _bpe_exhausted_cond(n_merges: int, batch: int, rounds: int) -> str:
+    """TRUE iff the Spark trainer would run a round the oracle did not
+    unroll: the merge budget is unfilled AND mergeable pairs remain in
+    the final word table. Consumers emit a poison row under this
+    condition, so an insufficient unroll depth shows up as a LOUD
+    hash/row mismatch instead of a silently truncated merge list."""
+    last_inc = " + ".join(f"(SELECT count(*) FROM ac{rounds}_{j})"
+                          for j in range(1, batch + 1))
+    return (f"((SELECT cm FROM cm{rounds}) + ({last_inc})) < {n_merges} "
+            f"AND EXISTS (SELECT 1 FROM w{rounds + 1} WHERE "
+            "len(string_split(trim(seq, '|'), '||')) >= 2)")
+
+
 def _bpe_train_sql(n_merges: int, batch: int, rounds: int,
                    pretokenize: bool) -> str:
     """Merge-list twin of bpe_train_batched: (step, left, right,
-    pair_count) in acceptance order."""
+    pair_count) in acceptance order, plus a poison row if the unroll
+    depth proved insufficient (see _bpe_exhausted_cond)."""
     parts, _, accepts = _bpe_parts(n_merges, batch, rounds, pretokenize)
     union = "\nUNION ALL\n".join(
         f"SELECT {r} AS r, {j} AS j, a, b, cnt FROM {c}"
         for r, j, c in accepts)
+    union += ("\nUNION ALL\nSELECT 999999 AS r, 0 AS j, "
+              "'__ORACLE_UNROLL_EXHAUSTED__' AS a, '' AS b, "
+              "CAST(-1 AS BIGINT) AS cnt WHERE "
+              + _bpe_exhausted_cond(n_merges, batch, rounds))
     parts.append(f"allac AS ({union})")
     return ("WITH " + ",\n".join(parts) + "\n"
             "SELECT CAST(row_number() OVER (ORDER BY r, j) - 1 AS INTEGER)"
@@ -1915,14 +1935,20 @@ def _bpe_tokenize_sql(n_merges: int, batch: int, rounds: int) -> str:
             " AS n_pieces "
             "FROM (SELECT doc_id FROM documents) d "
             "LEFT JOIN (SELECT dw.doc_id, wp.k FROM dw JOIN wp USING (word))"
-            " x USING (doc_id) GROUP BY d.doc_id")
+            " x USING (doc_id) GROUP BY d.doc_id"
+            "\nUNION ALL\nSELECT CAST(-1 AS BIGINT) AS doc_id, "
+            "CAST(-1 AS BIGINT) AS n_pieces WHERE "
+            + _bpe_exhausted_cond(n_merges, batch, rounds))
 
 
-BPE_TRAIN = _bpe_train_sql(n_merges=100, batch=16, rounds=12,
+#: Unroll depths carry margin over the measured need (12 productive
+#: rounds to saturation at sf0.01/sf0.1 for the 100-merge config, 3 for
+#: the raw 24-merge config); the poison row makes any shortfall loud.
+BPE_TRAIN = _bpe_train_sql(n_merges=100, batch=16, rounds=16,
                            pretokenize=True)
-BPE_TRAIN_RAW = _bpe_train_sql(n_merges=24, batch=8, rounds=6,
+BPE_TRAIN_RAW = _bpe_train_sql(n_merges=24, batch=8, rounds=8,
                                pretokenize=False)
-BPE_TOKENIZE = _bpe_tokenize_sql(n_merges=100, batch=16, rounds=12)
+BPE_TOKENIZE = _bpe_tokenize_sql(n_merges=100, batch=16, rounds=16)
 
 
 def _curation_sql(threshold: float = 0.2, k: int = 8, iters: int = 3,
