@@ -235,3 +235,44 @@ def test_raw_ranked_tokenizer_matches_vocab_rewrite(spark):
     want = {r.doc_id: len(vocab[_norm_text(r.text)])
             for r in docs.collect()}
     assert got == want and len(got) == 40
+
+
+def _duck_docs(rows):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    return con
+
+
+def test_bpe_oracle_generator_matches_python_twin():
+    """The DuckDB retraining twin (oracle.py::_bpe_train_sql) replays
+    the batched policy EXACTLY on a toy corpus — pure DuckDB vs the
+    pure-python twin, no Spark: same merges, counts, tie-breaks, and
+    greedy non-overlapping rewrites (incl. the [l,o,w] overlap family),
+    and graceful stop on pair exhaustion."""
+    from rel_db_to_graph_spark.oracle import _bpe_train_sql
+
+    freq = Counter(w for _, t in ROWS for w in _norm_words(t))
+    con = _duck_docs(ROWS)
+    for n_merges, batch in ((12, 4), (500, 8)):      # 500 → exhaustion
+        want = [(s, a, b, c) for s, a, b, c in
+                _python_bpe_batched(dict(freq), n_merges, batch)[0]]
+        got = con.execute(
+            _bpe_train_sql(n_merges, batch, rounds=40, pretokenize=True)
+        ).fetchall()
+        assert got == want, (n_merges, batch)
+
+
+def test_bpe_oracle_poison_row_fires_on_short_unroll():
+    """An unroll depth the trainer would outrun must yield a LOUD
+    poison row, never a silently truncated merge list."""
+    from rel_db_to_graph_spark.oracle import _bpe_train_sql
+
+    con = _duck_docs(ROWS)
+    got = con.execute(
+        _bpe_train_sql(n_merges=500, batch=1, rounds=2, pretokenize=True)
+    ).fetchall()
+    assert got[-1][1] == "__ORACLE_UNROLL_EXHAUSTED__"
+    assert got[-1][3] == -1
