@@ -77,7 +77,14 @@ def snapshot_diff(old: DataFrame, new: DataFrame, pk: str) -> DataFrame:
         raise ValueError("snapshot schemas differ")
 
     def fp(df: DataFrame, side: str) -> DataFrame:
-        h = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in cols])))
+        # Explicit microsecond timestampFormat: Spark's default to_json
+        # pattern truncates timestamps to milliseconds, so two rows
+        # differing only below 1 ms would serialize identically and the
+        # diff would miss the update (ADVICE r7). Parquet timestamps are
+        # microsecond-resolution, so .SSSSSS is lossless here.
+        h = F.xxhash64(F.to_json(
+            F.struct(*[F.col(c) for c in cols]),
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}))
         return df.select(F.col(pk), h.alias(f"_h_{side}"))
 
     j = fp(old, "o").join(fp(new, "n"), pk, "full_outer")

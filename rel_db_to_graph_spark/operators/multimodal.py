@@ -372,27 +372,35 @@ def _build_avi_parser():
         err = None
 
         def walk(lo: int, hi: int):
+            # iterative with an explicit segment stack: a crafted blob
+            # of deeply nested LIST headers must become a quarantine
+            # row, never a RecursionError task failure (ADVICE r7)
             nonlocal avih, rate, scale, err
-            i = lo
-            while i + 8 <= hi:
-                cid = raw[i:i + 4]
-                size = struct.unpack("<I", raw[i + 4:i + 8])[0]
-                if i + 8 + size > hi:
-                    err = err or "truncated_chunk"
-                    return
-                body_lo = i + 8
-                if cid == b"LIST" and size >= 4:
-                    walk(body_lo + 4, body_lo + size)  # skip list type
-                elif cid == b"avih" and size >= 40:
-                    avih = struct.unpack("<10I", raw[body_lo:body_lo + 40])
-                elif cid == b"strh" and size >= 32:
-                    fcc = raw[body_lo:body_lo + 4]
-                    if fcc == b"vids":
-                        scale, rate = struct.unpack(
-                            "<II", raw[body_lo + 20:body_lo + 28])
-                elif cid[2:4] in (b"dc", b"db"):
-                    frames.append(raw[body_lo:body_lo + size])
-                i = body_lo + size + (size & 1)
+            stack = [(lo, hi)]
+            while stack:
+                i, seg_hi = stack.pop()
+                while i + 8 <= seg_hi:
+                    cid = raw[i:i + 4]
+                    size = struct.unpack("<I", raw[i + 4:i + 8])[0]
+                    if i + 8 + size > seg_hi:
+                        err = err or "truncated_chunk"
+                        break
+                    body_lo = i + 8
+                    nxt = body_lo + size + (size & 1)
+                    if cid == b"LIST" and size >= 4:
+                        stack.append((nxt, seg_hi))    # resume after list
+                        i, seg_hi = body_lo + 4, body_lo + size
+                        continue
+                    elif cid == b"avih" and size >= 40:
+                        avih = struct.unpack("<10I", raw[body_lo:body_lo + 40])
+                    elif cid == b"strh" and size >= 32:
+                        fcc = raw[body_lo:body_lo + 4]
+                        if fcc == b"vids":
+                            scale, rate = struct.unpack(
+                                "<II", raw[body_lo + 20:body_lo + 28])
+                    elif cid[2:4] in (b"dc", b"db"):
+                        frames.append(raw[body_lo:body_lo + size])
+                    i = nxt
 
         walk(12, n)
         if err:

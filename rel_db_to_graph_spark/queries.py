@@ -969,10 +969,12 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC diff (operators/increment.py): one full-outer join on the
-    key + an md5 row fingerprint over the non-key columns -> one row
-    per changed key with op I/U/D. The oracle derives the SAME change
-    set semantically (key membership + the perturbed column), so the
-    fingerprint shortcut is what gets checked."""
+    key + an xxhash64(to_json(struct(non-key cols))) row fingerprint
+    (injection-proof: JSON field names key every value, microsecond
+    timestampFormat) -> one row per changed key with op I/U/D. The
+    oracle derives the SAME change set semantically (key membership +
+    the perturbed column), so the fingerprint shortcut is what gets
+    checked."""
     from rel_db_to_graph_spark.operators.increment import snapshot_diff
     old, new = _cdc_snapshots(spark, sf_dir)
     return snapshot_diff(old, new, "o_orderkey")

@@ -53,16 +53,25 @@ def run_cdc_stream(changes_stream: DataFrame, base: DataFrame,
     offsets and silently skip every already-numbered batch (ADVICE r6).
     Pass an explicit directory only for genuine resume-after-failure,
     where skipping committed batches is exactly the contract."""
-    if checkpoint_dir is None:
+    auto_ckpt = checkpoint_dir is None
+    if auto_ckpt:
         import tempfile
         checkpoint_dir = tempfile.mkdtemp(
             prefix=f"spark_cdc_ckpt_{query_name}_")
     sink = SnapshotMaintainer(base, pk, op_col)
-    q = (changes_stream.writeStream
-         .foreachBatch(sink.apply_batch)
-         .queryName(query_name)
-         .option("checkpointLocation", checkpoint_dir)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    try:
+        q = (changes_stream.writeStream
+             .foreachBatch(sink.apply_batch)
+             .queryName(query_name)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        if auto_ckpt:
+            # the fresh-per-call dir exists only to defeat offset reuse —
+            # drained means done, so don't leak it (ADVICE r7); a user-
+            # supplied dir stays for genuine resume-after-failure
+            import shutil
+            shutil.rmtree(checkpoint_dir, ignore_errors=True)
     return sink

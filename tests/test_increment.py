@@ -143,3 +143,22 @@ def test_snapshot_diff_fingerprint_is_injection_proof(spark):
         got = {r["k"]: r["op"]
                for r in snapshot_diff(old, new, "k").collect()}
         assert got == want, (old_rows, new_rows, got, want)
+
+
+def test_snapshot_diff_sees_sub_millisecond_timestamp_updates(spark):
+    """ADVICE r7: Spark's default to_json timestampFormat truncates to
+    milliseconds, so 00:00:00.123456 vs .123999 used to serialize
+    identically and the update was silently missed. The explicit
+    microsecond timestampFormat must surface it as 'U' (and equal
+    microsecond timestamps must stay quiet)."""
+    import datetime as dt
+
+    from rel_db_to_graph_spark.operators.increment import snapshot_diff
+
+    schema = "k long, ts timestamp"
+    t1 = dt.datetime(2024, 1, 1, 0, 0, 0, 123456)
+    t2 = dt.datetime(2024, 1, 1, 0, 0, 0, 123999)
+    old = spark.createDataFrame([(1, t1), (2, t1)], schema)
+    new = spark.createDataFrame([(1, t2), (2, t1)], schema)
+    got = {r["k"]: r["op"] for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {1: "U"}, got

@@ -274,3 +274,23 @@ def test_decode_audio_meta_matches_arithmetic(spark):
             assert r.byte_len == 44 + 2 * nf * ch
             assert r.duration_ms == nf * 1000 // sr
             assert r.rms is not None and 0 < r.rms < 1024
+
+
+def test_parse_avi_deeply_nested_lists_quarantine_not_crash():
+    """ADVICE r7: a few KB of nested LIST headers used to blow the
+    recursion limit inside the Arrow worker (task failure). The walk is
+    now iterative — the crafted blob must come back as a quarantine
+    row (error string), never raise."""
+    import struct
+
+    from rel_db_to_graph_spark.operators.multimodal import parse_avi
+
+    depth = 50_000
+    # innermost-first: each level wraps the previous in LIST(size)
+    body = b""
+    for _ in range(depth):
+        body = b"LIST" + struct.pack("<I", 4 + len(body)) + b"nest" + body
+    raw = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+    w, h, fps, nf, frames, err = parse_avi(raw)
+    assert err == "no_avih"
+    assert frames == []
