@@ -250,8 +250,16 @@ def _build_wav_parser():
         n_frames = n_samples // ch
         if n_samples == 0:
             return sr, ch, bits, 0, None, "no_data"
-        samples = struct.unpack(f"<{n_samples}h", data[:n_samples * 2])
-        rms = round(math.sqrt(sum(v * v for v in samples) / n_samples), 6)
+        # vectorized over the PCM payload (VERDICT r7 nit 1: the
+        # struct-unpack + per-sample Python loop was the classic
+        # row-at-a-time trap at real audio sizes — millions of samples
+        # per doc). int64 accumulation is exact (v² ≤ 2^30, so the sum
+        # is exact below ~2^33 samples/doc); converting the sum back to
+        # a Python int before the / keeps Python's correctly-rounded
+        # int/int division, bit-identical to the old per-sample loop.
+        import numpy as np
+        a = np.frombuffer(data[:n_samples * 2], dtype="<i2").astype(np.int64)
+        rms = round(math.sqrt(int(np.dot(a, a)) / n_samples), 6)
         return sr, ch, bits, n_frames, rms, None
 
     return parse_wav
@@ -542,7 +550,16 @@ def sample_frames(media: DataFrame, k: int = 4) -> DataFrame:
     parser = parse_avi
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
         import pandas as _pd
+
+        def byte_sum(fb: bytes) -> int:
+            # vectorized (VERDICT r7 nit 1, same fix as the WAV RMS):
+            # sum(fb) walks the payload one Python int at a time; at
+            # real frame sizes (MBs) that is per-byte-bound. uint8→int64
+            # sum is exact and identical.
+            return int(_np.frombuffer(fb, dtype=_np.uint8)
+                       .sum(dtype=_np.int64))
 
         for pdf in batches:
             out = {"doc_id": [], "frame_index": [], "src_frame": [],
@@ -560,7 +577,7 @@ def sample_frames(media: DataFrame, k: int = 4) -> DataFrame:
                     out["src_frame"].append(f)
                     out["frame_ts_ms"].append(f * upf // 1000)
                     out["frame_len"].append(len(fb))
-                    out["frame_sum"].append(sum(fb))
+                    out["frame_sum"].append(byte_sum(fb))
             yield _pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=FRAMES_SCHEMA)
