@@ -94,8 +94,10 @@ def bpe_train(docs: DataFrame, n_merges: int = 10,
     """Learn ``n_merges`` BPE merges; returns
     [{step, left, right, pair_count}] in merge order. One pair-count
     aggregation + one vocabulary rewrite per round."""
+    width = docs.sparkSession.sparkContext.defaultParallelism
     words = (word_counts(docs, text_col)
              .select("n", _chars("word").alias("syms"))
+             .repartition(width)   # full width (see bpe_train_batched)
              .localCheckpoint(eager=True))
 
     merges: list[dict] = []
@@ -151,8 +153,16 @@ def bpe_train_batched(docs: DataFrame, n_merges: int = 100,
     SentencePiece-style regime where merges cross word boundaries and
     rounds scan a corpus-sized table."""
     counts = word_counts if pretokenize else sequence_counts
+    # The counts groupBy leaves the table at the AQE-coalesced
+    # post-shuffle width (8 partitions on the 32-core sf1 audit —
+    # BASELINE.md round-7 known lever): every subsequent round's
+    # corpus-sized pair explode inherits it, leaving ~4x parallelism
+    # unused. Spread once to full width here; localCheckpoint + the
+    # narrow per-round rewrites preserve it for the whole training run.
+    width = docs.sparkSession.sparkContext.defaultParallelism
     words = (counts(docs, text_col)
              .select("n", _chars("word").alias("syms"))
+             .repartition(width)
              .localCheckpoint(eager=True))
 
     merges: list[dict] = []
