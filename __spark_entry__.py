@@ -111,7 +111,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_core": Q.q_k_core,
     "triangle_increment": Q.q_triangle_increment,
     "small_lots": Q.q_small_lots,
-    "dense_ids": Q.q_dense_ids,
+    "dense_ids_variants": Q.q_dense_ids_variants,
     "hash_sample": Q.q_hash_sample,
     "sample_topk": Q.q_sample_topk,
     "doc_chunks": Q.q_doc_chunks,
@@ -139,11 +139,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "negative_sample": Q.q_negative_sample,
     "neighbor_sample": Q.q_neighbor_sample,
     "events_asof": Q.q_events_asof,
-    "funnel_ordered": Q.q_funnel_ordered,
+    "funnel_variants": Q.q_funnel_variants,
     "events_hourly": Q.q_events_hourly,
     "events_sessionize": Q.q_events_sessionize,
     "events_attribution": Q.q_events_attribution,
-    "events_funnel": Q.q_events_funnel,
+    "cdc_stream": Q.q_cdc_stream,
     "retention_cohorts": Q.q_retention_cohorts,
     "event_anomalies": Q.q_event_anomalies,
     "tfidf_keywords": Q.q_tfidf_keywords,
@@ -170,7 +170,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": Q.q_pricing_summary,
     "revenue_by_nation": Q.q_revenue_by_nation,
     "eval_metrics": Q.q_eval_metrics,
-    "dense_ids_scalable": Q.q_dense_ids_scalable,
     "node_features": Q.q_node_features,
     "edges_fk": Q.q_edges_fk,
     "edges_junction": Q.q_edges_junction,
@@ -235,10 +234,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins — 117 of the 124 registry queries, including the
-    seeded/sampled ops (md5-draw variants since round 7) and the
-    retraining twins (BPE, IRLS). The seven absent keys are the
-    trained-GNN queries (real backprop: gradient float sums are not
-    quantized, so cross-engine bit-exactness is impossible by design) →
-    rows-only checks plus numpy twins and exactness-anchor tests."""
+    """DuckDB twins — 118 of the 124 registry queries, including the
+    seeded/sampled ops (md5-draw variants since round 7), the
+    retraining twins (BPE, IRLS, plain-GD link_pred_train) and the
+    forward-replay twin (hetero_forward_q). The six absent keys are the
+    deep trained-GNN queries (real multi-layer backprop: gradient float
+    sums are not quantized, so cross-engine bit-exactness is impossible
+    by design — the quantized forward and the integer-derived accuracy
+    history cover the replayable surface) → rows-only checks plus numpy
+    twins and exactness-anchor tests."""
     return dict(_oracle.ORACLES)

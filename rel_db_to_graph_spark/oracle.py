@@ -209,6 +209,13 @@ DENSE_IDS = "WITH ids AS (" + ids_cte("customer", "c_custkey") + ") SELECT pk, n
 DENSE_IDS_SCALABLE = ("WITH ids AS (" + ids_scalable_cte("customer", "c_custkey")
                       + ") SELECT pk, node_id FROM ids")
 
+#: tagged union of both id assignments (q_dense_ids_variants — the
+#: round-8 capacity consolidation); each branch is the original twin
+DENSE_IDS_VARIANTS = (
+    f"SELECT 'sorted' AS variant, pk, node_id FROM ({DENSE_IDS}) "
+    "UNION ALL "
+    f"SELECT 'bucketed' AS variant, pk, node_id FROM ({DENSE_IDS_SCALABLE})")
+
 NODE_FEATURES = f"""
 WITH ids AS ({ids_cte('part', 'p_partkey')})
 SELECT node_id, pk, CAST(p_size AS DOUBLE) AS p_size,
@@ -2199,6 +2206,22 @@ FROM u LEFT JOIN v USING (user_id)
        LEFT JOIN p USING (user_id)
 """
 
+#: tagged union of both funnels under generic stage names
+#: (q_funnel_variants — the round-8 capacity consolidation)
+FUNNEL_VARIANTS = (
+    "SELECT 'unordered' AS variant, n_users, n_viewed AS stage1_n, "
+    "n_purchased AS stage2_n, n_converted AS stage3_n "
+    f"FROM ({EVENTS_FUNNEL}) "
+    "UNION ALL "
+    "SELECT 'ordered' AS variant, n_users, n_view AS stage1_n, "
+    "n_click_after_view AS stage2_n, n_purchase_after_click AS stage3_n "
+    f"FROM ({FUNNEL_ORDERED})")
+
+#: q_cdc_stream's maintained snapshot must equal the NEW snapshot —
+#: the same fully-independent twin as merge_upsert: the stream is just
+#: the delivery mechanism, the final state contract is identical.
+CDC_STREAM = MERGE_UPSERT
+
 CUBE_PRICING = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -2973,8 +2996,7 @@ ORACLES: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY,
     "revenue_by_nation": REVENUE_BY_NATION,
     "eval_metrics": EVAL_METRICS,
-    "dense_ids": DENSE_IDS,
-    "dense_ids_scalable": DENSE_IDS_SCALABLE,
+    "dense_ids_variants": DENSE_IDS_VARIANTS,
     "node_features": NODE_FEATURES,
     "edges_fk": EDGES_FK,
     "edges_junction": EDGES_JUNCTION,
@@ -3047,7 +3069,7 @@ ORACLES: dict[str, str] = {
     "curation_pipeline": CURATION_PIPELINE,
     "embedding_dedup": EMBEDDING_DEDUP,
     "corpus_clean": CORPUS_CLEAN,
-    "events_funnel": EVENTS_FUNNEL,
+    "funnel_variants": FUNNEL_VARIANTS,
     "multimodal_meta": MULTIMODAL_META,
     "audio_meta": AUDIO_META,
     "video_meta": VIDEO_META,
@@ -3058,7 +3080,7 @@ ORACLES: dict[str, str] = {
     "rollup_pricing": ROLLUP_PRICING,
     "layout_compact": LAYOUT_COMPACT,
     "cube_pricing": CUBE_PRICING,
-    "funnel_ordered": FUNNEL_ORDERED,
+    "cdc_stream": CDC_STREAM,
     "topn_per_group": TOPN_PER_GROUP,
     "copurchase": COPURCHASE,
     "triangle_count": TRIANGLES,

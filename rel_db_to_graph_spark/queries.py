@@ -234,6 +234,23 @@ def q_dense_ids_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "c_custkey")
 
 
+def q_dense_ids_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W2/G2 — BOTH dense-id assignments in ONE registry slot
+    (driver-window capacity consolidation, round 8 — the q_ann_variants
+    tagged-union pattern): the reference-faithful total-order
+    row_number path and the bucketed no-total-sort scale path
+    (build_graph's default) union with a tag column, each keeping its
+    own oracle-checked id function. Branches stay independent lazy
+    plans — no fused scan."""
+    from rel_db_to_graph_spark.operators.graph_build import dense_ids_scalable
+    c = load_table(spark, sf_dir, "customer")
+    tag = lambda df, name: df.select(  # noqa: E731
+        F.lit(name).alias("variant"), "pk", "node_id")
+    return (tag(dense_ids(c, "c_custkey"), "sorted")
+            .unionByName(tag(dense_ids_scalable(c, "c_custkey"),
+                             "bucketed")))
+
+
 def q_node_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2/G4/P5/P6: part node frame — FK/PK dropped, numeric-only, float."""
     return node_frame(spark, sf_dir, "part")
@@ -1034,6 +1051,41 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "o_totalprice")
 
 
+def q_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply under the driver gate (VERDICT r7 item 8 —
+    the first driver-visible row that exercises streaming/ itself): the
+    same old→new change set as q_merge_upsert, but the changes arrive
+    as a BOUNDED STREAM — written to four parquet files, re-read with
+    readStream + maxFilesPerTrigger=1, and drained availableNow through
+    streaming/cdc.py::run_cdc_stream (foreachBatch applying
+    merge_upsert per micro-batch to the maintained snapshot). Four real
+    micro-batches hit the stateful sink; per-key ops are disjoint, so
+    the final state equals a one-shot batch apply — and the oracle is
+    the fully-independent NEW snapshot, exactly as for merge_upsert.
+    At scale the same closure rewrites a table snapshot per batch;
+    state growth is snapshot-sized, micro-batch cost is batch-sized."""
+    import tempfile
+
+    from rel_db_to_graph_spark.operators.increment import snapshot_diff
+    from rel_db_to_graph_spark.streaming.cdc import run_cdc_stream
+
+    old, new = _cdc_snapshots(spark, sf_dir)
+    diff = snapshot_diff(old, new, "o_orderkey")
+    changes = diff.join(new, "o_orderkey", "left")
+    with tempfile.TemporaryDirectory() as tmp:
+        feed = f"{tmp}/changes"
+        changes.repartition(4).write.parquet(feed)
+        stream = (spark.readStream.schema(changes.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(feed))
+        sink = run_cdc_stream(stream, old, "o_orderkey",
+                              query_name="cdc_stream_driver")
+        # the maintainer localCheckpoints eagerly per batch, so the
+        # result survives the feed directory's cleanup
+        snap = sink.current()
+    return snap.select("o_orderkey", "o_custkey", "o_orderstatus",
+                       "o_totalprice")
+
+
 def q_graph_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental graph maintenance end-to-end (increment.py composed
     with the G3 edge build): yesterday's orders→customer edges are kept
@@ -1584,6 +1636,27 @@ def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("t_view").alias("n_view"),
                  F.count("t_click").alias("n_click_after_view"),
                  F.count("t_buy").alias("n_purchase_after_click")))
+
+
+def q_funnel_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH event funnels in ONE registry slot (driver-window capacity
+    consolidation, round 8 — the q_ann_variants tagged-union pattern):
+    the 2-step unordered funnel (first-view/first-purchase conditional
+    aggregation) and the strictly-sequential 3-step view→click→purchase
+    funnel, each keeping its own oracle-checked semantics under generic
+    stage column names. Branch plans are unchanged — the union is two
+    independent single-row aggregates."""
+    unordered = q_events_funnel(spark, sf_dir).select(
+        F.lit("unordered").alias("variant"), "n_users",
+        F.col("n_viewed").alias("stage1_n"),
+        F.col("n_purchased").alias("stage2_n"),
+        F.col("n_converted").alias("stage3_n"))
+    ordered = q_funnel_ordered(spark, sf_dir).select(
+        F.lit("ordered").alias("variant"), "n_users",
+        F.col("n_view").alias("stage1_n"),
+        F.col("n_click_after_view").alias("stage2_n"),
+        F.col("n_purchase_after_click").alias("stage3_n"))
+    return unordered.unionByName(ordered)
 
 
 def q_layout_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
