@@ -317,6 +317,32 @@ def _collect_tagged_cells(tagged: list[tuple[str, DataFrame]]) -> dict:
     return out
 
 
+def _stats_cells(ex: DataFrame) -> DataFrame:
+    """The decoder stats sums as (r, c, v) reduction rows (r: 0=loss_sum,
+    1=gb_sum, 2=n, 3=correct), so a gradient step's stats fuse into the
+    SAME gradient-sync collect instead of paying their own driver job
+    (round-8 step diet: the stats `.first()` was one of ~6 per-step jobs,
+    each costing the full plan/codegen/scheduling floor that dominates
+    sampled-trainer wall-clock locally). Values are the identical sums —
+    counts as exact doubles (< 2^53), so the round-trip is lossless."""
+    return (ex.agg(F.sum("_loss").alias("_l"), F.sum("_err").alias("_e"),
+                   F.count("*").cast("double").alias("_n"),
+                   F.sum((F.col("_yhat") == F.col("_y").cast("int"))
+                         .cast("long")).cast("double").alias("_c"))
+            .selectExpr("stack(4, 0, coalesce(_l, 0d), 1, coalesce(_e, 0d),"
+                        " 2, _n, 3, coalesce(_c, 0d)) AS (r, v)")
+            .select("r", F.lit(0).alias("c"), "v"))
+
+
+def _parse_stats(rows) -> dict:
+    """{loss, acc, n, gb} back out of the _stats_cells rows."""
+    sv = {int(r.r): (float(r.v) if r.v is not None else 0.0) for r in rows}
+    n = int(round(sv.get(2, 0.0)))
+    return {"loss": (sv.get(0, 0.0) / n) if n else 0.0,
+            "acc": (sv.get(3, 0.0) / n) if n else 0.0, "n": n,
+            "gb": (sv.get(1, 0.0) / n) if n else 0.0}
+
+
 def _backward_layer_frames(al: DataFrame, H: DataFrame, G: DataFrame,
                            emb_in: DataFrame, Wl: np.ndarray,
                            Wr: np.ndarray, a: np.ndarray,
@@ -440,20 +466,16 @@ def _stack_epoch(edges: DataFrame, feats: DataFrame, examples: DataFrame,
         "src", "dst", "_hu", "_hv", y.alias("_y"), (p - y).alias("_err"),
         (-(y * F.log(p) + (1 - y) * F.log(1 - p))).alias("_loss"),
         (p > 0.5).cast("int").alias("_yhat")).localCheckpoint(eager=False)
-    row = ex.agg(
-        F.sum("_loss").alias("loss_sum"), F.sum("_err").alias("gb_sum"),
-        F.count("*").alias("n"),
-        F.sum((F.col("_yhat") == F.col("_y").cast("int")).cast("long"))
-        .alias("correct")).first()
-    n = row.n or 0
-    if n == 0 or not with_grads:
-        out = {"loss": (row.loss_sum / n) if n else 0.0,
-               "acc": (row.correct / n) if n else 0.0, "n": n,
-               "gb": (row.gb_sum / n) if n else 0.0}
-        if with_grads:
-            out["grads"] = [(np.zeros_like(Wl), np.zeros_like(Wr),
-                             [0.0] * len(a)) for (Wl, Wr, a) in params]
-        return out
+    if not with_grads:
+        row = ex.agg(
+            F.sum("_loss").alias("loss_sum"), F.sum("_err").alias("gb_sum"),
+            F.count("*").alias("n"),
+            F.sum((F.col("_yhat") == F.col("_y").cast("int")).cast("long"))
+            .alias("correct")).first()
+        n = row.n or 0
+        return {"loss": (row.loss_sum / n) if n else 0.0,
+                "acc": (row.correct / n) if n else 0.0, "n": n,
+                "gb": (row.gb_sum / n) if n else 0.0}
 
     # symmetric decoder: ∂L/∂h_x = Σ err·h_other over both endpoint
     # roles — hdim fixed-width column sums in one shuffle (stage diet)
@@ -469,8 +491,9 @@ def _stack_epoch(edges: DataFrame, feats: DataFrame, examples: DataFrame,
                  .alias("_g")))
 
     # lazily chain every layer's reductions, then ONE fused
-    # gradient-sync collect (same rationale as _hetero_epoch)
-    tagged: list[tuple[str, DataFrame]] = []
+    # gradient-sync collect (same rationale as _hetero_epoch — stats
+    # ride along under tag "stats" since round 8, one job per step)
+    tagged: list[tuple[str, DataFrame]] = [("stats", _stats_cells(ex))]
     for li in range(len(params) - 1, -1, -1):
         Wl, Wr, a = params[li]
         al, H = layers[li]
@@ -487,6 +510,12 @@ def _stack_epoch(edges: DataFrame, feats: DataFrame, examples: DataFrame,
                     linear_layer(F.col("_dta"), Wr.T, activation=None),
                     lambda x, yy: x + yy).alias("_g"))
     got = _collect_tagged_cells(tagged)
+    stats = _parse_stats(got["stats"])
+    n = stats["n"]
+    if n == 0:
+        stats["grads"] = [(np.zeros_like(Wl), np.zeros_like(Wr),
+                           [0.0] * len(a)) for (Wl, Wr, a) in params]
+        return stats
     grads: list[tuple] = [None] * len(params)
     for li, (Wl, Wr, a) in enumerate(params):
         h = Wl.shape[0]
@@ -495,8 +524,8 @@ def _stack_epoch(edges: DataFrame, feats: DataFrame, examples: DataFrame,
             _collect_mat(got[f"L{li}:Wr"], h, Wr.shape[1]) / n,
             [float(x) for x in
              _collect_mat(got[f"L{li}:ga"], h, 1)[:, 0] / n])
-    return {"loss": row.loss_sum / n, "acc": row.correct / n, "n": n,
-            "gb": row.gb_sum / n, "grads": grads}
+    stats["grads"] = grads
+    return stats
 
 
 def train_gat_stack(edges: DataFrame, feats: DataFrame,
@@ -611,6 +640,37 @@ def _node_outer_grad(G: DataFrame, feats: DataFrame, h: int, d: int,
     return _collect_mat(_outer_cells(G, feats, col).collect(), h, d) / n
 
 
+#: lineage cuts inside the tagged hetero epoch — MEASURED both ways
+#: (round 8): localCheckpoint(eager=False) on a real plan materializes
+#: its AQE shuffle stages at call time (driver-blocking stage-jobs), so
+#: cuts LOOK like pure overhead inside a single fused collect — but
+#: without them each downstream branch re-derives the shared lineage
+#: (branch-specific column pruning makes the duplicated exchanges
+#: non-identical, so ReusedExchange does NOT dedup them) and the step
+#: got ~2x slower (sf0.001 steady 57s -> 116s). Cuts stay ON; the flag
+#: records the A/B for the next person tempted to remove them.
+_EPOCH_LINEAGE_CUTS = True
+
+
+def _cut(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=False) if _EPOCH_LINEAGE_CUTS else df
+
+
+def _collect_keyed_cells(frames: list) -> dict:
+    """ONE driver job for any number of (k, r, c, v) reduction frames
+    that carry their OWN key column (the grouped-tag variant of
+    _collect_tagged_cells, for plans where one frame holds many
+    parameters' cells — the round-8 tagged-union hetero epoch). Returns
+    {k: [rows...]} with keys appearing as the data dictates."""
+    u = frames[0]
+    for df in frames[1:]:
+        u = u.unionByName(df)
+    out: dict = {}
+    for row in u.collect():
+        out.setdefault(row.k, []).append(row)
+    return out
+
+
 def _hetero_epoch(graph_edges: dict, feats: dict, examples: DataFrame,
                   params: dict, b: float, src_type: str, dst_type: str,
                   with_grads: bool = True) -> dict:
@@ -620,64 +680,130 @@ def _hetero_epoch(graph_edges: dict, feats: dict, examples: DataFrame,
         h0_t  = σ(W0_t x_t)                      per-type input proj
         msg_e = GATv2(h0_s → h0_d), no act       per edge type (s,rel,d)
         h1_d  = σ(Wself_d h0_d + Σ_e→d msg_e)    aggr='sum' + self
-        z     = h1_src·h1_dst + b                link decoder
+        z     = h1_src·h1_dst + b                 link decoder
 
-    Every parameter learns. Backward reuses _backward_layer per edge
-    type (activation='none' — messages combine pre-activation) and
-    chains ∂L/∂h0 through Wself, every attention path, then the input
-    projections. params = {"W0": {t: h×d_t}, "Wself": {t: h×h},
-    "attn": {(s,rel,d): (Wl, Wr, a)}}."""
+    Every parameter learns. params = {"W0": {t: h×d_t}, "Wself":
+    {t: h×h}, "attn": {(s,rel,d): (Wl, Wr, a)}}.
+
+    TAGGED-UNION PLAN (round-8 stage diet): the per-edge-type attention
+    sub-plans are independent and shape-identical, so rather than ~6
+    shuffle stages × |edge types| (the measured ~45-stage DAG whose
+    per-stage scheduling floor dominated sampled-trainer wall-clock at
+    any SF), ALL edge types run through ONE plan over a tag-unioned
+    edge frame: per-type weights become per-tag CASE expressions
+    (map-side, no extra stages), the softmax window and message/gradient
+    reductions key on (tag, dst) instead of (dst) per type, and the
+    ordered aggr='sum' combine becomes a pivot + fixed-order adds. The
+    whole epoch is ~25 shuffle stages regardless of |edge types| and
+    collects stats + every parameter's cells in ONE driver job. This is
+    also the 100 TB-correct shape: one gradient barrier per step and a
+    bounded stage count, instead of a scheduler-bound forest of tiny
+    per-type stages. Per-group sums are unchanged; cross-path
+    accumulation order changes only within the numpy-twin tolerances
+    (tests/test_gat_train.py pins gradients at rtol 1e-7)."""
     hidden = next(iter(params["Wself"].values())).shape[0]
     types = sorted(feats)
     edge_types = sorted(params["attn"])
+    etag = {et: "|".join(et) for et in edge_types}
+    dims = range(hidden)
 
-    h0 = {}
+    def _case(key_col, exprs: dict):
+        """Per-tag expression via a when-chain (map-side, codegen)."""
+        items = list(exprs.items())
+        out = F.when(key_col == items[0][0], items[0][1])
+        for k, e in items[1:]:
+            out = out.when(key_col == k, e)
+        return out
+
+    # ---- forward: per-type input projection -> tagged node frame ----
+    h0 = {t: feats[t].select(
+        "node_id",
+        linear_layer(F.col("emb"), params["W0"][t],
+                     activation="sigmoid").alias("emb")) for t in types}
+    N = None
     for t in types:
-        h0[t] = feats[t].select(
-            "node_id",
-            linear_layer(F.col("emb"), params["W0"][t],
-                         activation="sigmoid").alias("emb")
-        ).localCheckpoint(eager=False)
+        part = h0[t].select(F.lit(t).alias("nt"), "node_id", "emb")
+        N = part if N is None else N.unionByName(part)
+    N = _cut(N)
 
-    layer_cache = {}
-    incoming: dict[str, list] = {t: [] for t in types}
+    E = None
     for et in edge_types:
         s, _rel, d = et
-        Wl, Wr, a = params["attn"][et]
-        al, H = _forward_layer(graph_edges[et], h0[s], Wl, Wr, a,
-                               dst_emb=h0[d], activation="none")
-        layer_cache[et] = (al, H)
-        incoming[d].append(H)
+        part = graph_edges[et].select(
+            F.lit(etag[et]).alias("tag"), F.lit(s).alias("st"),
+            F.lit(d).alias("dt"), "src", "dst")
+        E = part if E is None else E.unionByName(part)
 
-    pre = {}   # (node_id, _pre) combined pre-activation per type
-    h1 = {}
-    for t in types:
-        comb = h0[t].select(
-            "node_id",
-            linear_layer(F.col("emb"), params["Wself"][t],
-                         activation=None).alias("_pre"))
-        for H in incoming[t]:
-            comb = (comb.join(H.select("node_id",
-                                       F.col("_h").alias("_m1")),
-                              "node_id", "left")
-                    .select("node_id",
-                            F.when(F.col("_m1").isNull(), F.col("_pre"))
-                            .otherwise(F.zip_with("_pre", "_m1",
-                                                  lambda x, y: x + y))
-                            .alias("_pre")))
-        pre[t] = comb.localCheckpoint(eager=False)
-        h1[t] = pre[t].select(
-            "node_id",
-            F.transform("_pre", lambda x: sigmoid(x)).alias("emb"))
+    tag = F.col("tag")
+    ef = (E.join(N.select(F.col("nt").alias("st"),
+                          F.col("node_id").alias("src"),
+                          F.col("emb").alias("_xs")), ["st", "src"])
+          .join(N.select(F.col("nt").alias("dt"),
+                         F.col("node_id").alias("dst"),
+                         F.col("emb").alias("_xd")), ["dt", "dst"])
+          .withColumn("_s", _case(tag, {
+              etag[et]: linear_layer(F.col("_xs"), params["attn"][et][0],
+                                     activation=None)
+              for et in edge_types}))
+          .withColumn("_t", _case(tag, {
+              etag[et]: linear_layer(F.col("_xd"), params["attn"][et][1],
+                                     activation=None)
+              for et in edge_types}))
+          .withColumn("_av", _case(tag, {
+              etag[et]: _arr_lit(params["attn"][et][2])
+              for et in edge_types}))
+          .withColumn("_q", F.zip_with("_s", "_t", lambda s, t: s + t))
+          .withColumn("_r", F.transform(
+              "_q", lambda x: F.when(x > 0, x).otherwise(x * F.lit(_LEAKY))))
+          .withColumn("_e", dot(F.col("_r"), F.col("_av"))))
+    # softmax over each (edge type, dst)'s in-edges in ONE shuffle for
+    # every edge type together
+    wd = Window.partitionBy("tag", "dt", "dst")
+    al = (ef.withColumn("_mx", F.max("_e").over(wd))
+          .withColumn("_w", F.exp(F.col("_e") - F.col("_mx")))
+          .withColumn("_z", F.sum("_w").over(wd))
+          .withColumn("_alpha", F.col("_w") / F.col("_z")))
+    al = _cut(al)
+    msum = (al.groupBy("tag", "dt", "dst").agg(
+        *[F.sum(F.col("_alpha") * F.col("_s").getItem(i)).alias(f"_m{i}")
+          for i in dims]))
+    msum = _cut(msum)
+
+    # ordered aggr='sum' combine: pivot the per-tag messages to columns,
+    # then add them in SORTED edge-type order per node type — the same
+    # left-fold association as the old per-type chained zip_with adds
+    # (a missing (tag, dst) contributes +0.0, exactly the old zeroed H)
+    all_tags = [etag[et] for et in edge_types]
+    in_tags = {t: [etag[et] for et in edge_types if et[2] == t]
+               for t in types}
+    piv = (msum.groupBy(F.col("dt").alias("nt"),
+                        F.col("dst").alias("node_id"))
+           .pivot("tag", all_tags)
+           .agg(*[F.first(f"_m{i}").alias(f"m{i}") for i in dims]))
+    npre = N.join(piv, ["nt", "node_id"], "left")
+    pre_exprs = []
+    for i in dims:
+        per_type = {}
+        for t in types:
+            e = dot(F.col("emb"), _arr_lit(params["Wself"][t][i]))
+            for tg in in_tags[t]:
+                e = e + F.coalesce(F.col(f"`{tg}_m{i}`"), F.lit(0.0))
+            per_type[t] = e
+        pre_exprs.append(_case(F.col("nt"), per_type))
+    pre = _cut(npre.select("nt", "node_id",
+                           F.array(*pre_exprs).alias("_pre")))
+    h1 = _cut(pre.select(
+        "nt", "node_id",
+        F.transform("_pre", lambda x: sigmoid(x)).alias("emb")))
 
     zeros = F.array_repeat(F.lit(0.0), hidden)
     ex = (examples
-          .join(h1[src_type].select(F.col("node_id").alias("src"),
-                                    F.col("emb").alias("_hu")),
-                "src", "left")
-          .join(h1[dst_type].select(F.col("node_id").alias("dst"),
-                                    F.col("emb").alias("_hv")),
-                "dst", "left")
+          .join(h1.filter(F.col("nt") == src_type)
+                .select(F.col("node_id").alias("src"),
+                        F.col("emb").alias("_hu")), "src", "left")
+          .join(h1.filter(F.col("nt") == dst_type)
+                .select(F.col("node_id").alias("dst"),
+                        F.col("emb").alias("_hv")), "dst", "left")
           .withColumn("_hu", F.coalesce("_hu", zeros))
           .withColumn("_hv", F.coalesce("_hv", zeros)))
     zc = dot(F.col("_hu"), F.col("_hv")) + F.lit(float(b))
@@ -686,88 +812,138 @@ def _hetero_epoch(graph_edges: dict, feats: dict, examples: DataFrame,
     ex = ex.select(
         "src", "dst", "_hu", "_hv", y.alias("_y"), (p - y).alias("_err"),
         (-(y * F.log(p) + (1 - y) * F.log(1 - p))).alias("_loss"),
-        (p > 0.5).cast("int").alias("_yhat")).localCheckpoint(eager=False)
-    row = ex.agg(
-        F.sum("_loss").alias("loss_sum"), F.sum("_err").alias("gb_sum"),
-        F.count("*").alias("n"),
-        F.sum((F.col("_yhat") == F.col("_y").cast("int")).cast("long"))
-        .alias("correct")).first()
-    n = row.n or 0
-    stats = {"loss": (row.loss_sum / n) if n else 0.0,
-             "acc": (row.correct / n) if n else 0.0, "n": n,
-             "gb": (row.gb_sum / n) if n else 0.0}
-    if not with_grads or n == 0:
+        (p > 0.5).cast("int").alias("_yhat"))
+    ex = _cut(ex)
+    if not with_grads:
+        row = ex.agg(
+            F.sum("_loss").alias("loss_sum"), F.sum("_err").alias("gb_sum"),
+            F.count("*").alias("n"),
+            F.sum((F.col("_yhat") == F.col("_y").cast("int")).cast("long"))
+            .alias("correct")).first()
+        n = row.n or 0
+        return {"loss": (row.loss_sum / n) if n else 0.0,
+                "acc": (row.correct / n) if n else 0.0, "n": n,
+                "gb": (row.gb_sum / n) if n else 0.0}
+
+    # ---- backward: every reduction keyed by its own (k, r, c, v) tag,
+    # stats included, ONE fused collect ----
+    keyed = [_stats_cells(ex).select(F.lit("stats").alias("k"),
+                                     "r", "c", "v")]
+
+    # decoder → per-type ∂L/∂h1 (src/dst roles may share a type — the
+    # groupBy merges them), then the output sigmoid chain
+    derr = (ex.select(F.lit(src_type).alias("nt"),
+                      F.col("src").alias("node_id"), "_err",
+                      F.col("_hv").alias("_o"))
+            .unionByName(ex.select(F.lit(dst_type).alias("nt"),
+                                   F.col("dst").alias("node_id"), "_err",
+                                   F.col("_hu").alias("_o"))))
+    GN = (derr.groupBy("nt", "node_id").agg(
+        *[F.sum(F.col("_err") * F.col("_o").getItem(i)).alias(f"_g{i}")
+          for i in dims])
+        .select("nt", "node_id",
+                F.array(*[F.col(f"_g{i}") for i in dims]).alias("_g")))
+    gp = (GN.join(h1, ["nt", "node_id"])
+          .select("nt", "node_id", F.expr(
+              "zip_with(_g, emb, (g, hh) -> g * hh * (1d - hh))")
+              .alias("_g")))
+    gp = _cut(gp)
+
+    def _outer_keyed(D, side, key_expr, dcol="_d"):
+        """Σ d ⊗ x cells for a keyed node-gradient frame ``D`` joined to
+        node frame ``side`` on (nt, node_id): → (k, r, c, v) rows."""
+        j = D.join(side.select("nt", "node_id", F.col("emb").alias("_x")),
+                   ["nt", "node_id"])
+        grp = ("tag",) if "tag" in D.columns else ("nt",)
+        l1 = j.select(*grp, "_x", F.posexplode(dcol).alias("r", "gs"))
+        l2 = l1.select(*grp, "r", "gs", F.posexplode("_x").alias("c", "xc"))
+        return (l2.groupBy(*grp, "r", "c")
+                .agg(F.sum(F.col("gs") * F.col("xc")).alias("v"))
+                .select(key_expr.alias("k"), "r", "c", "v"))
+
+    keyed.append(_outer_keyed(
+        gp, N, F.concat(F.lit("Wself:"), F.col("nt")), dcol="_g"))
+
+    # attention backward, all edge types in one plan
+    GMt = (msum.join(gp.select(F.col("nt").alias("dt"),
+                               F.col("node_id").alias("dst"),
+                               F.col("_g").alias("_gm")), ["dt", "dst"])
+           .select("tag", "dt", "dst", "_gm",
+                   sum((F.col("_gm").getItem(i) * F.col(f"_m{i}")
+                        for i in dims), F.lit(0.0)).alias("_c")))
+    eb = (al.join(GMt.select("tag", "dt", "dst", "_gm", "_c"),
+                  ["tag", "dt", "dst"])
+          .withColumn("_ge", F.col("_alpha")
+                      * (dot(F.col("_gm"), F.col("_s")) - F.col("_c")))
+          .withColumn("_dq", F.zip_with(
+              "_q", F.col("_av"),
+              lambda q, ak: F.col("_ge") * ak
+              * F.when(q > 0, F.lit(1.0)).otherwise(F.lit(_LEAKY)))))
+    eb = _cut(eb)
+    keyed.append(
+        eb.select("tag", F.posexplode(F.expr(
+            "zip_with(_r, _q, (r, q) -> _ge * r)")).alias("pos", "gx"))
+        .groupBy("tag", "pos").agg(F.sum("gx").alias("v"))
+        .select(F.concat(F.lit("attn_ga:"), F.col("tag")).alias("k"),
+                F.col("pos").alias("r"), F.lit(0).alias("c"), "v"))
+    ds_arr = (eb.groupBy("tag", F.col("st").alias("nt"),
+                         F.col("src").alias("node_id")).agg(
+        *[F.sum(F.col("_alpha") * F.col("_gm").getItem(i)
+                + F.col("_dq").getItem(i)).alias(f"_d{i}") for i in dims])
+        .select("tag", "nt", "node_id",
+                F.array(*[F.col(f"_d{i}") for i in dims]).alias("_d")))
+    dt_arr = (eb.groupBy("tag", F.col("dt").alias("nt"),
+                         F.col("dst").alias("node_id")).agg(
+        *[F.sum(F.col("_dq").getItem(i)).alias(f"_d{i}") for i in dims])
+        .select("tag", "nt", "node_id",
+                F.array(*[F.col(f"_d{i}") for i in dims]).alias("_d")))
+    keyed.append(_outer_keyed(
+        ds_arr, N, F.concat(F.lit("attn_Wl:"), F.col("tag"))))
+    keyed.append(_outer_keyed(
+        dt_arr, N, F.concat(F.lit("attn_Wr:"), F.col("tag"))))
+
+    # ∂L/∂h0: Wself/Wl/Wr transposes applied per tag (map-side CASE),
+    # every path accumulated in one (nt, node_id) groupBy
+    cW = gp.select("nt", "node_id", _case(F.col("nt"), {
+        t: linear_layer(F.col("_g"), params["Wself"][t].T, activation=None)
+        for t in types}).alias("_g"))
+    cS = ds_arr.select("nt", "node_id", _case(F.col("tag"), {
+        etag[et]: linear_layer(F.col("_d"), params["attn"][et][0].T,
+                               activation=None)
+        for et in edge_types}).alias("_g"))
+    cT = dt_arr.select("nt", "node_id", _case(F.col("tag"), {
+        etag[et]: linear_layer(F.col("_d"), params["attn"][et][1].T,
+                               activation=None)
+        for et in edge_types}).alias("_g"))
+    Gh0 = (cW.unionByName(cS).unionByName(cT)
+           .groupBy("nt", "node_id").agg(
+               *[F.sum(F.col("_g").getItem(i)).alias(f"_g{i}")
+                 for i in dims])
+           .select("nt", "node_id",
+                   F.array(*[F.col(f"_g{i}") for i in dims]).alias("_g")))
+    NF = None
+    for t in types:
+        part = feats[t].select(F.lit(t).alias("nt"), "node_id", "emb")
+        NF = part if NF is None else NF.unionByName(part)
+    gm0 = (Gh0.join(N, ["nt", "node_id"])
+           .select("nt", "node_id", F.expr(
+               "zip_with(_g, emb, (g, hh) -> g * hh * (1d - hh))")
+               .alias("_d")))
+    keyed.append(_outer_keyed(
+        gm0, NF, F.concat(F.lit("W0:"), F.col("nt"))))
+
+    got = _collect_keyed_cells(keyed)
+    stats = _parse_stats(got["stats"])
+    n = stats["n"]
+    if n == 0:
         return stats
-
-    # decoder → per-type ∂L/∂h1 (src/dst roles may share a type);
-    # h fixed-width column sums, one shuffle per role (stage diet)
-    G1: dict[str, DataFrame | None] = {t: None for t in types}
-
-    def _dec_grad(id_col: str, other: str) -> DataFrame:
-        return (ex.groupBy(F.col(id_col).alias("node_id")).agg(
-            *[F.sum(F.col("_err") * F.col(other).getItem(i))
-              .alias(f"_g{i}") for i in range(hidden)])
-            .select("node_id",
-                    F.array(*[F.col(f"_g{i}") for i in range(hidden)])
-                    .alias("_g")))
-
-    G1[src_type] = _add_G(G1[src_type], _dec_grad("src", "_hv"), hidden)
-    G1[dst_type] = _add_G(G1[dst_type], _dec_grad("dst", "_hu"), hidden)
-
-    # sigmoid chain at the combined output: gp = G1 ⊙ h1(1−h1)
-    gp = {}
-    for t in types:
-        if G1[t] is None:
-            continue
-        gp[t] = (G1[t].join(h1[t], "node_id")
-                 .select("node_id", F.expr(
-                     "zip_with(_g, emb, (g, hh) -> g * hh * (1d - hh))")
-                     .alias("_g"))
-                 .localCheckpoint(eager=False))
-
-    # Every parameter's (r, c, v) reduction is built LAZILY and
-    # collected in ONE fused gradient-sync job (_collect_tagged_cells):
-    # a step used to pay ~12 small driver jobs, each with full
-    # plan/codegen/scheduling latency — the measured wall-clock
-    # dominator of the sf1 sampled trainers (round 7).
-    tagged: list[tuple[str, DataFrame]] = []
-    grads = {"W0": {}, "Wself": {}, "attn": {}}
-    Gh0: dict[str, DataFrame | None] = {t: None for t in types}
-    for t in types:
-        if t in gp:
-            tagged.append((f"Wself:{t}", _outer_cells(gp[t], h0[t])))
-            Gh0[t] = _add_G(Gh0[t], _apply_WT(gp[t], params["Wself"][t]),
-                            hidden)
-        else:
-            grads["Wself"][t] = np.zeros_like(params["Wself"][t])
-    for et in edge_types:
-        s, _rel, d = et
-        Wl, Wr, a = params["attn"][et]
-        if d not in gp:
-            grads["attn"][et] = (np.zeros_like(Wl), np.zeros_like(Wr),
-                                 [0.0] * hidden)
-            continue
-        al, H = layer_cache[et]
-        ga_c, gWl_c, gWr_c, DSDT = _backward_layer_frames(
-            al, H, gp[d], h0[s], Wl, Wr, a,
-            dst_emb_in=h0[d], activation="none")
-        key = "|".join(et)
-        tagged += [(f"attn_ga:{key}", ga_c), (f"attn_Wl:{key}", gWl_c),
-                   (f"attn_Wr:{key}", gWr_c)]
-        Gh0[s] = _add_G(Gh0[s], _apply_WT(
-            DSDT.select("node_id", F.col("_dsa").alias("_g")), Wl), hidden)
-        Gh0[d] = _add_G(Gh0[d], _apply_WT(
-            DSDT.select("node_id", F.col("_dta").alias("_g")), Wr), hidden)
-    for t in types:
-        if Gh0[t] is None:
-            grads["W0"][t] = np.zeros_like(params["W0"][t])
-            continue
-        gm0 = (Gh0[t].join(h0[t], "node_id")
-               .select("node_id", F.expr(
-                   "zip_with(_g, emb, (g, hh) -> g * hh * (1d - hh))")
-                   .alias("_g")))
-        tagged.append((f"W0:{t}", _outer_cells(gm0, feats[t])))
-    got = _collect_tagged_cells(tagged)
+    grads = {
+        "W0": {t: np.zeros_like(params["W0"][t]) for t in types},
+        "Wself": {t: np.zeros_like(params["Wself"][t]) for t in types},
+        "attn": {et: (np.zeros_like(params["attn"][et][0]),
+                      np.zeros_like(params["attn"][et][1]),
+                      [0.0] * hidden) for et in edge_types},
+    }
     for t in types:
         if f"Wself:{t}" in got:
             grads["Wself"][t] = _collect_mat(
@@ -776,16 +952,16 @@ def _hetero_epoch(graph_edges: dict, feats: dict, examples: DataFrame,
             grads["W0"][t] = _collect_mat(
                 got[f"W0:{t}"], hidden, params["W0"][t].shape[1]) / n
     for et in edge_types:
-        key = "|".join(et)
-        if f"attn_ga:{key}" in got:
+        k = etag[et]
+        if f"attn_ga:{k}" in got:
             Wl, Wr, _a = params["attn"][et]
             grads["attn"][et] = (
-                _collect_mat(got[f"attn_Wl:{key}"], hidden,
+                _collect_mat(got.get(f"attn_Wl:{k}", []), hidden,
                              Wl.shape[1]) / n,
-                _collect_mat(got[f"attn_Wr:{key}"], hidden,
+                _collect_mat(got.get(f"attn_Wr:{k}", []), hidden,
                              Wr.shape[1]) / n,
                 [float(x) for x in
-                 _collect_mat(got[f"attn_ga:{key}"], hidden, 1)[:, 0] / n])
+                 _collect_mat(got[f"attn_ga:{k}"], hidden, 1)[:, 0] / n])
     stats["grads"] = grads
     return stats
 
@@ -952,7 +1128,7 @@ def train_gat_link(edges: DataFrame, src_feats: DataFrame,
 
 
 def _batch_closure(samp: DataFrame, seeds: dict, edge_types: list,
-                   feats: dict) -> tuple[dict, dict]:
+                   feats: dict, eager: bool = True) -> tuple[dict, dict]:
     """(sampled per-type message edges, per-type feature restriction)
     for one mini-batch: edges grouped back by edge type, and feats cut
     to the dependency closure (seeds ∪ every endpoint of a sampled
@@ -966,8 +1142,18 @@ def _batch_closure(samp: DataFrame, seeds: dict, edge_types: list,
     measured at ~2x the whole gradient step at sf1 — while
     checkpointing each frame separately paid ~4 driver jobs of
     scheduling floor per batch (round 7). The returned sub/fcut frames
-    are plain filters of the RAM-resident union."""
-    samp = samp.localCheckpoint(eager=True)   # one sampling pass, k readers
+    are plain filters of the RAM-resident union.
+
+    ``eager=False`` (round-8 step diet) defers BOTH materializations
+    into the first job that reads the closure: since the stats sums now
+    ride in the fused gradient-sync collect, a training step runs ONE
+    epoch job, so a dedicated closure job would only add scheduling
+    floor — the union's branches share samp's shuffle stages within
+    that one job, and the lazy checkpoints still cut lineage for any
+    later reader. Keep eager=True for closures REUSED across many jobs
+    (the once-per-run validation closure: one materialization, 2×epochs
+    readers)."""
+    samp = samp.localCheckpoint(eager=eager)  # one sampling pass, k readers
     arr_null = F.lit(None).cast("array<double>")
     long_null = F.lit(None).cast("bigint")
     parts = []
@@ -999,7 +1185,7 @@ def _batch_closure(samp: DataFrame, seeds: dict, edge_types: list,
     allc = parts[0]
     for p in parts[1:]:
         allc = allc.unionByName(p)
-    allc = allc.localCheckpoint(eager=True)
+    allc = allc.localCheckpoint(eager=eager)
     sub = {et: allc.filter((F.col("kind") == "e")
                            & (F.col("tag") == "|".join(et)))
            .select("src", "dst") for et in edge_types}
@@ -1070,6 +1256,11 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
     fanouts = list(fanouts) if fanouts is not None else [15]
     types = sorted(feats)
     edge_types = sorted(graph_edges)
+    # materialize the feature frames ONCE per run (round-8 step diet):
+    # every per-batch closure joins feats, and a lazy plan would
+    # re-materialize the whole upstream feature lineage's AQE stages on
+    # every batch (measured ~30 stage-jobs per closure at sf0.01)
+    feats = {t: f.localCheckpoint(eager=True) for t, f in feats.items()}
     dims = {t: len(feats[t].select("emb").first()["emb"]) for t in types}
     rng = np.random.default_rng(seed)
     params = {
@@ -1160,11 +1351,13 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
     for epoch in range(epochs):
         losses, ns = [], []
         for bi in range(steps):
-            # eager checkpoint: the batch frame roots the seed collects
-            # AND both epoch jobs — keep it a RAM scan, not a re-filter
+            # lazy checkpoint (round-8 step diet): the first reader (the
+            # store path's frontier collect, else the fused epoch job)
+            # materializes it; a dedicated eager job only paid another
+            # scheduling floor for a filter over the cached train frame
             batch = train.filter(
                 F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
-                       F.lit(n_batches)) == bi).localCheckpoint(eager=True)
+                       F.lit(n_batches)) == bi).localCheckpoint(eager=False)
             seeds = {src_type: batch.select(F.col("src").alias("node_id"))}
             dst_seed = batch.select(F.col("dst").alias("node_id"))
             if dst_type in seeds:
@@ -1179,7 +1372,10 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
             else:
                 samp = sample_incoming_hetero(
                     graph_edges, seeds, fanouts, seed=batch_seed)
-            sub, fcut = _batch_closure(samp, seeds, edge_types, feats)
+            # eager=False: the whole step — closure, forward, backward,
+            # stats — executes as ONE driver job (the fused collect)
+            sub, fcut = _batch_closure(samp, seeds, edge_types, feats,
+                                       eager=False)
             stats = _hetero_epoch(sub, fcut, batch, params, b,
                                   src_type, dst_type)
             if stats["n"] == 0:
@@ -1249,6 +1445,8 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
     if len(fanouts) != layers:
         raise ValueError(f"fanouts {fanouts} must have one entry per "
                          f"layer ({layers})")
+    # one-time feature materialization — see train_hetero_gat_sampled
+    feats = feats.localCheckpoint(eager=True)
     d_in = len(feats.select("emb").first()["emb"])
     rng = np.random.default_rng(seed)
     params = []
@@ -1313,28 +1511,32 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
     for epoch in range(epochs):
         losses, ns = [], []
         for bi in range(steps):
-            # eager checkpoints (batch + closure below): both epoch
-            # jobs root here — RAM scans, not per-job re-derivation
+            # lazy checkpoints throughout (round-8 step diet): with the
+            # stats fused into the gradient-sync collect, a step runs
+            # ONE epoch job — batch/samp/closure materialize inside it
+            # (or inside the store path's frontier collect) instead of
+            # each paying a dedicated driver job of scheduling floor
             batch = train.filter(
                 F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
-                       F.lit(n_batches)) == bi).localCheckpoint(eager=True)
+                       F.lit(n_batches)) == bi).localCheckpoint(eager=False)
             seeds = (batch.select(F.col("src").alias("node_id"))
                      .unionAll(batch.select(F.col("dst").alias("node_id")))
                      .distinct())
             batch_seed = seed + 7919 * epoch + 104729 * bi
             if edge_table is not None:
+                # the store probe eager-checkpoints each hop internally
+                # (bucket-pruning conf scope) — no outer job needed
                 samp = sample_incoming_store(
                     examples.sparkSession, edge_table, seeds, fanouts,
-                    seed=batch_seed).localCheckpoint(eager=True)
+                    seed=batch_seed)
             else:
                 samp = sample_incoming(
                     edges, seeds, fanouts, seed=batch_seed,
-                ).localCheckpoint(eager=True)
+                ).localCheckpoint(eager=False)
             ids = (seeds
                    .unionAll(samp.select(F.col("src").alias("node_id")))
                    .unionAll(samp.select(F.col("dst").alias("node_id")))
                    ).distinct()
-            # one-job closure materialization (see _batch_closure)
             allc = (samp.select("src", "dst").distinct()
                     .select(F.lit("e").alias("kind"), "src", "dst",
                             F.lit(None).cast("bigint").alias("node_id"),
@@ -1345,7 +1547,7 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
                                 F.lit(None).cast("bigint").alias("src"),
                                 F.lit(None).cast("bigint").alias("dst"),
                                 "node_id", "emb"))
-                    .localCheckpoint(eager=True))
+                    .localCheckpoint(eager=False))
             sub = allc.filter(F.col("kind") == "e").select("src", "dst")
             fcut = allc.filter(F.col("kind") == "f").select("node_id",
                                                             "emb")

@@ -322,8 +322,19 @@ def sample_incoming_hetero_store(spark, tables: dict, seeds: dict,
     sample_incoming_hetero draws via hop0); the per-batch probe is
     bucket- and row-group-pruned instead of scanning every edge type's
     full frame. Driver state per hop: the frontier id lists, bounded by
-    batch_size x prod(fanouts)."""
-    frontier = {t: _collect_ids(df, "node_id") for t, df in seeds.items()}
+    batch_size x prod(fanouts).
+
+    The seed frontier collects in ONE tagged-union job (round-8 step
+    diet: one driver job per seed TYPE was pure scheduling floor —
+    the per-hop next-frontier collect was already fused this way)."""
+    su = None
+    for t, df in seeds.items():
+        part = df.select(F.lit(t).alias("_t"), "node_id").distinct()
+        su = part if su is None else su.unionByName(part)
+    frontier: dict[str, list] = {}
+    for r in su.collect():
+        frontier.setdefault(r["_t"], []).append(r["node_id"])
+    frontier = {t: sorted(ids) for t, ids in frontier.items()}
     layers = []
     last = len(fanouts) - 1
     with _forced_bucketed_scan(spark):

@@ -132,6 +132,28 @@ def test_tfidf_df_table_broadcasts(spark):
     assert "lang" not in p.split("ReadSchema")[1][:200]
 
 
+def test_tfidf_survives_broadcast_threshold_fallback(spark):
+    """VERDICT r7 item 3 (the watch-item nobody had ever observed
+    crossing its cliff): at real corpus scale the vocabulary-sized df
+    table can exceed the broadcast threshold and Spark falls back to a
+    shuffle join. Force that fallback (threshold -1) and pin BOTH that
+    the plan really degraded to SortMergeJoin (the test is vacuous
+    otherwise) AND that the keyword ranking is value-identical — the
+    integer-quantized idf makes rank order join-strategy-independent,
+    so the fallback changes cost, never answers."""
+    expected = sorted(
+        tuple(r) for r in Q.q_tfidf_keywords(spark, SF_ORACLE).collect())
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = Q.q_tfidf_keywords(spark, SF_ORACLE)
+        p = plan_of(df)
+        assert "SortMergeJoin" in p, "fallback never engaged"
+        got = sorted(tuple(r) for r in df.collect())
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert got == expected
+
+
 def test_event_queries_prune_to_needed_columns(spark):
     """Event operators must not drag props/value through the shuffle
     when they only need (ts, event_type, user_id)."""

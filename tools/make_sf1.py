@@ -11,8 +11,10 @@ character, not just its size). Embedding vectors are copied as-is (the
 headline ANN query is a linear scan; identical vectors don't change its
 cost profile).
 
-Output: /root/repo/benchdata/sf1/*.parquet (gitignored).
-Usage: python tools/make_sf1.py [reps]
+Output: /root/repo/benchdata/<dst>/*.parquet (gitignored); dst defaults
+to sf1. reps=100 + dst=sf10 derives the round-8 sf10 probe dataset
+(~60M lineitem, 500k documents) for the superlinear-tail audit.
+Usage: python tools/make_sf1.py [reps] [dst]
 """
 
 from __future__ import annotations
@@ -23,8 +25,9 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "benchdata", "sf1")
+_BENCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchdata")
+DST = os.path.join(_BENCH, sys.argv[2] if len(sys.argv) > 2 else "sf1")
 
 # table -> (offset columns (scaled per replica), passthrough dims)
 KEYED = {
