@@ -144,6 +144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": Q.q_events_sessionize,
     "events_attribution": Q.q_events_attribution,
     "cdc_stream": Q.q_cdc_stream,
+    "stream_hourly": Q.q_stream_hourly,
     "retention_cohorts": Q.q_retention_cohorts,
     "event_anomalies": Q.q_event_anomalies,
     "tfidf_keywords": Q.q_tfidf_keywords,

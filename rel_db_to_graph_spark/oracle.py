@@ -2145,6 +2145,19 @@ SELECT event_type,
 FROM events GROUP BY 1, 2
 """
 
+#: q_stream_hourly's drained final state must equal the batch hourly
+#: aggregation — the stream (watermark + tumbling window, complete-mode
+#: availableNow drain) is just the delivery mechanism. No n_users:
+#: countDistinct is not legal inside a streaming aggregation, so the
+#: streaming surface carries (count, decimal-exact sum) only.
+STREAM_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
 EVENTS_SESSIONIZE = """
 WITH flagged AS (
     SELECT user_id, event_id, epoch_us(ts) AS tsu,
@@ -3074,6 +3087,7 @@ ORACLES: dict[str, str] = {
     "audio_meta": AUDIO_META,
     "video_meta": VIDEO_META,
     "events_hourly": EVENTS_HOURLY,
+    "stream_hourly": STREAM_HOURLY,
     "events_sessionize": EVENTS_SESSIONIZE,
     "events_asof": EVENTS_ASOF,
     "events_attribution": EVENTS_ATTRIBUTION,

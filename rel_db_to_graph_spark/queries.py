@@ -1086,6 +1086,31 @@ def q_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "o_totalprice")
 
 
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed aggregation under the driver gate (round 8 —
+    the watermark/window path itself, complementing cdc_stream's
+    foreachBatch path): readStream over the events parquet → tumbling
+    1h event-time window per event_type with a 2h watermark
+    (streaming/events.py::hourly_counts_stream) → availableNow drain
+    into a memory sink in complete mode. The final state must equal the
+    batch aggregation — the oracle recomputes it independently in
+    DuckDB (count + DECIMAL-exact value sums, the repo's float-parity
+    convention). At scale the state is (window × event_type)-bounded
+    and the watermark evicts closed windows; complete mode here is the
+    bounded-drain test harness shape."""
+    import uuid
+
+    from rel_db_to_graph_spark.streaming.events import (
+        hourly_counts_stream,
+        read_events_stream,
+        run_available_now,
+    )
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        hourly_counts_stream(read_events_stream(spark, sf_dir)), name)
+    return spark.table(name)
+
+
 def q_graph_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental graph maintenance end-to-end (increment.py composed
     with the G3 edge build): yesterday's orders→customer edges are kept
