@@ -42,6 +42,14 @@ from pyspark.sql import functions as F
 from rel_db_to_graph_spark.functions.vector import cosine
 from rel_db_to_graph_spark.operators.ivf import build_ivf_index
 
+#: adaptive pair-grid sizing (see semantic_dedup): target pair rows per
+#: grid cell — small enough that an AQE-merged handful of cells is
+#: still a sub-second task, large enough that replication stays ~√cells
+_TARGET_PAIRS_PER_CELL = 2_000_000
+#: per-cluster grid-cell cap: bounds left+right replication (each side
+#: replicates ~√cells ≤ 64 copies) even for a pathological megacluster
+_MAX_GRID_CELLS = 4096
+
 
 def semantic_dedup(embeddings: DataFrame, threshold: float = 0.2,
                    n_clusters: int = 8, iters: int = 3,
@@ -59,12 +67,29 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.2,
     ``salt`` fixes the pair join's PARALLELISM cliff: a plain equi-join
     on cluster id has only n_clusters distinct keys, so with few or
     skewed clusters ALL pair work lands on n_clusters partitions no
-    matter how many cores exist (measured ~50x wall-clock at sf1). The
-    right side is bucketed by a deterministic id hash into ``salt``
-    sub-keys and the left side replicated across all of them — every
-    pair still meets exactly once, results are bit-identical, and the
-    join fans out over n_clusters*salt partitions. Replication cost:
-    salt copies of the (capped) left comparison set.
+    matter how many cores exist (measured ~50x wall-clock at sf1).
+
+    Since round 8 the salting is an ADAPTIVE 2-D GRID sized per
+    cluster, because the sf10 probe caught the fixed 1×salt scheme
+    regressing to a 2-core straggler on megaclusters: a cluster of
+    ~100k near-identical vectors (boilerplate at web scale; verbatim
+    replicas in the derived probe set) carries |left_c|·|c| pair work,
+    the fixed 16 sub-keys left that work on 16 byte-small partitions,
+    and AQE's byte-based coalescing — which cannot see a narrow row's
+    quadratic compute multiplier — merged them further (observed:
+    2 tasks owning ~5e9 cosine rows, 40+ min, in BOTH the capped and
+    exhaustive modes). Per cluster c the grid is gL_c×gR_c cells with
+    gL_c·gR_c ≈ pairs_c / _TARGET_PAIRS_PER_CELL (floored by ``salt``,
+    capped by _MAX_GRID_CELLS): left rows hash into gL_c row-buckets
+    and replicate across the gR_c column-buckets, right rows hash into
+    gR_c column-buckets and replicate across the gL_c row-buckets, and
+    the join keys on (cluster, rowb, colb) — every pair still meets
+    EXACTLY once ((rowb(a), colb(b)) is unique), results are
+    bit-identical, replication cost is ~sqrt(cells) per side instead
+    of the 1-D scheme's cells-per-left-row. Cluster sizes come from one
+    n_clusters-row driver collect; the final repartition pins an
+    EXPLICIT partition count (user-specified numPartitions are exempt
+    from AQE coalescing, which is what kept un-merging the grid).
     """
     assigned, _ = build_ivf_index(embeddings, k=n_clusters, iters=iters,
                                   id_col=id_col, vec_col=vec_col)
@@ -77,22 +102,52 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.2,
         w = Window.partitionBy("cluster").orderBy("_ida")
         left = (left.withColumn("_rk", F.row_number().over(w))
                 .filter(F.col("_rk") <= max_cluster).drop("_rk"))
-    # Replicate left over the salt buckets, then FORCE a shuffle on the
-    # (cluster, salt) key: without it, a single-file source (one input
-    # partition) plus a broadcast-joined right side executes the whole
-    # pair compare on ONE core — the salt keys exist but nothing
-    # redistributes the rows (measured: the repartition, not the salt
-    # alone, is what buys the ~n_cores speedup).
-    left = (left.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(int(salt) - 1))))
-        .repartition(F.col("cluster"), F.col("_salt")))
-    right = assigned.select(
-        F.col(id_col).alias("_idb"), "cluster",
-        F.col("_v").alias("_vb"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(salt)))
-        .cast("int").alias("_salt"))
+
+    # per-cluster grid dimensions from one tiny (n_clusters-row) collect
+    sizes = {r["cluster"]: r["n"] for r in
+             assigned.groupBy("cluster").agg(F.count("*").alias("n"))
+             .collect()}
+    grid: dict[int, tuple[int, int]] = {}
+    for c, n in sizes.items():
+        n_left = n if max_cluster is None else min(n, max_cluster)
+        cells = max(int(salt),
+                    min(_MAX_GRID_CELLS,
+                        -(-(n_left * n) // _TARGET_PAIRS_PER_CELL)))
+        g_r = max(1, int(cells ** 0.5))
+        g_l = -(-cells // g_r)
+        grid[c] = (g_l, g_r)
+
+    def _by_cluster(values: dict[int, int]) -> F.Column:
+        items = list(values.items())
+        out = F.when(F.col("cluster") == items[0][0], F.lit(items[0][1]))
+        for c, v in items[1:]:
+            out = out.when(F.col("cluster") == c, F.lit(v))
+        return out.otherwise(F.lit(1))
+
+    gl_col = _by_cluster({c: g[0] for c, g in grid.items()})
+    gr_col = _by_cluster({c: g[1] for c, g in grid.items()})
+    # left: fixed row-bucket, replicated across the column-buckets;
+    # the explicit-numPartitions repartition both spreads the work and
+    # opts the exchange out of AQE coalescing
+    left = (left
+            .withColumn("_bl", F.pmod(F.xxhash64("_ida"), gl_col)
+                        .cast("int"))
+            .withColumn("_br", F.explode(
+                F.sequence(F.lit(0), gr_col - F.lit(1)))))
+    total_cells = sum(g[0] * g[1] for g in grid.values())
+    spark = embeddings.sparkSession
+    n_part = int(max(spark.sparkContext.defaultParallelism,
+                     min(total_cells, _MAX_GRID_CELLS * 4)))
+    left = left.repartition(n_part, F.col("cluster"), F.col("_bl"),
+                            F.col("_br"))
+    right = (assigned.select(
+        F.col(id_col).alias("_idb"), "cluster", F.col("_v").alias("_vb"))
+        .withColumn("_br", F.pmod(F.xxhash64("_idb"), gr_col)
+                    .cast("int"))
+        .withColumn("_bl", F.explode(
+            F.sequence(F.lit(0), gl_col - F.lit(1)))))
     dropped = (
-        left.join(right, ["cluster", "_salt"])
+        left.join(right, ["cluster", "_bl", "_br"])
         .filter(F.col("_ida") < F.col("_idb"))
         .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6)
                 >= F.lit(threshold))
