@@ -30,6 +30,10 @@ def _sq_dist(vec: Column, centroid: list[float]) -> Column:
 
 def _assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """argmin over centroids; ties -> lowest cluster id."""
+    if not centroids:
+        # empty input frame (ADVICE r8): no vectors -> no centroids to
+        # argmin over; keep the schema contract on the empty frame
+        return df.withColumn("cluster", F.lit(0).cast("int"))
     dists = F.array(*[_sq_dist(F.col("_v"), c) for c in centroids])
     return df.withColumn(
         "cluster", F.array_position(dists, F.array_min(dists)).cast("int") - 1)

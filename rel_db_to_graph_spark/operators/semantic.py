@@ -49,13 +49,53 @@ _TARGET_PAIRS_PER_CELL = 2_000_000
 #: per-cluster grid-cell cap: bounds left+right replication (each side
 #: replicates ~√cells ≤ 64 copies) even for a pathological megacluster
 _MAX_GRID_CELLS = 4096
+#: clusters whose pair count reaches this route through the Arrow GEMM
+#: kernel instead of the scalar pair join (see semantic_dedup): per-pair
+#: scalar `F.aggregate(zip_with(...))` cosine tops out at ~1-2 M
+#: pairs/s/core (the round-8 sf10 binding constant), while a numpy
+#: float64 GEMM over the same cell does 10-100x that — the default
+#: keeps sub-million-pair clusters on the cheap-to-launch scalar join
+_GEMM_MIN_PAIRS = 1_000_000
+
+
+def _gemm_cell_fn(threshold: float):
+    """Cogrouped-cell pair kernel: one grid cell's left/right rows →
+    the right-side ids dropped by that cell. Defined via a factory so
+    the closure pickles BY VALUE (workers don't have the repo on
+    sys.path when the driver imports __spark_entry__ by file path)."""
+    def fn(key, lpdf, rpdf):
+        import numpy as np
+        import pandas as pd
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"_idb": pd.Series([], dtype="int64")})
+        a_ids = lpdf["_ida"].to_numpy(dtype="int64")
+        b_ids = rpdf["_idb"].to_numpy(dtype="int64")
+        a = np.stack(lpdf["_va"].to_numpy())     # (nL, d) float64
+        b = np.stack(rpdf["_vb"].to_numpy())     # (nR, d) float64
+        # norms ONCE per side, then one BLAS GEMM for all pair dots —
+        # same dot/(|a|·|b|) formula shape as the scalar path, so the
+        # only divergence is GEMM's blocked sum order vs the fold's
+        # sequential order (last-ulp — the existing 6-dp-round-before-
+        # compare convention absorbs exactly that class). np.round is
+        # round-half-even vs the JVM/DuckDB HALF_UP, but a cosine
+        # landing EXACTLY on a 6-dp midpoint is measure-zero in
+        # float64; tests/test_semantic.py pins GEMM == scalar on real
+        # data and the DuckDB oracle re-checks the survivors.
+        na = np.sqrt((a * a).sum(axis=1))
+        nb = np.sqrt((b * b).sum(axis=1))
+        sims = np.round((a @ b.T) / (na[:, None] * nb[None, :]), 6)
+        mask = (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+        hit = np.unique(b_ids[mask.any(axis=0)])
+        return pd.DataFrame({"_idb": hit.astype("int64")})
+    return fn
 
 
 def semantic_dedup(embeddings: DataFrame, threshold: float = 0.2,
                    n_clusters: int = 8, iters: int = 3,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    max_cluster: int | None = 2000,
-                   salt: int = 16) -> DataFrame:
+                   salt: int = 16,
+                   gemm_min_pairs: int = _GEMM_MIN_PAIRS) -> DataFrame:
     """(vec_id, cluster, kept) for every input vector.
 
     ``kept`` is false iff a lower-id vector in the same k-means cluster
@@ -90,6 +130,18 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.2,
     n_clusters-row driver collect; the final repartition pins an
     EXPLICIT partition count (user-specified numPartitions are exempt
     from AQE coalescing, which is what kept un-merging the grid).
+
+    Since round 9 clusters whose pair count reaches ``gemm_min_pairs``
+    evaluate their grid cells as an Arrow cogroup GEMM
+    (``applyInPandas`` over the SAME (cluster, rowb, colb) grid: stack
+    the cell's sides, one float64 ``A @ B.T``, round 6 dp, threshold,
+    emit dropped ids) instead of the scalar pair join — the round-8
+    grid fixed the DISTRIBUTION of megacluster work but left per-pair
+    throughput at the ~1-2 M pairs/s/core of JVM expression eval,
+    which was the sf10 binding constant; the GEMM kernel is 10-100x
+    that at identical survivor semantics. Small clusters keep the
+    scalar join (cheaper to launch, exercised side by side — both
+    paths run inside the oracle-gated registry query).
     """
     assigned, _ = build_ivf_index(embeddings, k=n_clusters, iters=iters,
                                   id_col=id_col, vec_col=vec_col)
@@ -107,7 +159,11 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.2,
     sizes = {r["cluster"]: r["n"] for r in
              assigned.groupBy("cluster").agg(F.count("*").alias("n"))
              .collect()}
+    if not sizes:      # empty input: nothing to compare, keep nothing
+        return assigned.select(F.col(id_col), "cluster",
+                               F.lit(True).alias("kept"))
     grid: dict[int, tuple[int, int]] = {}
+    gemm_clusters: list[int] = []
     for c, n in sizes.items():
         n_left = n if max_cluster is None else min(n, max_cluster)
         cells = max(int(salt),
@@ -116,6 +172,8 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.2,
         g_r = max(1, int(cells ** 0.5))
         g_l = -(-cells // g_r)
         grid[c] = (g_l, g_r)
+        if n_left * n >= gemm_min_pairs:
+            gemm_clusters.append(c)
 
     def _by_cluster(values: dict[int, int]) -> F.Column:
         items = list(values.items())
@@ -146,14 +204,25 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.2,
                     .cast("int"))
         .withColumn("_bl", F.explode(
             F.sequence(F.lit(0), gl_col - F.lit(1)))))
+    in_gemm = F.col("cluster").isin(gemm_clusters)
     dropped = (
-        left.join(right, ["cluster", "_bl", "_br"])
+        left.filter(~in_gemm)
+        .join(right.filter(~in_gemm), ["cluster", "_bl", "_br"])
         .filter(F.col("_ida") < F.col("_idb"))
         .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6)
                 >= F.lit(threshold))
         .select(F.col("_idb").alias(id_col))
-        .distinct()
     )
+    if gemm_clusters:
+        keys = ["cluster", "_bl", "_br"]
+        gemm_dropped = (
+            left.filter(in_gemm).groupBy(*keys)
+            .cogroup(right.filter(in_gemm).groupBy(*keys))
+            .applyInPandas(_gemm_cell_fn(threshold), schema="_idb long")
+            .select(F.col("_idb").alias(id_col))
+        )
+        dropped = dropped.unionByName(gemm_dropped)
+    dropped = dropped.distinct()
     return (
         assigned.join(dropped.withColumn("_drop", F.lit(True)),
                       id_col, "left")
@@ -166,9 +235,11 @@ def semantic_survivors(embeddings: DataFrame, threshold: float = 0.2,
                        n_clusters: int = 8, iters: int = 3,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        max_cluster: int | None = 2000,
-                       salt: int = 16) -> DataFrame:
+                       salt: int = 16,
+                       gemm_min_pairs: int = _GEMM_MIN_PAIRS) -> DataFrame:
     """Just the surviving ids — the frame a pipeline semi-joins the
     document table against."""
     flags = semantic_dedup(embeddings, threshold, n_clusters, iters,
-                           id_col, vec_col, max_cluster, salt)
+                           id_col, vec_col, max_cluster, salt,
+                           gemm_min_pairs)
     return flags.filter(F.col("kept")).select(id_col, "cluster")

@@ -1095,9 +1095,11 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a memory sink in complete mode. The final state must equal the
     batch aggregation — the oracle recomputes it independently in
     DuckDB (count + DECIMAL-exact value sums, the repo's float-parity
-    convention). At scale the state is (window × event_type)-bounded
-    and the watermark evicts closed windows; complete mode here is the
-    bounded-drain test harness shape."""
+    convention). Scale note (ADVICE r8): watermark eviction applies in
+    append/update output modes — the production configuration; the
+    COMPLETE-mode drain used here retains the full (window ×
+    event_type) state by definition, which is fine for a bounded test
+    harness but is not the unbounded-stream shape."""
     import uuid
 
     from rel_db_to_graph_spark.streaming.events import (
@@ -1584,11 +1586,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower-id neighbour in its cluster). max_cluster=None: the oracle
     twin computes exhaustive within-cluster pairs (see q_near_dup_pairs
     for the parity convention); production callers keep the capped
-    default."""
+    default. gemm_min_pairs=20_000 (vs the production 1M cut) routes
+    the larger sf0.01 clusters through the Arrow GEMM cell kernel while
+    the smaller ones keep the scalar pair join — BOTH kernels produce
+    rows this one hash-checked query verifies."""
     from rel_db_to_graph_spark.operators.semantic import semantic_dedup
     return semantic_dedup(load_table(spark, sf_dir, "embeddings"),
                           threshold=0.2, n_clusters=8, iters=3,
-                          max_cluster=None)
+                          max_cluster=None, gemm_min_pairs=20_000)
 
 
 # ---------------------------------------------------------------- multimodal

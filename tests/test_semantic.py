@@ -58,6 +58,47 @@ def test_survivors_matches_flags(spark):
             == {r.vec_id for r in flags.filter("kept").collect()})
 
 
+def test_gemm_kernel_matches_scalar_join(spark):
+    """The Arrow GEMM cell kernel (round 9) is pure throughput: routing
+    EVERY cluster through it (gemm_min_pairs=0... well, 1) must give
+    bit-identical flags to the all-scalar path (gemm_min_pairs huge),
+    and to a mixed routing — same grid, same survivor rule, only the
+    per-cell cosine evaluator differs."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = sorted(map(tuple, semantic_dedup(
+        emb, threshold=0.2, n_clusters=4, iters=2, max_cluster=None,
+        gemm_min_pairs=10**12).collect()))
+    all_gemm = sorted(map(tuple, semantic_dedup(
+        emb, threshold=0.2, n_clusters=4, iters=2, max_cluster=None,
+        gemm_min_pairs=1).collect()))
+    # mixed: sf0.001 clusters hold ~40-100 vectors → ~2k-10k pairs, so
+    # a 4k cut routes some clusters to GEMM and keeps some scalar
+    mixed = sorted(map(tuple, semantic_dedup(
+        emb, threshold=0.2, n_clusters=4, iters=2, max_cluster=None,
+        gemm_min_pairs=4000).collect()))
+    assert base == all_gemm == mixed
+
+
+def test_gemm_kernel_with_capped_mode(spark):
+    """GEMM routing composes with the max_cluster production cap: the
+    capped left side must prune identically through either kernel."""
+    a = sorted(map(tuple, _flags(spark, max_cluster=30,
+                                 gemm_min_pairs=1).collect()))
+    b = sorted(map(tuple, _flags(spark, max_cluster=30,
+                                 gemm_min_pairs=10**12).collect()))
+    assert a == b
+
+
+def test_empty_input_short_circuits(spark):
+    """ADVICE r8: an empty embeddings frame must return an empty flags
+    frame, not IndexError in the grid sizing."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter("vec_id < 0")
+    out = semantic_dedup(emb, threshold=0.2, n_clusters=2, iters=1,
+                         max_cluster=None)
+    assert out.columns == ["vec_id", "cluster", "kept"]
+    assert out.count() == 0
+
+
 def test_salt_does_not_change_results(spark):
     """The pair-join salt is pure parallelism: any salt width gives
     bit-identical flags (every pair meets exactly once)."""

@@ -57,7 +57,12 @@ def main() -> None:
             _clear_caches()
             t0 = time.time()
             df = fn(spark, d)
-            df.write.format("noop").mode("overwrite").save()
+            # materialize THROUGH df's own QueryExecution (toRdd shares
+            # the AdaptiveSparkPlanExec), so the captured plan below is
+            # the FINAL AQE plan of the very execution that ran —
+            # a .write action plans a separate execution and with AQE
+            # can leave df's plan at isFinalPlan=false (ADVICE r8)
+            df._jdf.queryExecution().toRdd().count()
             ts[tag] = time.time() - t0
             if tag == "sf10":
                 plan = df._jdf.queryExecution().executedPlan().toString()
