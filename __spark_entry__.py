@@ -61,8 +61,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_meta": Q.q_video_meta,
     "bpe_train_raw": Q.q_bpe_train_raw,
     "semantic_dedup": Q.q_semantic_dedup,
-    "ann_pq": Q.q_ann_pq,
-    "ann_ivfpq": Q.q_ann_ivfpq,
+    "ann_index_variants": Q.q_ann_index_variants,
     "term_cms": Q.q_term_cms,
     "dup_spans": Q.q_dup_spans,
     "lm_nll": Q.q_lm_nll,
@@ -75,8 +74,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_features": Q.q_graph_features,
     "node_strength": Q.q_node_strength,
     "assortativity": Q.q_assortativity,
-    "hyperball_audit": Q.q_hyperball_audit,
-    "harmonic_audit": Q.q_harmonic_audit,
+    "centrality_audit": Q.q_centrality_audit,
     "snapshot_diff": Q.q_snapshot_diff,
     "profile_orders": Q.q_profile_orders,
     "merge_upsert": Q.q_merge_upsert,
@@ -145,6 +143,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_attribution": Q.q_events_attribution,
     "cdc_stream": Q.q_cdc_stream,
     "stream_hourly": Q.q_stream_hourly,
+    "stream_variants": Q.q_stream_variants,
     "retention_cohorts": Q.q_retention_cohorts,
     "event_anomalies": Q.q_event_anomalies,
     "tfidf_keywords": Q.q_tfidf_keywords,
@@ -160,7 +159,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": Q.q_ngram_jaccard,
     "ann_brute": Q.q_ann_brute,
     "ann_variants": Q.q_ann_variants,
-    "ann_ivf": Q.q_ann_ivf,
     "corpus_clean": Q.q_corpus_clean,
     "rollup_pricing": Q.q_rollup_pricing,
     "cube_pricing": Q.q_cube_pricing,

@@ -1704,6 +1704,20 @@ ORDER BY adist, vec_id LIMIT {topk}
 
 ANN_IVFPQ = _ivfpq_sql()
 
+#: Twin of queries.py::q_ann_index_variants (round 9 — the former
+#: ann_ivf / ann_pq / ann_ivfpq slots consolidated): the three indexed
+#: ANN twins unioned under a variant tag; each branch keeps its own
+#: fully retrained k-means/codebook derivation (DuckDB allows WITH
+#: inside a parenthesized derived table, so the branch CTE namespaces
+#: stay isolated).
+ANN_INDEX_VARIANTS = f"""
+SELECT 'ivf' AS variant, vec_id, score FROM ({ANN_IVF}) ivf_t
+UNION ALL
+SELECT 'pq' AS variant, vec_id, adist AS score FROM ({ANN_PQ}) pq_t
+UNION ALL
+SELECT 'ivfpq' AS variant, vec_id, adist AS score FROM ({ANN_IVFPQ}) ivfpq_t
+"""
+
 QUALITY_LR_SCORE = _quality_lr_sql()
 
 
@@ -2235,6 +2249,37 @@ FUNNEL_VARIANTS = (
 #: the delivery mechanism, the final state contract is identical.
 CDC_STREAM = MERGE_UPSERT
 
+#: Twin of queries.py::q_stream_variants — both streaming shapes
+#: recomputed as independent BATCH queries over the raw events table:
+#: the interval join as a pair-level range join (clicks within 10 min
+#: at-or-before each purchase by the same user), the
+#: applyInPandasWithState sessionizer as the lag-gap session reduction
+#: (strictly-greater 30-min gap starts a new session — the stateful
+#: kernel's exact boundary rule). A lost pair, an evicted-too-early
+#: state row, or a batch-boundary session miscount all hash-mismatch.
+STREAM_VARIANTS = """
+SELECT 'interval_join' AS variant,
+       p.event_id AS k1, c.event_id AS k2, p.user_id AS k3,
+       epoch_us(p.ts) - epoch_us(c.ts) AS v
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND epoch_us(c.ts) > epoch_us(p.ts) - 600000000
+ AND epoch_us(c.ts) <= epoch_us(p.ts)
+UNION ALL
+SELECT 'sessions' AS variant, user_id AS k1,
+       count(*) AS k2,
+       CAST(1 + sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS k3,
+       max(tsu) AS v
+FROM (SELECT user_id, epoch_us(ts) AS tsu,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+             AS gap
+      FROM events)
+GROUP BY user_id
+"""
+
 CUBE_PRICING = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -2583,10 +2628,13 @@ FROM inc GROUP BY node
 
 
 
-#: Twin of queries.py::q_hyperball_audit — recomputes the EXACT 1- and
-#: 2-ball sizes (closed neighborhoods) and claims the HLL estimates
-#: land within tolerance; a drifting sketch flips a boolean → red row.
-HYPERBALL_AUDIT = f"""
+#: Twin of queries.py::q_centrality_audit (round 9 — the former
+#: hyperball_audit + harmonic_audit slots consolidated): recomputes the
+#: EXACT 1- and 2-ball sizes (closed neighborhoods) ONCE, then emits
+#: both audit variants from the same ball table — the ball counts and
+#: the radius-2 harmonic centrality — claiming every HLL-sketch
+#: tolerance boolean TRUE; a drifting sketch flips a boolean → red row.
+CENTRALITY_AUDIT = f"""
 WITH {_COPURCHASE_CTE},
 p2 AS MATERIALIZED (SELECT u, v FROM pairs WHERE w >= 2),
 sym AS MATERIALIZED (SELECT u AS n, v AS m FROM p2
@@ -2598,32 +2646,18 @@ b2 AS MATERIALIZED (
     SELECT DISTINCT node, x FROM (
         SELECT b1.node, s.m AS x FROM b1 JOIN sym s ON s.n = b1.x
         UNION ALL SELECT node, x FROM b1)),
-c2 AS (SELECT node, count(*) AS n_ball_2 FROM b2 GROUP BY node)
-SELECT c1.node AS l_partkey, c1.n_ball_1, c2.n_ball_2,
-       TRUE AS within_tol_1, TRUE AS within_tol_2
-FROM c1 JOIN c2 ON c1.node = c2.node
-"""
-
-#: Twin of q_harmonic_audit — exact radius-2 harmonic centrality from
-#: the exact balls; the sketch-side tolerance boolean is claimed TRUE.
-HARMONIC_AUDIT = f"""
-WITH {_COPURCHASE_CTE},
-p2 AS MATERIALIZED (SELECT u, v FROM pairs WHERE w >= 2),
-sym AS MATERIALIZED (SELECT u AS n, v AS m FROM p2
-                     UNION SELECT v, u FROM p2),
-b1 AS MATERIALIZED (SELECT n AS node, m AS x FROM sym
-                    UNION SELECT n, n FROM sym),
-c1 AS (SELECT node, count(*) AS n_ball_1 FROM b1 GROUP BY node),
-b2 AS MATERIALIZED (
-    SELECT DISTINCT node, x FROM (
-        SELECT b1.node, s.m AS x FROM b1 JOIN sym s ON s.n = b1.x
-        UNION ALL SELECT node, x FROM b1)),
-c2 AS (SELECT node, count(*) AS n_ball_2 FROM b2 GROUP BY node)
-SELECT c1.node AS l_partkey,
-       round((c1.n_ball_1 - 1) + (c2.n_ball_2 - c1.n_ball_1) / 2.0, 6)
-           AS harmonic,
-       TRUE AS within_tol
-FROM c1 JOIN c2 ON c1.node = c2.node
+c2 AS (SELECT node, count(*) AS n_ball_2 FROM b2 GROUP BY node),
+balls AS (SELECT c1.node, c1.n_ball_1, c2.n_ball_2
+          FROM c1 JOIN c2 ON c1.node = c2.node)
+SELECT 'ball' AS variant, node AS l_partkey,
+       CAST(n_ball_1 AS DOUBLE) AS m1, CAST(n_ball_2 AS DOUBLE) AS m2,
+       TRUE AS ok1, TRUE AS ok2
+FROM balls
+UNION ALL
+SELECT 'harmonic' AS variant, node AS l_partkey,
+       round((n_ball_1 - 1) + (n_ball_2 - n_ball_1) / 2.0, 6) AS m1,
+       -1.0 AS m2, TRUE AS ok1, TRUE AS ok2
+FROM balls
 """
 
 
@@ -3070,9 +3104,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": NGRAM_JACCARD,
     "ann_brute": ANN_BRUTE,
     "knn_classify": KNN_CLASSIFY,
-    "ann_ivf": ANN_IVF,
-    "ann_pq": ANN_PQ,
-    "ann_ivfpq": ANN_IVFPQ,
+    "ann_index_variants": ANN_INDEX_VARIANTS,
     "semantic_dedup": SEMANTIC_DEDUP,
     "quality_lr_score": QUALITY_LR_SCORE,
     "quality_lr_train": QUALITY_LR_TRAIN,
@@ -3095,6 +3127,7 @@ ORACLES: dict[str, str] = {
     "layout_compact": LAYOUT_COMPACT,
     "cube_pricing": CUBE_PRICING,
     "cdc_stream": CDC_STREAM,
+    "stream_variants": STREAM_VARIANTS,
     "topn_per_group": TOPN_PER_GROUP,
     "copurchase": COPURCHASE,
     "triangle_count": TRIANGLES,
@@ -3106,8 +3139,7 @@ ORACLES: dict[str, str] = {
     "graph_features": GRAPH_FEATURES,
     "node_strength": NODE_STRENGTH,
     "assortativity": ASSORTATIVITY,
-    "hyperball_audit": HYPERBALL_AUDIT,
-    "harmonic_audit": HARMONIC_AUDIT,
+    "centrality_audit": CENTRALITY_AUDIT,
     "cluster_rep": CLUSTER_REP,
     "event_unpivot": EVENT_UNPIVOT,
     "triangle_increment": TRIANGLE_INCREMENT,

@@ -14,7 +14,7 @@ from rel_db_to_graph_spark import get_spark  # noqa: E402
 from rel_db_to_graph_spark import queries as Q  # noqa: E402
 
 NEW = ["bpe_tokenize", "dsir_select", "knn_classify", "label_prop",
-       "hyperball_audit", "harmonic_audit", "snapshot_diff",
+       "centrality_audit", "snapshot_diff",
        "merge_upsert", "graph_features", "profile_orders",
        # ADVICE r6: added in the same round but after the first audit
        # run — re-audited separately (see BASELINE.md round-6 addendum)
