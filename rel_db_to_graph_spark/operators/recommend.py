@@ -78,7 +78,8 @@ def recommend_parts(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
 
 def recommend_parts_gnn(spark: SparkSession, sf_dir: str, k: int = 10,
                         hidden: int = 2, layers: int = 1,
-                        seed: int = 42) -> DataFrame:
+                        seed: int = 42,
+                        quantize: bool = False) -> DataFrame:
     """The reference's FULL inference path (predict_songs, inference.py:44-76):
     graph mutation (G9) -> heterogeneous GNN forward (L5) -> dot-product
     decode + sigmoid (L6) -> top-k (A7), over orders-hasPart-part (the
@@ -89,6 +90,13 @@ def recommend_parts_gnn(spark: SparkSession, sf_dir: str, k: int = 10,
     Scoring pairs = one src × all candidate dst — the src embedding is a
     single broadcast row, so scoring is a scan over part embeddings, which
     is the plan that survives a 10^9-row part table.
+
+    ``quantize=True`` runs the forward under the repo's 6-dp
+    float-parity convention (ml/hetero.py), which makes the WHOLE
+    inference path DuckDB-replayable: the decode dot is 2-term
+    fixed-order math over quantized embeddings and the top-k ranks on
+    round(sigmoid, 6) scores are integer-derived
+    (oracle.py::_hetero_forward_q_sql(recommend_k=...)).
     """
     from rel_db_to_graph_spark.ml.hetero import hetero_gat_forward
     from rel_db_to_graph_spark.operators.graph_build import build_graph
@@ -123,7 +131,8 @@ def recommend_parts_gnn(spark: SparkSession, sf_dir: str, k: int = 10,
     nodes["orders"] = onodes.unionByName(new_row)
 
     emb = hetero_gat_forward({"nodes": nodes, "edges": m["edges"]},
-                             hidden=hidden, layers=layers, seed=seed)
+                             hidden=hidden, layers=layers, seed=seed,
+                             quantize=quantize)
     src_emb = (emb["orders"]
                .filter(F.col("node_id") == m["new_node_id"])
                .select(F.col("emb").alias("_se")))

@@ -2824,7 +2824,8 @@ _HF_FWD: dict[tuple[str, str, str], str] = {
 
 
 def _hetero_forward_q_sql(hidden: int = 2, seed: int = 42,
-                          probe: str | None = None) -> str:
+                          probe: str | None = None,
+                          recommend_k: int | None = None) -> str:
     """Twin of queries.q_hetero_forward_q — DuckDB REPLAYS the full
     heterogeneous GATv2 forward (ml/hetero.py::hetero_gat_forward
     quantize=True, hidden=2, layers=1) over the raw parquet tables:
@@ -2849,7 +2850,21 @@ def _hetero_forward_q_sql(hidden: int = 2, seed: int = 42,
     Every order-dependent reduction is quantized on BOTH sides; all
     remaining arithmetic is fixed-order per-row double math, generated
     here with the same association order as the engine's expressions
-    (dot = left fold from 0.0)."""
+    (dot = left fold from 0.0).
+
+    ``recommend_k`` (round 9, VERDICT r8 item 3) switches the twin to
+    the full INFERENCE path of queries.q_recommend_gnn — the same
+    quantized forward but over the MUTATED graph (operators/mutate.py
+    G9 REPLACE semantics, reference I:44-76): one appended "playlist"
+    order node (pk -1 here, zero features, degree = |basket|+1, where
+    basket = the distinct parts of the lowest-keyed order), the
+    orders-hasPart-part edge type REPLACED by only the new node's
+    basket edges (ditto its REVERSE_), the new self-loop arriving via
+    the emb0-driven loop CTE, degrees and every other edge type
+    untouched — then dot-decode + round(sigmoid, 6) of the new node's
+    embedding against every non-basket part and the top-k by
+    (prob DESC, p_partkey): ranks on 6-dp-quantized scores are
+    integer-derived, immune to last-ulp drift."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -2886,6 +2901,11 @@ def _hetero_forward_q_sql(hidden: int = 2, seed: int = 42,
     # forward edge tables (also the degree inputs)
     for et, sql in _HF_FWD.items():
         parts.append(f"e_{key[et]} AS MATERIALIZED ({sql})")
+    if recommend_k is not None:
+        parts.append(
+            "basket AS MATERIALIZED (SELECT DISTINCT l_partkey AS pk "
+            "FROM lineitem WHERE l_orderkey = "
+            "(SELECT min(l_orderkey) FROM lineitem))")
 
     # degree per type: endpoint appearances over FORWARD edges + 1
     for t in tnames:
@@ -2910,8 +2930,19 @@ def _hetero_forward_q_sql(hidden: int = 2, seed: int = 42,
         pk, feats = _HF_TYPES[t]
         fcols = [f"CAST(b.{c} AS DOUBLE)" for c in feats] + ["d.degree"]
         sel = ", ".join(f"{c} AS f{i + 1}" for i, c in enumerate(fcols))
+        new_node = ""
+        if recommend_k is not None and t == "orders":
+            # the appended inference node (mutate.py / I:52-55): zero
+            # features, degree = |basket| + 1, sentinel pk -1
+            zeros = ", ".join(f"0.0 AS f{i + 1}"
+                              for i in range(len(fcols) - 1))
+            new_node = (
+                f" UNION ALL SELECT CAST(-1 AS BIGINT) AS pk, {zeros}, "
+                f"(SELECT CAST(count(*) + 1 AS DOUBLE) FROM basket) "
+                f"AS f{len(fcols)}")
         parts.append(f"nf_{t} AS (SELECT b.{pk} AS pk, {sel} "
-                     f"FROM {t} b JOIN deg_{t} d ON b.{pk} = d.pk)")
+                     f"FROM {t} b JOIN deg_{t} d ON b.{pk} = d.pk"
+                     f"{new_node})")
         mx = ", ".join(f"greatest(max(abs(f{i + 1})), 1e-12) AS m{i + 1}"
                        for i in range(len(fcols)))
         parts.append(f"mx_{t} AS (SELECT {mx} FROM nf_{t})")
@@ -2931,7 +2962,19 @@ def _hetero_forward_q_sql(hidden: int = 2, seed: int = 42,
         k = key[et]
         w_l, w_r, a = ew[et]
         if rel == "SELF_LOOP":
+            # under recommend_k the emb0_orders-driven loop set already
+            # contains the appended node (mutate.py appends its loop)
             edge_src = f"(SELECT pk AS src_pk, pk AS dst_pk FROM emb0_{s})"
+        elif recommend_k is not None and et == ("orders", "hasPart",
+                                                "part"):
+            # G9 REPLACE semantics (I:58-59): ONLY the new node's edges
+            edge_src = ("(SELECT CAST(-1 AS BIGINT) AS src_pk, "
+                        "pk AS dst_pk FROM basket)")
+        elif recommend_k is not None and et == ("part",
+                                                "REVERSE_hasPart",
+                                                "orders"):
+            edge_src = ("(SELECT pk AS src_pk, "
+                        "CAST(-1 AS BIGINT) AS dst_pk FROM basket)")
         elif rel.startswith("REVERSE_"):
             fwd = (d, rel[len("REVERSE_"):], s)
             edge_src = (f"(SELECT dst_pk AS src_pk, src_pk AS dst_pk "
@@ -2996,6 +3039,18 @@ def _hetero_forward_q_sql(hidden: int = 2, seed: int = 42,
             f"round(CAST(sum(CAST(e{i} AS DECIMAL(27,6))) AS DOUBLE), 6)"
             f" AS sum_dim{i}" for i in dims)
         + f" FROM emb1_{t}" for t in tnames]
+    if recommend_k is not None:
+        # dot decode with the engine's left-fold order (src emb first)
+        dot = "0.0 + " + " + ".join(f"s.e{i} * d.e{i}" for i in dims)
+        parts.append("srcn AS (SELECT "
+                     + ", ".join(f"e{i}" for i in dims)
+                     + " FROM emb1_orders WHERE pk = -1)")
+        finals = [
+            f"SELECT d.pk AS p_partkey, "
+            f"round({SIGMOID.format(z=dot)}, 6) AS prob "
+            f"FROM emb1_part d, srcn s "
+            f"WHERE d.pk NOT IN (SELECT pk FROM basket) "
+            f"ORDER BY prob DESC, p_partkey LIMIT {recommend_k}"]
     if probe:                               # debugging aid, not an oracle
         if probe == "deg":
             finals = [f"SELECT '{t}' AS node_type, sum(degree) AS s "
@@ -3024,10 +3079,13 @@ def _hetero_forward_q_sql(hidden: int = 2, seed: int = 42,
 
 HETERO_FORWARD_Q = _hetero_forward_q_sql()
 
+RECOMMEND_GNN = _hetero_forward_q_sql(recommend_k=10)
+
 
 #: name -> oracle SQL (queries without an entry get rows-only checks)
 ORACLES: dict[str, str] = {
     "hetero_forward_q": HETERO_FORWARD_Q,
+    "recommend_gnn": RECOMMEND_GNN,
     "link_pred_train": LINK_PRED_TRAIN,
     "catalog_tables": CATALOG_TABLES,
     "edge_catalog": EDGE_CATALOG,

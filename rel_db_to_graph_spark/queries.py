@@ -725,11 +725,19 @@ def q_gat_stack_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_recommend_gnn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G9+L5+L6+A7 (rows-only; seeded matrix math): the reference's full
-    inference path — graph mutation, heterogeneous GNN forward, dot-product
-    decode, top-k."""
+    """G9+L5+L6+A7, HASH-CHECKED since round 9 (VERDICT r8 item 3; was
+    rows-only): the reference's full inference path — graph mutation
+    (REPLACE quirk I:58-59), heterogeneous GNN forward, dot-product
+    decode, top-k — run under the 6-dp quantized-forward convention, so
+    the DuckDB twin REPLAYS the mutated-graph forward
+    (oracle.py::_hetero_forward_q_sql(recommend_k=10) — appended
+    zero-feature node, basket-only hasPart/REVERSE_ edges, untouched
+    degrees) and re-derives the same top-10: ranks on 6-dp-quantized
+    sigmoid scores are integer-derived, immune to last-ulp drift. The
+    faithful unquantized forward stays driver-visible via
+    q_hetero_forward."""
     from rel_db_to_graph_spark.operators.recommend import recommend_parts_gnn
-    return recommend_parts_gnn(spark, sf_dir, k=10)
+    return recommend_parts_gnn(spark, sf_dir, k=10, quantize=True)
 
 
 def q_hetero_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
