@@ -91,6 +91,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gat_stack_train_sampled": Q.q_gat_stack_train_sampled,
     "layout_compact": Q.q_layout_compact,
     "gat_stack_train": Q.q_gat_stack_train,
+    "gat_stack_train_q": Q.q_gat_stack_train_q,
     "hetero_neighbor_sample": Q.q_hetero_neighbor_sample,
     "hetero_link_train": Q.q_hetero_link_train,
     "token_pack": Q.q_token_pack,

@@ -224,7 +224,8 @@ def _to_array(long_df: DataFrame, id_col: str, pos_col: str, val_col: str,
 def _forward_layer(edges: DataFrame, emb: DataFrame, Wl: np.ndarray,
                    Wr: np.ndarray, a: np.ndarray,
                    dst_emb: DataFrame | None = None,
-                   activation: str = "sigmoid"):
+                   activation: str = "sigmoid",
+                   quantize: bool = False):
     """One attention layer forward: returns (al, H) where ``al`` is the
     per-edge frame (src, dst, _s, _q, _r, _alpha) and ``H`` is
     (node_id, _m, _h) for ALL dst-side nodes — zeros for nodes with no
@@ -232,7 +233,14 @@ def _forward_layer(edges: DataFrame, emb: DataFrame, Wl: np.ndarray,
     their gradient). ``dst_emb`` switches to the bipartite / hetero
     per-edge-type case (src projected from ``emb``, dst from
     ``dst_emb``); ``activation`` 'sigmoid' or 'none' (hetero edge-type
-    messages combine pre-activation, so they run 'none')."""
+    messages combine pre-activation, so they run 'none').
+
+    ``quantize=True`` applies the repo's 6-dp float-parity convention
+    to the layer's order-dependent reductions (the gat_layer contract:
+    round(exp(e-max), 6) numerators + DECIMAL partition sum, round
+    (α·s_i, 6) message terms + DECIMAL sum, round(sigmoid, 6) output) —
+    what lets a DuckDB twin REPLAY the trainer's forwards
+    (oracle.py::_gat_stack_train_q_sql)."""
     h = Wl.shape[0]
     a_lit = _arr_lit(a)
     demb = emb if dst_emb is None else dst_emb
@@ -253,20 +261,29 @@ def _forward_layer(edges: DataFrame, emb: DataFrame, Wl: np.ndarray,
     # per-stage overhead was the measured wall-clock dominator of a
     # sampled gradient step (round-7 stage diet)
     wd = Window.partitionBy("dst")
+    w_raw = F.exp(F.col("_e") - F.col("_mx"))
     al = (ef.withColumn("_mx", F.max("_e").over(wd))
-          .withColumn("_w", F.exp(F.col("_e") - F.col("_mx")))
-          .withColumn("_z", F.sum("_w").over(wd))
+          .withColumn("_w", F.round(w_raw, 6) if quantize else w_raw)
+          .withColumn("_z",
+                      F.sum(F.col("_w").cast("decimal(27,6)")).over(wd)
+                      .cast("double") if quantize
+                      else F.sum("_w").over(wd))
           .withColumn("_alpha", F.col("_w") / F.col("_z"))
           .localCheckpoint(eager=False))
     # message aggregation as h fixed-width column sums — no posexplode
     # row blow-up, no (dst, pos) shuffle, no collect_list rebuild.
     # h is a small compile-time constant (model width), so h aggregate
     # expressions stay comfortably inside one codegen stage.
+    def mterm(i):
+        ax = F.col("_alpha") * F.col("_s").getItem(i)
+        return (F.sum(F.round(ax, 6).cast("decimal(27,6)")).cast("double")
+                if quantize else F.sum(ax))
     msum = al.groupBy("dst").agg(
-        *[F.sum(F.col("_alpha") * F.col("_s").getItem(i)).alias(f"_m{i}")
-          for i in range(h)])
+        *[mterm(i).alias(f"_m{i}") for i in range(h)])
     zeros = F.array_repeat(F.lit(0.0), h)
-    act = ((lambda c: F.transform(c, lambda x: sigmoid(x)))
+    sact = ((lambda x: F.round(sigmoid(x), 6)) if quantize
+            else (lambda x: sigmoid(x)))
+    act = ((lambda c: F.transform(c, sact))
            if activation == "sigmoid" else (lambda c: F.col(c)))
     H = (demb.select("node_id")
          .join(msum.select(F.col("dst").alias("node_id"),
@@ -435,7 +452,7 @@ def _backward_layer(al: DataFrame, H: DataFrame, G: DataFrame,
 
 def _stack_epoch(edges: DataFrame, feats: DataFrame, examples: DataFrame,
                  params: list[tuple], b: float,
-                 with_grads: bool = True) -> dict:
+                 with_grads: bool = True, quantize: bool = False) -> dict:
     """Full forward(+backward) through a k-layer homogeneous GAT stack
     with a symmetric dot decoder z = h_u·h_v + b over the FINAL
     embeddings. ``params`` = [(Wl, Wr, a), ...] outermost-first in
@@ -445,7 +462,8 @@ def _stack_epoch(edges: DataFrame, feats: DataFrame, examples: DataFrame,
     embs = [feats]           # layer inputs; embs[l] feeds layer l
     layers = []              # (al, H) per layer
     for (Wl, Wr, a) in params:
-        al, H = _forward_layer(edges, embs[-1], Wl, Wr, a)
+        al, H = _forward_layer(edges, embs[-1], Wl, Wr, a,
+                               quantize=quantize)
         layers.append((al, H))
         embs.append(H.select("node_id", F.col("_h").alias("emb")))
 
@@ -532,12 +550,24 @@ def train_gat_stack(edges: DataFrame, feats: DataFrame,
                     examples: DataFrame, hidden: int, layers: int = 2,
                     epochs: int = 5, lr: float = 0.05,
                     val_frac: float = 0.2, seed: int = 42,
-                    weight_decay: float = 0.01) -> TrainResult:
+                    weight_decay: float = 0.01,
+                    optimizer: str = "adamw",
+                    quantize: bool = False,
+                    split_draw: str = "xxhash64") -> TrainResult:
     """End-to-end training of a k-layer homogeneous GATv2 stack — every
     layer's W_l/W_r/a learns by backprop (the reference trains all six
     GATv2Conv layers; this is the full-depth analog of train_gat_link).
     Decoder: z = h_u·h_v + b over final-layer embeddings.
-    ``TrainResult.weights`` is the flat per-layer [Wl, Wr, a] vector."""
+    ``TrainResult.weights`` is the flat per-layer [Wl, Wr, a] vector.
+
+    ``optimizer='sgd'`` is plain full-batch gradient descent (w -= lr·g,
+    no moments, no decay) — the cross-engine-replayable config;
+    combined with ``quantize=True`` (6-dp forwards) and
+    ``split_draw='md5'`` it is what puts real multi-layer BACKPROP
+    under the DuckDB retraining gate (q_gat_stack_train_q): the twin
+    unrolls the same epochs, and the integer-derived accuracy history
+    is immune to gradient-sum last-ulp divergence (the link_pred_train
+    convention, round 8)."""
     d_in = len(feats.select("emb").first()["emb"])
     rng = np.random.default_rng(seed)
     params = []
@@ -549,7 +579,8 @@ def train_gat_stack(edges: DataFrame, feats: DataFrame,
         dim = hidden
     b = 0.0
 
-    split = hash_split(examples, val_frac=val_frac, test_frac=0.0, seed=seed)
+    split = hash_split(examples, val_frac=val_frac, test_frac=0.0,
+                       seed=seed, draw=split_draw)
     train = split.filter(F.col("split") == "train").drop("split").cache()
     val = split.filter(F.col("split") == "val").drop("split").cache()
     train.count(), val.count()
@@ -573,16 +604,22 @@ def train_gat_stack(edges: DataFrame, feats: DataFrame,
             dim = hidden
         return out, float(v[i])
 
-    opt = AdamW(lr=lr, weight_decay=weight_decay)
+    opt = (None if optimizer == "sgd"
+           else AdamW(lr=lr, weight_decay=weight_decay))
     result = TrainResult(weights=flat(params, b)[:-1], bias=b)
     best = (params, b)
     for epoch in range(epochs):
-        stats = _stack_epoch(edges, feats, train, params, b)
+        stats = _stack_epoch(edges, feats, train, params, b,
+                             quantize=quantize)
         gflat = flat([(g[0], g[1], np.array(g[2]))
                       for g in stats["grads"]], stats["gb"])
-        params, b = unflat(opt.step(flat(params, b), gflat))
+        if opt is None:
+            stepped = [w - lr * g for w, g in zip(flat(params, b), gflat)]
+        else:
+            stepped = opt.step(flat(params, b), gflat)
+        params, b = unflat(stepped)
         vstats = _stack_epoch(edges, feats, val, params, b,
-                              with_grads=False)
+                              with_grads=False, quantize=quantize)
         result.history.append({
             "epoch": epoch, "train_loss": stats["loss"],
             "train_acc": stats["acc"], "val_loss": vstats["loss"],

@@ -1828,7 +1828,7 @@ def _bpe_parts(n_merges: int, batch: int, rounds: int,
     unrolled round, (a) adjacent-pair counts over the (distinct word,
     freq) table, (b) the driver's greedy batch-accept policy as a chain
     of scalar CTEs — the j-th accept is the lowest-ranked candidate in
-    the top 4*batch (count desc, then lexicographic) whose symbols are
+    the top 16*batch (count desc, then lexicographic) whose symbols are
     disjoint from accepts 1..j-1, gated by want = min(batch, n_merges -
     already-accepted), (c) the vocabulary rewrite as nested replace()
     calls in acceptance order.
@@ -1888,7 +1888,7 @@ def _bpe_parts(n_merges: int, batch: int, rounds: int,
             name = f"ac{r}_{j}"
             parts.append(
                 f"{name} AS MATERIALIZED (SELECT a, b, cnt FROM rk{r} "
-                f"WHERE rn <= {4 * batch} AND cnt > 0 "
+                f"WHERE rn <= {16 * batch} AND cnt > 0 "
                 f"AND {j} <= (SELECT want FROM wt{r}){cond} "
                 "ORDER BY rn LIMIT 1)")
             accepts.append((r, j, name))
@@ -3082,10 +3082,334 @@ HETERO_FORWARD_Q = _hetero_forward_q_sql()
 RECOMMEND_GNN = _hetero_forward_q_sql(recommend_k=10)
 
 
+def _gat_stack_train_q_sql(hidden: int = 2, d_in: int = 2,
+                           layers: int = 2, epochs: int = 2,
+                           lr: float = 0.05, val_frac: float = 0.2,
+                           seed: int = 42,
+                           probe: str | None = None) -> str:
+    """Twin of queries.q_gat_stack_train_q — DuckDB RETRAINS the
+    2-layer homogeneous GATv2 stack (VERDICT r8 item 4: real
+    multi-layer BACKPROP under the cross-engine gate):
+
+      * the same graph re-derived from raw parquet: bucketed scalable
+        customer ids, ring (i → (i+1) mod n) + self loops, max-abs
+        scaled (c_acctbal, degree) features, stride-pair labels,
+        md5-draw 0.8 split;
+      * per weight state w_t, ONE quantized forward (both layers:
+        round(exp(e-max), 6) + DECIMAL softmax sums, round(α·s, 6) +
+        DECIMAL message sums, round(sigmoid, 6) outputs — the
+        _forward_layer quantize=True contract), shared between epoch
+        t's train stats and epoch t-1's val stats;
+      * per epoch, the FULL backprop as CTE algebra mirroring
+        ml/gat_train.py::_backward_layer_frames: decoder grads
+        G = Σ err·h_other, sigmoid chain gm = g·h·(1-h), the softmax
+        Jacobian ge = α·(gm·s − gm·m), the LeakyReLU gate on
+        dq = ge·a·(q>0 ? 1 : 0.2), per-node ds/dt sums, the outer-
+        product weight gradients, and the Wlᵀ·ds + Wrᵀ·dt chain into
+        layer 1;
+      * the plain-GD update w ← w − lr·(Σg/n) per cell.
+
+    Gradient sums are NOT quantized on either side — the history is
+    the integer-derived accuracy timeline (train acc at pre-step
+    weights, val acc at post-step weights), which last-ulp gradient
+    divergence cannot flip off measure-zero boundaries (the
+    link_pred_train convention). Initial weights re-drawn with the
+    identical numpy default_rng sequence, inlined as literals."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    init = []
+    dim = d_in
+    for _ in range(layers):
+        init.append((rng.normal(0, 0.5, size=(hidden, dim)),
+                     rng.normal(0, 0.5, size=(hidden, dim)),
+                     rng.normal(0, 0.5, size=hidden)))
+        dim = hidden
+    dims = range(1, hidden + 1)
+    indims = {L: (d_in if L == 0 else hidden) for L in range(layers)}
+
+    def lit(v: float) -> str:
+        return repr(float(v))
+
+    parts: list[str] = []
+    # --- graph, features, labels, split (engine derivations) ---------
+    parts.append("cid AS MATERIALIZED ("
+                 + ids_scalable_cte("customer", "c_custkey") + ")")
+    parts.append("nn AS (SELECT count(*) AS n FROM cid)")
+    parts.append(
+        "degc AS (SELECT b.c_custkey AS pk, "
+        "CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE) AS degree FROM customer b "
+        "LEFT JOIN (SELECT pk, count(*) AS cnt FROM ("
+        "SELECT c_custkey AS pk FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE c_custkey IS NOT NULL "
+        "UNION ALL SELECT o_custkey FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE o_orderkey IS NOT NULL) GROUP BY pk) c "
+        "ON b.c_custkey = c.pk)")
+    parts.append("nfc AS (SELECT b.c_custkey AS pk, "
+                 "CAST(b.c_acctbal AS DOUBLE) AS f1, d.degree AS f2 "
+                 "FROM customer b JOIN degc d ON b.c_custkey = d.pk)")
+    parts.append("mxc AS (SELECT greatest(max(abs(f1)), 1e-12) AS m1, "
+                 "greatest(max(abs(f2)), 1e-12) AS m2 FROM nfc)")
+    parts.append("emb0 AS MATERIALIZED (SELECT cid.node_id, "
+                 "n.f1 / m.m1 AS e1, n.f2 / m.m2 AS e2 "
+                 "FROM nfc n JOIN cid ON n.pk = cid.pk, mxc m)")
+    parts.append("edges AS MATERIALIZED ("
+                 "SELECT node_id AS src, (node_id + 1) % n.n AS dst "
+                 "FROM cid, nn n "
+                 "UNION ALL SELECT node_id, node_id FROM cid)")
+    parts.append("cnk AS (SELECT cid.node_id, c_nationkey AS nk "
+                 "FROM customer JOIN cid ON c_custkey = cid.pk)")
+    parts.append("strides AS (SELECT s.node_id AS src, "
+                 "(s.node_id + k.k) % n.n AS dst "
+                 "FROM cnk s, (VALUES (1), (7), (13)) k(k), nn n)")
+    parts.append("ex0 AS (SELECT st.src, st.dst, "
+                 "CAST(sa.nk = sb.nk AS INTEGER) AS label FROM strides st "
+                 "JOIN cnk sa ON sa.node_id = st.src "
+                 "JOIN cnk sb ON sb.node_id = st.dst)")
+    cut = lit(1.0 - val_frac)
+    parts.append(
+        "exs AS MATERIALIZED (SELECT src, dst, label, "
+        f"({_hex32_sql(_edge_draw_sql(str(seed)))} / 4294967296.0) AS u "
+        "FROM ex0)")
+    parts.append("tr AS MATERIALIZED (SELECT src, dst, label FROM exs "
+                 f"WHERE u < CAST({cut} AS DOUBLE))")
+    parts.append("vl AS MATERIALIZED (SELECT src, dst, label FROM exs "
+                 f"WHERE NOT (u < CAST({cut} AS DOUBLE)))")
+    # --- initial weights as one literal row --------------------------
+    wcols = []
+    for L, (Wl, Wr, a) in enumerate(init):
+        for r in dims:
+            for c in range(1, indims[L] + 1):
+                wcols.append(f"{lit(Wl[r - 1][c - 1])} AS wl{L}_{r}{c}")
+                wcols.append(f"{lit(Wr[r - 1][c - 1])} AS wr{L}_{r}{c}")
+        for i in dims:
+            wcols.append(f"{lit(a[i - 1])} AS a{L}_{i}")
+    wcols.append("0.0 AS bb")
+    parts.append("w0 AS (SELECT " + ", ".join(wcols) + ")")
+
+    sig = SIGMOID
+
+    def forward(t: int) -> None:
+        """Quantized 2-layer forward under weights w{t} → fe{t}_L<L+1>
+        (node_id, e1.., m1..) per layer output."""
+        prev = "emb0"
+        for L in range(layers):
+            nd = range(1, indims[L] + 1)
+            sp = ", ".join(
+                "0.0 + " + " + ".join(f"n.e{c} * w.wl{L}_{r}{c}"
+                                      for c in nd) + f" AS s{r}"
+                for r in dims)
+            tp = ", ".join(
+                "0.0 + " + " + ".join(f"n.e{c} * w.wr{L}_{r}{c}"
+                                      for c in nd) + f" AS t{r}"
+                for r in dims)
+            parts.append(f"sp{t}_{L} AS (SELECT n.node_id, {sp} "
+                         f"FROM {prev} n, w{t} w)")
+            parts.append(f"tp{t}_{L} AS (SELECT n.node_id, {tp} "
+                         f"FROM {prev} n, w{t} w)")
+            qs = ", ".join(f"sp.s{i} + tp.t{i} AS q{i}" for i in dims)
+            rs = ", ".join(
+                f"(CASE WHEN (sp.s{i} + tp.t{i}) > 0 "
+                f"THEN (sp.s{i} + tp.t{i}) "
+                f"ELSE (sp.s{i} + tp.t{i}) * 0.2 END) AS r{i}"
+                for i in dims)
+            ss = ", ".join(f"sp.s{i}" for i in dims)
+            parts.append(
+                f"ef{t}_{L} AS MATERIALIZED (SELECT e.src, e.dst, {ss}, "
+                f"{qs}, {rs}, 0.0 + "
+                + " + ".join(
+                    f"(CASE WHEN (sp.s{i} + tp.t{i}) > 0 "
+                    f"THEN (sp.s{i} + tp.t{i}) "
+                    f"ELSE (sp.s{i} + tp.t{i}) * 0.2 END) * w.a{L}_{i}"
+                    for i in dims)
+                + f" AS ee FROM edges e "
+                f"JOIN sp{t}_{L} sp ON e.src = sp.node_id "
+                f"JOIN tp{t}_{L} tp ON e.dst = tp.node_id, w{t} w)")
+            parts.append(f"mxe{t}_{L} AS (SELECT dst, max(ee) AS m "
+                         f"FROM ef{t}_{L} GROUP BY dst)")
+            keep = ", ".join(f"f.s{i}" for i in dims) + ", " + \
+                ", ".join(f"f.q{i}" for i in dims) + ", " + \
+                ", ".join(f"f.r{i}" for i in dims)
+            parts.append(
+                f"aw{t}_{L} AS MATERIALIZED (SELECT f.src, f.dst, {keep}, "
+                f"round(exp(f.ee - m.m), 6) AS wq FROM ef{t}_{L} f "
+                f"JOIN mxe{t}_{L} m ON f.dst = m.dst)")
+            parts.append(
+                f"z{t}_{L} AS (SELECT dst, "
+                f"CAST(sum(CAST(wq AS DECIMAL(27,6))) AS DOUBLE) AS z "
+                f"FROM aw{t}_{L} GROUP BY dst)")
+            parts.append(
+                f"al{t}_{L} AS MATERIALIZED (SELECT a.*, a.wq / z.z "
+                f"AS alpha FROM aw{t}_{L} a JOIN z{t}_{L} z "
+                f"ON a.dst = z.dst)")
+            ms = ", ".join(
+                f"CAST(sum(CAST(round(alpha * s{i}, 6) "
+                f"AS DECIMAL(27,6))) AS DOUBLE) AS m{i}" for i in dims)
+            parts.append(f"ma{t}_{L} AS (SELECT dst AS node_id, {ms} "
+                         f"FROM al{t}_{L} GROUP BY dst)")
+            es = ", ".join(
+                f"round({sig.format(z=f'm{i}')}, 6) AS e{i}"
+                for i in dims)
+            mcols = ", ".join(f"m{i}" for i in dims)
+            parts.append(f"fe{t}_{L} AS MATERIALIZED "
+                         f"(SELECT node_id, {es}, {mcols} FROM ma{t}_{L})")
+            prev = f"fe{t}_{L}"
+
+    def decode(t: int, exset: str, wt: int, name: str) -> None:
+        """Decoder pass of example set ``exset`` against forward
+        fe{t}_* embeddings and weights w{wt} → sc<name> (per-example
+        p/err) and st<name> (n, correct, gb)."""
+        top = f"fe{t}_{layers - 1}"
+        hu = ", ".join(f"hu.e{i} AS hu{i}" for i in dims)
+        hv = ", ".join(f"hv.e{i} AS hv{i}" for i in dims)
+        zc = ("(0.0 + "
+              + " + ".join(f"hu.e{i} * hv.e{i}" for i in dims)
+              + ") + w.bb")
+        parts.append(
+            f"sc{name} AS MATERIALIZED (SELECT s.src, s.dst, s.label, "
+            f"{hu}, {hv}, "
+            f"{sig.format(z=f'greatest(least({zc}, 30.0), -30.0)')} AS p "
+            f"FROM {exset} s JOIN {top} hu ON s.src = hu.node_id "
+            f"JOIN {top} hv ON s.dst = hv.node_id, w{wt} w)")
+        parts.append(
+            f"st{name} AS MATERIALIZED (SELECT count(*) AS n, "
+            f"sum(CAST(CAST(p > 0.5 AS INT) = label AS BIGINT)) "
+            f"AS correct, sum(p - CAST(label AS DOUBLE)) AS gb "
+            f"FROM sc{name})")
+
+    def backward(t: int) -> None:
+        """Backprop of epoch t (train set, weights w{t}, forward
+        fe{t}_*) → gradient CTEs gwl{t}_L / gwr{t}_L / ga{t}_L."""
+        # decoder grads: G = Σ err·h_other over both endpoint roles
+        gs = ", ".join(f"sum(g{i}) AS g{i}" for i in dims)
+        u1 = ", ".join(f"(s.p - CAST(s.label AS DOUBLE)) * s.hv{i} AS g{i}"
+                       for i in dims)
+        u2 = ", ".join(f"(s.p - CAST(s.label AS DOUBLE)) * s.hu{i} AS g{i}"
+                       for i in dims)
+        parts.append(
+            f"gtop{t} AS MATERIALIZED (SELECT node_id, {gs} FROM ("
+            f"SELECT s.src AS node_id, {u1} FROM sct{t} s "
+            f"UNION ALL SELECT s.dst AS node_id, {u2} FROM sct{t} s) "
+            f"GROUP BY node_id)")
+        G = f"gtop{t}"
+        for L in range(layers - 1, -1, -1):
+            H = f"fe{t}_{L}"
+            emb_in = "emb0" if L == 0 else f"fe{t}_{L - 1}"
+            gm = ", ".join(
+                f"g.g{i} * h.e{i} * (1 - h.e{i}) AS gm{i}" for i in dims)
+            c = "0.0 + " + " + ".join(
+                f"(g.g{i} * h.e{i} * (1 - h.e{i})) * h.m{i}"
+                for i in dims)
+            parts.append(
+                f"gm{t}_{L} AS MATERIALIZED (SELECT g.node_id, {gm}, "
+                f"{c} AS c FROM {G} g JOIN {H} h "
+                f"ON g.node_id = h.node_id)")
+            keep = (", ".join(f"a.s{i}" for i in dims) + ", "
+                    + ", ".join(f"a.q{i}" for i in dims) + ", "
+                    + ", ".join(f"a.r{i}" for i in dims)
+                    + ", a.alpha, "
+                    + ", ".join(f"g.gm{i}" for i in dims))
+            dotgs = "0.0 + " + " + ".join(f"g.gm{i} * a.s{i}"
+                                          for i in dims)
+            parts.append(
+                f"eb{t}_{L} AS MATERIALIZED (SELECT a.src, a.dst, {keep}, "
+                f"a.alpha * (({dotgs}) - g.c) AS ge FROM al{t}_{L} a "
+                f"JOIN gm{t}_{L} g ON a.dst = g.node_id)")
+            parts.append(
+                f"ga{t}_{L} AS MATERIALIZED (SELECT "
+                + ", ".join(f"sum(ge * r{i}) AS ga{i}" for i in dims)
+                + f" FROM eb{t}_{L})")
+            dq = {i: (f"e.ge * w.a{L}_{i} * (CASE WHEN e.q{i} > 0 "
+                      f"THEN 1.0 ELSE 0.2 END)") for i in dims}
+            parts.append(
+                f"ds{t}_{L} AS MATERIALIZED (SELECT e.src AS node_id, "
+                + ", ".join(f"sum(e.alpha * e.gm{i} + {dq[i]}) AS d{i}"
+                            for i in dims)
+                + f" FROM eb{t}_{L} e, w{t} w GROUP BY e.src)")
+            parts.append(
+                f"dt{t}_{L} AS MATERIALIZED (SELECT e.dst AS node_id, "
+                + ", ".join(f"sum({dq[i]}) AS d{i}" for i in dims)
+                + f" FROM eb{t}_{L} e, w{t} w GROUP BY e.dst)")
+            nd = range(1, indims[L] + 1)
+            parts.append(
+                f"gwl{t}_{L} AS MATERIALIZED (SELECT "
+                + ", ".join(f"sum(d.d{r} * x.e{c}) AS g{r}{c}"
+                            for r in dims for c in nd)
+                + f" FROM ds{t}_{L} d JOIN {emb_in} x "
+                f"ON d.node_id = x.node_id)")
+            parts.append(
+                f"gwr{t}_{L} AS MATERIALIZED (SELECT "
+                + ", ".join(f"sum(d.d{r} * x.e{c}) AS g{r}{c}"
+                            for r in dims for c in nd)
+                + f" FROM dt{t}_{L} d JOIN {emb_in} x "
+                f"ON d.node_id = x.node_id)")
+            if L > 0:
+                # chain: G^{L-1} = Wlᵀ·ds + Wrᵀ·dt (full outer, zeros)
+                chain = ", ".join(
+                    "(0.0 + "
+                    + " + ".join(f"COALESCE(d.d{o}, 0.0) * w.wl{L}_{o}{j}"
+                                 for o in dims)
+                    + ") + (0.0 + "
+                    + " + ".join(f"COALESCE(e.d{o}, 0.0) * w.wr{L}_{o}{j}"
+                                 for o in dims)
+                    + f") AS g{j}" for j in dims)
+                parts.append(
+                    f"gch{t}_{L} AS MATERIALIZED (SELECT "
+                    f"COALESCE(d.node_id, e.node_id) AS node_id, {chain} "
+                    f"FROM ds{t}_{L} d FULL OUTER JOIN dt{t}_{L} e "
+                    f"ON d.node_id = e.node_id, w{t} w)")
+                G = f"gch{t}_{L}"
+
+    def update(t: int) -> None:
+        """w{t+1} = w{t} - lr · (Σg / n) per cell (plain GD)."""
+        cols = []
+        for L in range(layers):
+            nd = range(1, indims[L] + 1)
+            for r in dims:
+                for c in nd:
+                    cols.append(f"w.wl{L}_{r}{c} - {lit(lr)} * "
+                                f"(gl{L}.g{r}{c} / s.n) AS wl{L}_{r}{c}")
+                    cols.append(f"w.wr{L}_{r}{c} - {lit(lr)} * "
+                                f"(gr{L}.g{r}{c} / s.n) AS wr{L}_{r}{c}")
+            for i in dims:
+                cols.append(f"w.a{L}_{i} - {lit(lr)} * "
+                            f"(gal{L}.ga{i} / s.n) AS a{L}_{i}")
+        cols.append(f"w.bb - {lit(lr)} * (s.gb / s.n) AS bb")
+        froms = ", ".join(
+            [f"w{t} w", f"stt{t} s"]
+            + [f"gwl{t}_{L} gl{L}" for L in range(layers)]
+            + [f"gwr{t}_{L} gr{L}" for L in range(layers)]
+            + [f"ga{t}_{L} gal{L}" for L in range(layers)])
+        parts.append(f"w{t + 1} AS MATERIALIZED (SELECT "
+                     + ", ".join(cols) + f" FROM {froms})")
+
+    forward(0)
+    for t in range(epochs):
+        decode(t, "tr", t, f"t{t}")          # train stats, pre-step
+        backward(t)
+        update(t)
+        forward(t + 1)
+        decode(t + 1, "vl", t + 1, f"v{t}")  # val stats, post-step
+    finals = [
+        f"SELECT CAST({t} AS INTEGER) AS epoch, "
+        f"CAST(stt{t}.correct AS DOUBLE) / stt{t}.n AS train_acc, "
+        f"CAST(stv{t}.correct AS DOUBLE) / stv{t}.n AS val_acc "
+        f"FROM stt{t}, stv{t}" for t in range(epochs)]
+    if probe:                               # debugging aid, not an oracle
+        finals = [probe]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+GAT_STACK_TRAIN_Q = _gat_stack_train_q_sql(epochs=3, lr=0.5)
+
+
 #: name -> oracle SQL (queries without an entry get rows-only checks)
 ORACLES: dict[str, str] = {
     "hetero_forward_q": HETERO_FORWARD_Q,
     "recommend_gnn": RECOMMEND_GNN,
+    "gat_stack_train_q": GAT_STACK_TRAIN_Q,
     "link_pred_train": LINK_PRED_TRAIN,
     "catalog_tables": CATALOG_TABLES,
     "edge_catalog": EDGE_CATALOG,

@@ -724,6 +724,66 @@ def q_gat_stack_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epoch int, train_loss double, val_acc double")
 
 
+def q_gat_stack_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5+L10 multi-layer TRAINING under the hash gate (round 9,
+    VERDICT r8 item 4 — the next rung after r8's quantized forward and
+    GD-retrained scorer): the same 2-layer homogeneous GATv2 stack,
+    ring+self-loop customer graph and stride-pair labels as
+    q_gat_stack_train, but with 6-dp QUANTIZED forwards
+    (_forward_layer quantize=True), plain full-batch GD, the md5 split
+    draw, and an INTEGER-DERIVED accuracy history (train acc at the
+    pre-step weights, val acc at the post-step weights — the
+    link_pred_train timeline). The DuckDB twin RETRAINS the model
+    (oracle.py::_gat_stack_train_q_sql): per epoch it replays both
+    quantized attention forwards, runs the full backprop — decoder
+    grads, sigmoid chain, softmax Jacobian, LeakyReLU gate, Wlᵀ/Wrᵀ
+    chain into layer 1 — as CTE algebra, and takes the identical GD
+    step; accuracy = correct/n is immune to gradient-sum last-ulp
+    divergence. Real backprop through BOTH attention layers is thereby
+    cross-engine checked; the AdamW full-depth trainer stays
+    driver-visible as q_gat_stack_train."""
+    from rel_db_to_graph_spark.ml.gat_train import train_gat_stack
+    from rel_db_to_graph_spark.ml.hetero import node_features_normalized
+
+    g = build_graph(spark, sf_dir)
+    cust = g["nodes"]["customer"]
+    feats = node_features_normalized({"customer": cust})["customer"][0]
+    n_nodes = cust.count()
+    ring = cust.select(
+        F.col("node_id").alias("src"),
+        ((F.col("node_id") + 1) % F.lit(n_nodes)).alias("dst"))
+    loops = g["edges"][("customer", "SELF_LOOP", "customer")]
+    edges = ring.unionByName(loops.select("src", "dst"))
+    raw = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pk"), "c_nationkey")
+    cn = (cust.select("node_id", "pk").join(raw, "pk")
+          .select("node_id", F.col("c_nationkey").alias("_nk")))
+    strides = None
+    for k in (1, 7, 13):
+        s = cn.select(F.col("node_id").alias("src"),
+                      ((F.col("node_id") + k) % F.lit(n_nodes)).alias("dst"))
+        strides = s if strides is None else strides.unionByName(s)
+    pairs = (strides
+             .join(cn.select(F.col("node_id").alias("src"),
+                             F.col("_nk").alias("_na")), "src")
+             .join(cn.select(F.col("node_id").alias("dst"),
+                             F.col("_nk").alias("_nb")), "dst")
+             .select("src", "dst",
+                     (F.col("_na") == F.col("_nb")).cast("int")
+                     .alias("label")))
+    # lr=0.5 (vs the AdamW trainer's 0.05) so the 3-epoch GD
+    # trajectory actually MOVES the decision boundary — the twin then
+    # pins a changing accuracy history, not a fixed point
+    res = train_gat_stack(edges, feats, pairs, hidden=2, layers=2,
+                          epochs=3, lr=0.5, seed=42,
+                          optimizer="sgd", quantize=True,
+                          split_draw="md5")
+    return spark.createDataFrame(
+        [(h["epoch"], float(h["train_acc"]), float(h["val_acc"]))
+         for h in res.history],
+        "epoch int, train_acc double, val_acc double")
+
+
 def q_recommend_gnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G9+L5+L6+A7, HASH-CHECKED since round 9 (VERDICT r8 item 3; was
     rows-only): the reference's full inference path — graph mutation

@@ -105,7 +105,7 @@ def _python_bpe_batched(word_freq: dict[str, int], n_merges: int,
                         batch: int):
     """Twin of bpe.bpe_train_batched: per round, rank pairs by (count
     desc, lexicographic), greedily accept up to ``batch`` pairwise
-    symbol-disjoint pairs from the top 4*batch, apply all, repeat."""
+    symbol-disjoint pairs from the top 16*batch, apply all, repeat."""
     vocab = {w: [c for c in w] for w in word_freq}
     merges = []
     step = 0
@@ -117,7 +117,7 @@ def _python_bpe_batched(word_freq: dict[str, int], n_merges: int,
                 counts[(a, b)] += word_freq[w]
         ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         used, accepted = set(), []
-        for (a, b), cnt in ranked[:4 * batch]:
+        for (a, b), cnt in ranked[:16 * batch]:
             if len(accepted) >= want or cnt <= 0:
                 break
             if a in used or b in used:
