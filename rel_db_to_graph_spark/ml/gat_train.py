@@ -46,6 +46,9 @@ forward/backward twin in tests/test_gat_train.py.
 
 from __future__ import annotations
 
+import os
+import time
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -56,6 +59,18 @@ from rel_db_to_graph_spark.ml.train import AdamW, TrainResult
 from rel_db_to_graph_spark.operators.split import hash_split
 
 _LEAKY = 0.2
+
+#: phase tracer for the sampled-trainer scale audits (SPARK_GRAFT_TRACE=1):
+#: prints wall-clock per trainer phase so the per-step scheduling floor
+#: is measured, not guessed. Off by default — zero cost in production.
+_TRACE = os.environ.get("SPARK_GRAFT_TRACE", "") == "1"
+
+
+def _tr(label: str, t0: float) -> float:
+    now = time.time()
+    if _TRACE:
+        print(f"    [trace] {label}: {now - t0:.2f}s", flush=True)
+    return now
 
 
 def _arr_lit(vec) -> F.Column:
@@ -1287,18 +1302,20 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
     """
     from rel_db_to_graph_spark.operators.sampling import (
         sample_incoming_hetero,
-        sample_incoming_hetero_store,
+        sample_incoming_hetero_store_multi,
     )
 
     fanouts = list(fanouts) if fanouts is not None else [15]
     types = sorted(feats)
     edge_types = sorted(graph_edges)
+    t0 = time.time()
     # materialize the feature frames ONCE per run (round-8 step diet):
     # every per-batch closure joins feats, and a lazy plan would
     # re-materialize the whole upstream feature lineage's AQE stages on
     # every batch (measured ~30 stage-jobs per closure at sf0.01)
     feats = {t: f.localCheckpoint(eager=True) for t, f in feats.items()}
     dims = {t: len(feats[t].select("emb").first()["emb"]) for t in types}
+    t0 = _tr("feats ckpt + dims", t0)
     rng = np.random.default_rng(seed)
     params = {
         "W0": {t: rng.normal(0, 0.5, size=(hidden, dims[t]))
@@ -1321,6 +1338,7 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
     n_batches = max(1, -(-n_train // max(1, batch_size)))
     steps = (n_batches if max_batches is None
              else min(n_batches, max_batches))
+    t0 = _tr("split + counts", t0)
 
     # Per-epoch validation used to forward the FULL graph — the one
     # remaining full-|E| term in the sampled training path (VERDICT r6
@@ -1349,6 +1367,7 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
             # _batch_closure RAM-checkpoints every returned frame
             val_sub, val_fcut = _batch_closure(vsamp, vseeds,
                                                edge_types, feats)
+    t0 = _tr("val closure", t0)
 
     def flat(ps, bias):
         out = []
@@ -1387,11 +1406,39 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
     best = (params, b)
     for epoch in range(epochs):
         losses, ns = [], []
+        samp_by_bi = None
+        if edge_tables is not None:
+            # fused sampling prefetch (VERDICT r8 item 7): batch
+            # membership and hash draws are parameter-independent, so
+            # nothing forces the store path's per-step frontier collect
+            # + sample job into the sequential optimizer loop. ONE
+            # tagged job collects every step's seed frontier, then the
+            # multi sampler draws all steps' closures in one fused job
+            # per hop — bit-identical edges (tests/test_sampling.py),
+            # jobs per epoch O(hops), not O(steps x hops).
+            tagged = train.withColumn(
+                "_bi", F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
+                              F.lit(n_batches))).filter(F.col("_bi") < steps)
+            su = (tagged.select("_bi", F.lit(src_type).alias("_t"),
+                                F.col("src").alias("node_id"))
+                  .unionByName(tagged.select(
+                      "_bi", F.lit(dst_type).alias("_t"),
+                      F.col("dst").alias("node_id")))
+                  .distinct())
+            fr: dict = {bi: {} for bi in range(steps)}
+            for r in su.collect():
+                fr[int(r["_bi"])].setdefault(r["_t"], []).append(
+                    r["node_id"])
+            samp_by_bi = sample_incoming_hetero_store_multi(
+                examples.sparkSession, edge_tables, fr, fanouts,
+                {bi: seed + 7919 * epoch + 104729 * bi
+                 for bi in range(steps)})
+            t0 = _tr(f"e{epoch} fused sample x{steps}", t0)
         for bi in range(steps):
             # lazy checkpoint (round-8 step diet): the first reader (the
-            # store path's frontier collect, else the fused epoch job)
-            # materializes it; a dedicated eager job only paid another
-            # scheduling floor for a filter over the cached train frame
+            # fused epoch job) materializes it; a dedicated eager job
+            # only paid another scheduling floor for a filter over the
+            # cached train frame
             batch = train.filter(
                 F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
                        F.lit(n_batches)) == bi).localCheckpoint(eager=False)
@@ -1402,10 +1449,8 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
             else:
                 seeds[dst_type] = dst_seed
             batch_seed = seed + 7919 * epoch + 104729 * bi
-            if edge_tables is not None:
-                samp = sample_incoming_hetero_store(
-                    examples.sparkSession, edge_tables, seeds, fanouts,
-                    seed=batch_seed)
+            if samp_by_bi is not None:
+                samp = samp_by_bi[bi]
             else:
                 samp = sample_incoming_hetero(
                     graph_edges, seeds, fanouts, seed=batch_seed)
@@ -1415,6 +1460,7 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
                                        eager=False)
             stats = _hetero_epoch(sub, fcut, batch, params, b,
                                   src_type, dst_type)
+            t0 = _tr(f"e{epoch} b{bi} epoch collect", t0)
             if stats["n"] == 0:
                 continue
             g = stats["grads"]
@@ -1428,6 +1474,7 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
         n_seen = sum(ns)
         vstats = _hetero_epoch(val_sub, val_fcut, val, params, b,
                                src_type, dst_type, with_grads=False)
+        t0 = _tr(f"e{epoch} val forward", t0)
         result.history.append({
             "epoch": epoch,
             "train_loss": (sum(losses) / n_seen) if n_seen else 0.0,
@@ -1475,13 +1522,14 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
     frontier's buckets/row groups instead of |E| per batch."""
     from rel_db_to_graph_spark.operators.sampling import (
         sample_incoming,
-        sample_incoming_store,
+        sample_incoming_store_multi,
     )
 
     fanouts = list(fanouts) if fanouts is not None else [15] * layers
     if len(fanouts) != layers:
         raise ValueError(f"fanouts {fanouts} must have one entry per "
                          f"layer ({layers})")
+    t0 = time.time()
     # one-time feature materialization — see train_hetero_gat_sampled
     feats = feats.localCheckpoint(eager=True)
     d_in = len(feats.select("emb").first()["emb"])
@@ -1503,6 +1551,7 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
     n_batches = max(1, -(-n_train // max(1, batch_size)))
     steps = (n_batches if max_batches is None
              else min(n_batches, max_batches))
+    t0 = _tr("split + counts", t0)
 
     # One-time val dependency closure — k hops of FULL in-neighborhoods
     # ([-1] per layer) of the val endpoints; per-epoch validation then
@@ -1547,12 +1596,33 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
     best = (params, b)
     for epoch in range(epochs):
         losses, ns = [], []
+        samp_by_bi = None
+        if edge_table is not None:
+            # fused sampling prefetch — see train_hetero_gat_sampled:
+            # one tagged seed collect + one fused sample job per hop
+            # for ALL steps, bit-identical draws, O(hops) jobs per
+            # epoch instead of O(steps x hops)
+            tagged = train.withColumn(
+                "_bi", F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
+                              F.lit(n_batches))).filter(F.col("_bi") < steps)
+            su = (tagged.select("_bi", F.col("src").alias("node_id"))
+                  .unionByName(tagged.select(
+                      "_bi", F.col("dst").alias("node_id")))
+                  .distinct())
+            fr: dict = {bi: [] for bi in range(steps)}
+            for r in su.collect():
+                fr[int(r["_bi"])].append(r["node_id"])
+            samp_by_bi = sample_incoming_store_multi(
+                examples.sparkSession, edge_table, fr, fanouts,
+                {bi: seed + 7919 * epoch + 104729 * bi
+                 for bi in range(steps)})
+            t0 = _tr(f"e{epoch} fused sample x{steps}", t0)
         for bi in range(steps):
             # lazy checkpoints throughout (round-8 step diet): with the
             # stats fused into the gradient-sync collect, a step runs
             # ONE epoch job — batch/samp/closure materialize inside it
-            # (or inside the store path's frontier collect) instead of
-            # each paying a dedicated driver job of scheduling floor
+            # instead of each paying a dedicated driver job of
+            # scheduling floor
             batch = train.filter(
                 F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
                        F.lit(n_batches)) == bi).localCheckpoint(eager=False)
@@ -1560,12 +1630,8 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
                      .unionAll(batch.select(F.col("dst").alias("node_id")))
                      .distinct())
             batch_seed = seed + 7919 * epoch + 104729 * bi
-            if edge_table is not None:
-                # the store probe eager-checkpoints each hop internally
-                # (bucket-pruning conf scope) — no outer job needed
-                samp = sample_incoming_store(
-                    examples.sparkSession, edge_table, seeds, fanouts,
-                    seed=batch_seed)
+            if samp_by_bi is not None:
+                samp = samp_by_bi[bi]
             else:
                 samp = sample_incoming(
                     edges, seeds, fanouts, seed=batch_seed,

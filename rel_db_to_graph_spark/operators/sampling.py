@@ -68,6 +68,13 @@ def sample_subgraph(edges: DataFrame, seeds: DataFrame, fanouts: list[int],
         hop_edges = sample_neighbors(edges, frontier, fanout, seed, hop,
                                      draw=draw)
         layers.append(hop_edges.withColumn("hop", F.lit(hop)))
+        if i == len(fanouts) - 1:
+            # the next frontier is never read after the last hop — and
+            # building it is not free: the lazy localCheckpoint below
+            # materializes the window+join's shuffle stages AT CALL
+            # TIME (driver-blocking stage-jobs), a pure per-call floor
+            # for the store path's one-hop-at-a-time calls
+            break
         frontier = hop_edges.select(F.col("dst").alias("src")).distinct()
         # lineage cut between hops: each hop's plan otherwise nests the
         # previous hop's window+join
@@ -126,6 +133,8 @@ def sample_hetero_subgraph(graph: dict, seeds: dict[str, DataFrame],
                 F.lit(hop).alias("hop")))
             nxt.setdefault(d, []).append(
                 hop_edges.select(F.col("dst").alias("node_id")))
+        if i == len(fanouts) - 1:
+            break     # dead after the last hop — see sample_subgraph
         frontier = {}
         for d, parts in nxt.items():
             u = parts[0]
@@ -137,6 +146,140 @@ def sample_hetero_subgraph(graph: dict, seeds: dict[str, DataFrame],
     out = layers[0]
     for df in layers[1:]:
         out = out.unionAll(df)
+    return out
+
+
+def sample_incoming_store_multi(spark, table: str,
+                                frontiers: dict[int, list],
+                                fanouts: list[int],
+                                seeds: dict[int, int]) -> dict:
+    """Fused multi-batch ``sample_incoming_store``: sample EVERY
+    mini-batch's in-edge closure in one driver job per hop instead of
+    one per batch per hop (VERDICT r8 item 7 — the sampled trainers'
+    residual cost is per-step scheduling floor, and batch membership +
+    draws are parameter-INDEPENDENT, so nothing forces the sampling
+    into the sequential optimizer loop).
+
+    ``frontiers`` maps a batch tag -> seed node ids; ``seeds`` maps the
+    same tags -> the per-batch sampling seed. Per hop: ONE bucket-pruned
+    probe whose In(dst) filter is the union of every batch's frontier,
+    then one UNION of per-batch sample branches — each branch is
+    exactly the per-batch pipeline (same probe join restricted by the
+    batch's own frontier, same literal seed, same window), so the
+    drawn edges are bit-identical to per-batch calls (pinned by
+    tests/test_sampling.py) — materialized by ONE eager localCheckpoint.
+    Next frontiers for all batches come from one tagged collect.
+    Returns {tag: sampled frame}, each a RAM-resident filter."""
+    cur = {tag: sorted(ids) for tag, ids in frontiers.items() if ids}
+    layers: dict = {tag: [] for tag in frontiers}
+    last = len(fanouts) - 1
+    with _forced_bucketed_scan(spark):
+        for hop, fanout in enumerate(fanouts):
+            if not cur:
+                break
+            union_ids = sorted({i for ids in cur.values() for i in ids})
+            pruned = _probe_incoming(spark, table, union_ids)
+            branches = []
+            for tag in sorted(cur):
+                fr_df = spark.createDataFrame(
+                    [(int(i),) for i in cur[tag]], "node_id bigint")
+                branches.append(
+                    sample_incoming(pruned, fr_df, [fanout], seeds[tag],
+                                    hop0=hop)
+                    .withColumn("_tag", F.lit(int(tag))))
+            fused = branches[0]
+            for b in branches[1:]:
+                fused = fused.unionAll(b)
+            fused = fused.localCheckpoint(eager=True)
+            for tag in cur:
+                layers[tag].append(
+                    fused.filter(F.col("_tag") == int(tag)).drop("_tag"))
+            if hop == last:
+                break
+            nxt: dict = {}
+            for r in fused.select("_tag", "src").distinct().collect():
+                nxt.setdefault(r["_tag"], set()).add(r["src"])
+            cur = {tag: sorted(ids) for tag, ids in nxt.items()}
+    empty = spark.createDataFrame([], "src bigint, dst bigint, hop int")
+    out = {}
+    for tag in frontiers:
+        if not layers[tag]:
+            out[tag] = empty
+            continue
+        df = layers[tag][0]
+        for p in layers[tag][1:]:
+            df = df.unionAll(p)
+        out[tag] = df
+    return out
+
+
+def sample_incoming_hetero_store_multi(spark, tables: dict,
+                                       frontiers: dict[int, dict],
+                                       fanouts: list[int],
+                                       seeds: dict[int, int]) -> dict:
+    """Hetero twin of ``sample_incoming_store_multi``: one driver job
+    per hop samples every batch's hetero in-edge closure (union of
+    per-(batch, edge-type) branches over SHARED bucket-pruned probes),
+    draws bit-identical to per-batch ``sample_incoming_hetero_store``
+    calls. ``frontiers``: tag -> {node_type: ids}. Raises the per-batch
+    path's ValueError for a tag whose seeds match no edge type."""
+    cur = {tag: {t: sorted(ids) for t, ids in fr.items() if ids}
+           for tag, fr in frontiers.items()}
+    layers: dict = {tag: [] for tag in frontiers}
+    last = len(fanouts) - 1
+    with _forced_bucketed_scan(spark):
+        for hop, fanout in enumerate(fanouts):
+            union_ids: dict = {}
+            for fr in cur.values():
+                for et, tbl in tables.items():
+                    if fr.get(et[2]):
+                        union_ids.setdefault(et, set()).update(fr[et[2]])
+            if not union_ids:
+                break
+            pruned = {et: _probe_incoming(spark, tables[et], sorted(ids))
+                      for et, ids in union_ids.items()}
+            branches = []
+            live_tags = []
+            for tag in sorted(cur):
+                fr = cur[tag]
+                live = {et: p for et, p in pruned.items()
+                        if fr.get(et[2])}
+                if not live:
+                    continue
+                live_tags.append(tag)
+                fr_dfs = {t: spark.createDataFrame(
+                    [(int(i),) for i in ids], "node_id bigint")
+                    for t, ids in fr.items() if ids}
+                branches.append(
+                    sample_incoming_hetero(live, fr_dfs, [fanout],
+                                           seeds[tag], hop0=hop)
+                    .withColumn("_tag", F.lit(int(tag))))
+            if not branches:
+                break
+            fused = branches[0]
+            for b in branches[1:]:
+                fused = fused.unionAll(b)
+            fused = fused.localCheckpoint(eager=True)
+            for tag in live_tags:
+                layers[tag].append(
+                    fused.filter(F.col("_tag") == int(tag)).drop("_tag"))
+            if hop == last:
+                break
+            nxt: dict = {}
+            for r in (fused.select("_tag", "src_table", "src")
+                      .distinct().collect()):
+                nxt.setdefault(r["_tag"], {}).setdefault(
+                    r["src_table"], set()).add(r["src"])
+            cur = {tag: {t: sorted(ids) for t, ids in fr.items()}
+                   for tag, fr in nxt.items()}
+    out = {}
+    for tag in frontiers:
+        if not layers[tag]:
+            raise ValueError("no edge type matched any seed node type")
+        df = layers[tag][0]
+        for p in layers[tag][1:]:
+            df = df.unionAll(p)
+        out[tag] = df
     return out
 
 

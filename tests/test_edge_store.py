@@ -66,6 +66,62 @@ def test_store_path_bit_identical_hetero(spark):
     assert d == s and len(d) > 10
 
 
+def test_store_multi_bit_identical_homogeneous(spark):
+    """The fused multi-batch sampler (one probe + one union-of-branches
+    job per hop for ALL batches — VERDICT r8 item 7's scheduling-floor
+    fix) must draw exactly the per-batch store path's edges for every
+    tag, including tags with empty frontiers."""
+    from rel_db_to_graph_spark.operators.sampling import (
+        sample_incoming_store,
+        sample_incoming_store_multi,
+    )
+    edges = _edges(spark).localCheckpoint(eager=True)
+    write_edge_table(edges, "t_edge_store_multi", num_buckets=8)
+    fronts = {0: [7, 44, 81, 155], 1: [3, 81, 200, 301, 499], 2: []}
+    seeds = {0: 101, 1: 202, 2: 303}
+    multi = sample_incoming_store_multi(
+        spark, "t_edge_store_multi", fronts, [3, 2], seeds)
+    for tag, ids in fronts.items():
+        want = set()
+        if ids:
+            one = sample_incoming_store(
+                spark, "t_edge_store_multi",
+                spark.createDataFrame([(int(i),) for i in ids],
+                                      "node_id bigint"),
+                [3, 2], seed=seeds[tag])
+            want = {tuple(r) for r in one.collect()}
+        got = {tuple(r) for r in multi[tag].collect()}
+        assert got == want, f"tag {tag}"
+    assert len({tuple(r) for r in multi[0].collect()}) > 4
+
+
+def test_store_multi_bit_identical_hetero(spark):
+    from rel_db_to_graph_spark.operators.sampling import (
+        sample_incoming_hetero_store,
+        sample_incoming_hetero_store_multi,
+    )
+    e1 = _edges(spark, n=300, deg=4).localCheckpoint(eager=True)
+    e2 = (_edges(spark, n=300, deg=3)
+          .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+          .localCheckpoint(eager=True))
+    graph = {("a", "r1", "b"): e1, ("b", "r2", "a"): e2}
+    tables = write_edge_store(graph, num_buckets=8, prefix="t_es_multi")
+    fronts = {0: {"b": [8, 39, 101]}, 1: {"b": [39, 250], "a": [17, 60]}}
+    seeds = {0: 11, 1: 12}
+    multi = sample_incoming_hetero_store_multi(
+        spark, tables, fronts, [3, 2], seeds)
+    for tag, fr in fronts.items():
+        sdfs = {t: spark.createDataFrame([(int(i),) for i in ids],
+                                         "node_id bigint")
+                for t, ids in fr.items()}
+        one = sample_incoming_hetero_store(spark, tables, sdfs, [3, 2],
+                                           seed=seeds[tag])
+        got = {tuple(r) for r in multi[tag].collect()}
+        want = {tuple(r) for r in one.collect()}
+        assert got == want, f"tag {tag}"
+        assert len(got) > 4
+
+
 def test_store_probe_plan_is_bucket_pruned(spark):
     """The probe's FileScan must carry the pushed In(dst, ...) filter
     AND select a strict subset of buckets — the property that makes the
