@@ -1333,12 +1333,47 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
                        seed=seed)
     train = split.filter(F.col("split") == "train").drop("split").cache()
     val = split.filter(F.col("split") == "val").drop("split").cache()
-    n_train = train.count()
-    n_val = val.count()
+    # both split sizes in ONE job (two .count()s were pure floor)
+    cnt = {r["split"]: r["n"] for r in
+           split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n_train = int(cnt.get("train", 0))
+    n_val = int(cnt.get("val", 0))
     n_batches = max(1, -(-n_train // max(1, batch_size)))
     steps = (n_batches if max_batches is None
              else min(n_batches, max_batches))
     t0 = _tr("split + counts", t0)
+
+    def _prefetch(epoch: int) -> dict:
+        """All of epoch ``epoch``'s sampled batch closures — ONE tagged
+        seed-frontier collect + the fused multi-batch store sampler.
+        Parameter-independent, so callers may run it on a background
+        thread CONCURRENTLY with the previous epoch's optimizer steps:
+        the steps' jobs read only RAM-checkpointed frames (never the
+        bucketed tables), so the sampler's scoped autoBucketedScan
+        override cannot affect their planning."""
+        tagged = train.withColumn(
+            "_bi", F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
+                          F.lit(n_batches))).filter(F.col("_bi") < steps)
+        su = (tagged.select("_bi", F.lit(src_type).alias("_t"),
+                            F.col("src").alias("node_id"))
+              .unionByName(tagged.select(
+                  "_bi", F.lit(dst_type).alias("_t"),
+                  F.col("dst").alias("node_id")))
+              .distinct())
+        fr: dict = {bi: {} for bi in range(steps)}
+        for r in su.collect():
+            fr[int(r["_bi"])].setdefault(r["_t"], []).append(r["node_id"])
+        return sample_incoming_hetero_store_multi(
+            examples.sparkSession, edge_tables, fr, fanouts,
+            {bi: seed + 7919 * epoch + 104729 * bi for bi in range(steps)})
+
+    pool = fut = None
+    if edge_tables is not None:
+        # epoch 0's sampling overlaps the val-closure build below;
+        # epoch e+1's sampling overlaps epoch e's gradient steps
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=1)
+        fut = pool.submit(_prefetch, 0)
 
     # Per-epoch validation used to forward the FULL graph — the one
     # remaining full-|E| term in the sampled training path (VERDICT r6
@@ -1404,87 +1439,77 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
     opt = AdamW(lr=lr, weight_decay=weight_decay)
     result = TrainResult(weights=flat(params, b)[:-1], bias=b)
     best = (params, b)
-    for epoch in range(epochs):
-        losses, ns = [], []
-        samp_by_bi = None
-        if edge_tables is not None:
-            # fused sampling prefetch (VERDICT r8 item 7): batch
-            # membership and hash draws are parameter-independent, so
-            # nothing forces the store path's per-step frontier collect
-            # + sample job into the sequential optimizer loop. ONE
-            # tagged job collects every step's seed frontier, then the
-            # multi sampler draws all steps' closures in one fused job
-            # per hop — bit-identical edges (tests/test_sampling.py),
-            # jobs per epoch O(hops), not O(steps x hops).
-            tagged = train.withColumn(
-                "_bi", F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
-                              F.lit(n_batches))).filter(F.col("_bi") < steps)
-            su = (tagged.select("_bi", F.lit(src_type).alias("_t"),
-                                F.col("src").alias("node_id"))
-                  .unionByName(tagged.select(
-                      "_bi", F.lit(dst_type).alias("_t"),
-                      F.col("dst").alias("node_id")))
-                  .distinct())
-            fr: dict = {bi: {} for bi in range(steps)}
-            for r in su.collect():
-                fr[int(r["_bi"])].setdefault(r["_t"], []).append(
-                    r["node_id"])
-            samp_by_bi = sample_incoming_hetero_store_multi(
-                examples.sparkSession, edge_tables, fr, fanouts,
-                {bi: seed + 7919 * epoch + 104729 * bi
-                 for bi in range(steps)})
-            t0 = _tr(f"e{epoch} fused sample x{steps}", t0)
-        for bi in range(steps):
-            # lazy checkpoint (round-8 step diet): the first reader (the
-            # fused epoch job) materializes it; a dedicated eager job
-            # only paid another scheduling floor for a filter over the
-            # cached train frame
-            batch = train.filter(
-                F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
-                       F.lit(n_batches)) == bi).localCheckpoint(eager=False)
-            seeds = {src_type: batch.select(F.col("src").alias("node_id"))}
-            dst_seed = batch.select(F.col("dst").alias("node_id"))
-            if dst_type in seeds:
-                seeds[dst_type] = seeds[dst_type].unionAll(dst_seed)
-            else:
-                seeds[dst_type] = dst_seed
-            batch_seed = seed + 7919 * epoch + 104729 * bi
-            if samp_by_bi is not None:
-                samp = samp_by_bi[bi]
-            else:
-                samp = sample_incoming_hetero(
-                    graph_edges, seeds, fanouts, seed=batch_seed)
-            # eager=False: the whole step — closure, forward, backward,
-            # stats — executes as ONE driver job (the fused collect)
-            sub, fcut = _batch_closure(samp, seeds, edge_types, feats,
-                                       eager=False)
-            stats = _hetero_epoch(sub, fcut, batch, params, b,
-                                  src_type, dst_type)
-            t0 = _tr(f"e{epoch} b{bi} epoch collect", t0)
-            if stats["n"] == 0:
-                continue
-            g = stats["grads"]
-            gparams = {"W0": g["W0"], "Wself": g["Wself"],
-                       "attn": {et: (gg[0], gg[1], np.asarray(gg[2]))
-                                for et, gg in g["attn"].items()}}
-            params, b = unflat(opt.step(flat(params, b),
-                                        flat(gparams, stats["gb"])))
-            losses.append(stats["loss"] * stats["n"])
-            ns.append(stats["n"])
-        n_seen = sum(ns)
-        vstats = _hetero_epoch(val_sub, val_fcut, val, params, b,
-                               src_type, dst_type, with_grads=False)
-        t0 = _tr(f"e{epoch} val forward", t0)
-        result.history.append({
-            "epoch": epoch,
-            "train_loss": (sum(losses) / n_seen) if n_seen else 0.0,
-            "train_n": n_seen,
-            "val_loss": vstats["loss"], "val_acc": vstats["acc"],
-        })
-        if vstats["acc"] >= result.best_val_acc:
-            result.best_val_acc = vstats["acc"]
-            result.best_epoch = epoch
-            best = (params, b)
+    try:
+        for epoch in range(epochs):
+            losses, ns = [], []
+            samp_by_bi = None
+            if fut is not None:
+                # fused sampling prefetch (VERDICT r8 item 7): batch
+                # membership and hash draws are parameter-independent,
+                # so nothing forces the store path's sampling into the
+                # sequential optimizer loop — this epoch's closures were
+                # drawn on the background thread while the PREVIOUS
+                # epoch's steps ran (bit-identical edges,
+                # tests/test_edge_store.py); kick off the next epoch's
+                # draw before touching a single gradient
+                samp_by_bi = fut.result()
+                fut = (pool.submit(_prefetch, epoch + 1)
+                       if epoch + 1 < epochs else None)
+                t0 = _tr(f"e{epoch} prefetch join", t0)
+            for bi in range(steps):
+                # lazy checkpoint (round-8 step diet): the first reader (the
+                # fused epoch job) materializes it; a dedicated eager job
+                # only paid another scheduling floor for a filter over the
+                # cached train frame
+                batch = train.filter(
+                    F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
+                           F.lit(n_batches)) == bi).localCheckpoint(eager=False)
+                seeds = {src_type: batch.select(F.col("src").alias("node_id"))}
+                dst_seed = batch.select(F.col("dst").alias("node_id"))
+                if dst_type in seeds:
+                    seeds[dst_type] = seeds[dst_type].unionAll(dst_seed)
+                else:
+                    seeds[dst_type] = dst_seed
+                batch_seed = seed + 7919 * epoch + 104729 * bi
+                if samp_by_bi is not None:
+                    samp = samp_by_bi[bi]
+                else:
+                    samp = sample_incoming_hetero(
+                        graph_edges, seeds, fanouts, seed=batch_seed)
+                # eager=False: the whole step — closure, forward, backward,
+                # stats — executes as ONE driver job (the fused collect)
+                sub, fcut = _batch_closure(samp, seeds, edge_types, feats,
+                                           eager=False)
+                stats = _hetero_epoch(sub, fcut, batch, params, b,
+                                      src_type, dst_type)
+                t0 = _tr(f"e{epoch} b{bi} epoch collect", t0)
+                if stats["n"] == 0:
+                    continue
+                g = stats["grads"]
+                gparams = {"W0": g["W0"], "Wself": g["Wself"],
+                           "attn": {et: (gg[0], gg[1], np.asarray(gg[2]))
+                                    for et, gg in g["attn"].items()}}
+                params, b = unflat(opt.step(flat(params, b),
+                                            flat(gparams, stats["gb"])))
+                losses.append(stats["loss"] * stats["n"])
+                ns.append(stats["n"])
+            n_seen = sum(ns)
+            vstats = _hetero_epoch(val_sub, val_fcut, val, params, b,
+                                   src_type, dst_type, with_grads=False)
+            t0 = _tr(f"e{epoch} val forward", t0)
+            result.history.append({
+                "epoch": epoch,
+                "train_loss": (sum(losses) / n_seen) if n_seen else 0.0,
+                "train_n": n_seen,
+                "val_loss": vstats["loss"], "val_acc": vstats["acc"],
+            })
+            if vstats["acc"] >= result.best_val_acc:
+                result.best_val_acc = vstats["acc"]
+                result.best_epoch = epoch
+                best = (params, b)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=True)
     params, b = best
     result.weights, result.bias = flat(params, b)[:-1], b
     train.unpersist(), val.unpersist()
@@ -1546,12 +1571,40 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
     split = hash_split(examples, val_frac=val_frac, test_frac=0.0, seed=seed)
     train = split.filter(F.col("split") == "train").drop("split").cache()
     val = split.filter(F.col("split") == "val").drop("split").cache()
-    n_train = train.count()
-    n_val = val.count()
+    # both split sizes in ONE job (two .count()s were pure floor)
+    cnt = {r["split"]: r["n"] for r in
+           split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n_train = int(cnt.get("train", 0))
+    n_val = int(cnt.get("val", 0))
     n_batches = max(1, -(-n_train // max(1, batch_size)))
     steps = (n_batches if max_batches is None
              else min(n_batches, max_batches))
     t0 = _tr("split + counts", t0)
+
+    def _prefetch(epoch: int) -> dict:
+        # all of this epoch's sampled batch closures in O(hops) jobs —
+        # parameter-independent; see train_hetero_gat_sampled._prefetch
+        tagged = train.withColumn(
+            "_bi", F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
+                          F.lit(n_batches))).filter(F.col("_bi") < steps)
+        su = (tagged.select("_bi", F.col("src").alias("node_id"))
+              .unionByName(tagged.select(
+                  "_bi", F.col("dst").alias("node_id")))
+              .distinct())
+        fr: dict = {bi: [] for bi in range(steps)}
+        for r in su.collect():
+            fr[int(r["_bi"])].append(r["node_id"])
+        return sample_incoming_store_multi(
+            examples.sparkSession, edge_table, fr, fanouts,
+            {bi: seed + 7919 * epoch + 104729 * bi for bi in range(steps)})
+
+    pool = fut = None
+    if edge_table is not None:
+        # epoch 0's sampling overlaps the val-closure build below;
+        # epoch e+1's sampling overlaps epoch e's gradient steps
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=1)
+        fut = pool.submit(_prefetch, 0)
 
     # One-time val dependency closure — k hops of FULL in-neighborhoods
     # ([-1] per layer) of the val endpoints; per-epoch validation then
@@ -1594,88 +1647,81 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
     opt = AdamW(lr=lr, weight_decay=weight_decay)
     result = TrainResult(weights=flat(params, b)[:-1], bias=b)
     best = (params, b)
-    for epoch in range(epochs):
-        losses, ns = [], []
-        samp_by_bi = None
-        if edge_table is not None:
-            # fused sampling prefetch — see train_hetero_gat_sampled:
-            # one tagged seed collect + one fused sample job per hop
-            # for ALL steps, bit-identical draws, O(hops) jobs per
-            # epoch instead of O(steps x hops)
-            tagged = train.withColumn(
-                "_bi", F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
-                              F.lit(n_batches))).filter(F.col("_bi") < steps)
-            su = (tagged.select("_bi", F.col("src").alias("node_id"))
-                  .unionByName(tagged.select(
-                      "_bi", F.col("dst").alias("node_id")))
-                  .distinct())
-            fr: dict = {bi: [] for bi in range(steps)}
-            for r in su.collect():
-                fr[int(r["_bi"])].append(r["node_id"])
-            samp_by_bi = sample_incoming_store_multi(
-                examples.sparkSession, edge_table, fr, fanouts,
-                {bi: seed + 7919 * epoch + 104729 * bi
-                 for bi in range(steps)})
-            t0 = _tr(f"e{epoch} fused sample x{steps}", t0)
-        for bi in range(steps):
-            # lazy checkpoints throughout (round-8 step diet): with the
-            # stats fused into the gradient-sync collect, a step runs
-            # ONE epoch job — batch/samp/closure materialize inside it
-            # instead of each paying a dedicated driver job of
-            # scheduling floor
-            batch = train.filter(
-                F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
-                       F.lit(n_batches)) == bi).localCheckpoint(eager=False)
-            seeds = (batch.select(F.col("src").alias("node_id"))
-                     .unionAll(batch.select(F.col("dst").alias("node_id")))
-                     .distinct())
-            batch_seed = seed + 7919 * epoch + 104729 * bi
-            if samp_by_bi is not None:
-                samp = samp_by_bi[bi]
-            else:
-                samp = sample_incoming(
-                    edges, seeds, fanouts, seed=batch_seed,
-                ).localCheckpoint(eager=False)
-            ids = (seeds
-                   .unionAll(samp.select(F.col("src").alias("node_id")))
-                   .unionAll(samp.select(F.col("dst").alias("node_id")))
-                   ).distinct()
-            allc = (samp.select("src", "dst").distinct()
-                    .select(F.lit("e").alias("kind"), "src", "dst",
-                            F.lit(None).cast("bigint").alias("node_id"),
-                            F.lit(None).cast("array<double>").alias("emb"))
-                    .unionByName(
-                        feats.join(ids, "node_id")
-                        .select(F.lit("f").alias("kind"),
-                                F.lit(None).cast("bigint").alias("src"),
-                                F.lit(None).cast("bigint").alias("dst"),
-                                "node_id", "emb"))
-                    .localCheckpoint(eager=False))
-            sub = allc.filter(F.col("kind") == "e").select("src", "dst")
-            fcut = allc.filter(F.col("kind") == "f").select("node_id",
-                                                            "emb")
-            stats = _stack_epoch(sub, fcut, batch, params, b)
-            if stats["n"] == 0:
-                continue
-            gflat = flat([(g[0], g[1], np.array(g[2]))
-                          for g in stats["grads"]], stats["gb"])
-            params, b = unflat(opt.step(flat(params, b), gflat))
-            losses.append(stats["loss"] * stats["n"])
-            ns.append(stats["n"])
-        n_seen = sum(ns)
-        vstats = _stack_epoch(val_sub, val_fcut, val, params, b,
-                              with_grads=False)
-        result.history.append({
-            "epoch": epoch,
-            "train_loss": (sum(losses) / n_seen) if n_seen else 0.0,
-            "train_n": n_seen,
-            "val_loss": vstats["loss"], "val_acc": vstats["acc"],
-        })
-        if vstats["acc"] >= result.best_val_acc:
-            result.best_val_acc = vstats["acc"]
-            result.best_epoch = epoch
-            best = ([(Wl.copy(), Wr.copy(), a.copy())
-                     for (Wl, Wr, a) in params], b)
+    try:
+        for epoch in range(epochs):
+            losses, ns = [], []
+            samp_by_bi = None
+            if fut is not None:
+                # this epoch's closures were drawn on the background
+                # thread while the previous epoch's steps ran; kick off
+                # the next epoch's draw before the first gradient —
+                # see train_hetero_gat_sampled
+                samp_by_bi = fut.result()
+                fut = (pool.submit(_prefetch, epoch + 1)
+                       if epoch + 1 < epochs else None)
+                t0 = _tr(f"e{epoch} prefetch join", t0)
+            for bi in range(steps):
+                # lazy checkpoints throughout (round-8 step diet): with the
+                # stats fused into the gradient-sync collect, a step runs
+                # ONE epoch job — batch/samp/closure materialize inside it
+                # instead of each paying a dedicated driver job of
+                # scheduling floor
+                batch = train.filter(
+                    F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
+                           F.lit(n_batches)) == bi).localCheckpoint(eager=False)
+                seeds = (batch.select(F.col("src").alias("node_id"))
+                         .unionAll(batch.select(F.col("dst").alias("node_id")))
+                         .distinct())
+                batch_seed = seed + 7919 * epoch + 104729 * bi
+                if samp_by_bi is not None:
+                    samp = samp_by_bi[bi]
+                else:
+                    samp = sample_incoming(
+                        edges, seeds, fanouts, seed=batch_seed,
+                    ).localCheckpoint(eager=False)
+                ids = (seeds
+                       .unionAll(samp.select(F.col("src").alias("node_id")))
+                       .unionAll(samp.select(F.col("dst").alias("node_id")))
+                       ).distinct()
+                allc = (samp.select("src", "dst").distinct()
+                        .select(F.lit("e").alias("kind"), "src", "dst",
+                                F.lit(None).cast("bigint").alias("node_id"),
+                                F.lit(None).cast("array<double>").alias("emb"))
+                        .unionByName(
+                            feats.join(ids, "node_id")
+                            .select(F.lit("f").alias("kind"),
+                                    F.lit(None).cast("bigint").alias("src"),
+                                    F.lit(None).cast("bigint").alias("dst"),
+                                    "node_id", "emb"))
+                        .localCheckpoint(eager=False))
+                sub = allc.filter(F.col("kind") == "e").select("src", "dst")
+                fcut = allc.filter(F.col("kind") == "f").select("node_id",
+                                                                "emb")
+                stats = _stack_epoch(sub, fcut, batch, params, b)
+                if stats["n"] == 0:
+                    continue
+                gflat = flat([(g[0], g[1], np.array(g[2]))
+                              for g in stats["grads"]], stats["gb"])
+                params, b = unflat(opt.step(flat(params, b), gflat))
+                losses.append(stats["loss"] * stats["n"])
+                ns.append(stats["n"])
+            n_seen = sum(ns)
+            vstats = _stack_epoch(val_sub, val_fcut, val, params, b,
+                                  with_grads=False)
+            result.history.append({
+                "epoch": epoch,
+                "train_loss": (sum(losses) / n_seen) if n_seen else 0.0,
+                "train_n": n_seen,
+                "val_loss": vstats["loss"], "val_acc": vstats["acc"],
+            })
+            if vstats["acc"] >= result.best_val_acc:
+                result.best_val_acc = vstats["acc"]
+                result.best_epoch = epoch
+                best = ([(Wl.copy(), Wr.copy(), a.copy())
+                         for (Wl, Wr, a) in params], b)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=True)
     params, b = best
     result.weights, result.bias = flat(params, b)[:-1], b
     train.unpersist(), val.unpersist()
