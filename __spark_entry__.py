@@ -92,6 +92,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "layout_compact": Q.q_layout_compact,
     "gat_stack_train": Q.q_gat_stack_train,
     "gat_stack_train_q": Q.q_gat_stack_train_q,
+    "gat_stack_train_sampled_q": Q.q_gat_stack_train_sampled_q,
     "hetero_neighbor_sample": Q.q_hetero_neighbor_sample,
     "hetero_link_train": Q.q_hetero_link_train,
     "token_pack": Q.q_token_pack,
@@ -234,13 +235,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins — 118 of the 124 registry queries, including the
+    """DuckDB twins — 120 of the 125 registry queries, including the
     seeded/sampled ops (md5-draw variants since round 7), the
-    retraining twins (BPE, IRLS, plain-GD link_pred_train) and the
-    forward-replay twin (hetero_forward_q). The six absent keys are the
-    deep trained-GNN queries (real multi-layer backprop: gradient float
-    sums are not quantized, so cross-engine bit-exactness is impossible
-    by design — the quantized forward and the integer-derived accuracy
-    history cover the replayable surface) → rows-only checks plus numpy
-    twins and exactness-anchor tests."""
+    retraining twins (BPE, IRLS, plain-GD link_pred_train,
+    gat_stack_train_q and its round-9 SAMPLED mini-batch sibling) and
+    the forward-replay twin (hetero_forward_q). The five absent keys
+    are the deep trained-GNN queries (real multi-layer backprop with
+    AdamW/unquantized floats: gradient float sums are not quantized,
+    so cross-engine bit-exactness is impossible by design — the
+    quantized forward and the integer-derived accuracy history cover
+    the replayable surface) → rows-only checks plus numpy twins and
+    exactness-anchor tests."""
     return dict(_oracle.ORACLES)

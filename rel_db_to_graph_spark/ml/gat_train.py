@@ -1525,7 +1525,12 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
                             epochs: int = 5, lr: float = 0.05,
                             val_frac: float = 0.2, seed: int = 42,
                             weight_decay: float = 0.01,
-                            edge_table: str | None = None) -> TrainResult:
+                            edge_table: str | None = None,
+                            optimizer: str = "adamw",
+                            quantize: bool = False,
+                            split_draw: str = "xxhash64",
+                            batch_draw: str = "xxhash64",
+                            sample_draw: str = "xxhash64") -> TrainResult:
     """Sampled mini-batch training of the FULL-DEPTH homogeneous GATv2
     stack — per-layer fanouts through k message-passing layers, the
     complete `[num_neighbors] * num_layers` LinkNeighborLoader shape
@@ -1544,7 +1549,16 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
     ``edge_table`` (a dst-bucketed table from
     sources.bucketed.write_edge_table) switches the per-batch probe to
     the bucket-store path — identical sampled edges, scan pruned to the
-    frontier's buckets/row groups instead of |E| per batch."""
+    frontier's buckets/row groups instead of |E| per batch.
+
+    ``optimizer='sgd'`` + ``quantize=True`` + md5 ``split_draw`` /
+    ``batch_draw`` / ``sample_draw`` is the cross-engine-replayable
+    config (the train_gat_stack convention extended to the MINI-BATCH
+    loop): DuckDB can then replay batch membership, the per-hop
+    neighbor draws, every quantized forward, and the per-batch GD
+    steps, putting the sampled training loop itself under the hash
+    gate (q_gat_stack_train_sampled_q). md5 draws require non-null
+    src/dst (the null-dropped edge frames guarantee it)."""
     from rel_db_to_graph_spark.operators.sampling import (
         sample_incoming,
         sample_incoming_store_multi,
@@ -1568,7 +1582,8 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
         dim = hidden
     b = 0.0
 
-    split = hash_split(examples, val_frac=val_frac, test_frac=0.0, seed=seed)
+    split = hash_split(examples, val_frac=val_frac, test_frac=0.0, seed=seed,
+                       draw=split_draw)
     train = split.filter(F.col("split") == "train").drop("split").cache()
     val = split.filter(F.col("split") == "val").drop("split").cache()
     # both split sizes in ONE job (two .count()s were pure floor)
@@ -1581,12 +1596,24 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
              else min(n_batches, max_batches))
     t0 = _tr("split + counts", t0)
 
+    def _member(epoch: int) -> F.Column:
+        # content-addressed batch membership; 'md5' is the
+        # DuckDB-replayable variant (same first-8-hex-chars parse as
+        # operators/split.py's md5 draw)
+        if batch_draw == "md5":
+            dig = F.md5(F.concat_ws(
+                ":", F.col("src").cast("string"),
+                F.col("dst").cast("string"), F.lit(str(seed + epoch))))
+            return F.pmod(F.conv(F.substring(dig, 1, 8), 16, 10)
+                          .cast("long"), F.lit(n_batches))
+        return F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
+                      F.lit(n_batches))
+
     def _prefetch(epoch: int) -> dict:
         # all of this epoch's sampled batch closures in O(hops) jobs —
         # parameter-independent; see train_hetero_gat_sampled._prefetch
-        tagged = train.withColumn(
-            "_bi", F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
-                          F.lit(n_batches))).filter(F.col("_bi") < steps)
+        tagged = (train.withColumn("_bi", _member(epoch))
+                  .filter(F.col("_bi") < steps))
         su = (tagged.select("_bi", F.col("src").alias("node_id"))
               .unionByName(tagged.select(
                   "_bi", F.col("dst").alias("node_id")))
@@ -1644,7 +1671,8 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
             dim = hidden
         return out, float(v[i])
 
-    opt = AdamW(lr=lr, weight_decay=weight_decay)
+    opt = (None if optimizer == "sgd"
+           else AdamW(lr=lr, weight_decay=weight_decay))
     result = TrainResult(weights=flat(params, b)[:-1], bias=b)
     best = (params, b)
     try:
@@ -1667,8 +1695,7 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
                 # instead of each paying a dedicated driver job of
                 # scheduling floor
                 batch = train.filter(
-                    F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
-                           F.lit(n_batches)) == bi).localCheckpoint(eager=False)
+                    _member(epoch) == bi).localCheckpoint(eager=False)
                 seeds = (batch.select(F.col("src").alias("node_id"))
                          .unionAll(batch.select(F.col("dst").alias("node_id")))
                          .distinct())
@@ -1678,7 +1705,7 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
                 else:
                     samp = sample_incoming(
                         edges, seeds, fanouts, seed=batch_seed,
-                    ).localCheckpoint(eager=False)
+                        draw=sample_draw).localCheckpoint(eager=False)
                 ids = (seeds
                        .unionAll(samp.select(F.col("src").alias("node_id")))
                        .unionAll(samp.select(F.col("dst").alias("node_id")))
@@ -1697,17 +1724,23 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
                 sub = allc.filter(F.col("kind") == "e").select("src", "dst")
                 fcut = allc.filter(F.col("kind") == "f").select("node_id",
                                                                 "emb")
-                stats = _stack_epoch(sub, fcut, batch, params, b)
+                stats = _stack_epoch(sub, fcut, batch, params, b,
+                                     quantize=quantize)
                 if stats["n"] == 0:
                     continue
                 gflat = flat([(g[0], g[1], np.array(g[2]))
                               for g in stats["grads"]], stats["gb"])
-                params, b = unflat(opt.step(flat(params, b), gflat))
+                if opt is None:
+                    stepped = [w - lr * g
+                               for w, g in zip(flat(params, b), gflat)]
+                else:
+                    stepped = opt.step(flat(params, b), gflat)
+                params, b = unflat(stepped)
                 losses.append(stats["loss"] * stats["n"])
                 ns.append(stats["n"])
             n_seen = sum(ns)
             vstats = _stack_epoch(val_sub, val_fcut, val, params, b,
-                                  with_grads=False)
+                                  with_grads=False, quantize=quantize)
             result.history.append({
                 "epoch": epoch,
                 "train_loss": (sum(losses) / n_seen) if n_seen else 0.0,

@@ -354,17 +354,19 @@ def sample_incoming_hetero(graph_edges: dict, seeds: dict,
 
 def sample_incoming(edges: DataFrame, seeds: DataFrame,
                     fanouts: list[int], seed: int = 42,
-                    hop0: int = 0) -> DataFrame:
+                    hop0: int = 0, draw: str = "xxhash64") -> DataFrame:
     """Homogeneous twin of ``sample_incoming_hetero``: ≤ fanout IN-edges
     per node per hop, frontier expanding backward through message flow
     (what a k-layer GNN reads to embed the seeds). Composes
     ``sample_subgraph`` over the reversed edge frame; returns
     (src, dst, hop) in ORIGINAL orientation. ``seeds`` carries a
-    ``node_id`` column."""
+    ``node_id`` column. ``draw='md5'`` switches the rank key to the
+    DuckDB-replayable hash (sample_neighbors' contract) — in REVERSED
+    orientation the key is md5(dst:src:seed+hop)."""
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     samp = sample_subgraph(
         rev, seeds.select(F.col("node_id").alias("src")), fanouts, seed,
-        hop0=hop0)
+        hop0=hop0, draw=draw)
     return samp.select(F.col("dst").alias("src"),
                        F.col("src").alias("dst"), "hop")
 

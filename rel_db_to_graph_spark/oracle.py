@@ -3405,11 +3405,416 @@ def _gat_stack_train_q_sql(hidden: int = 2, d_in: int = 2,
 GAT_STACK_TRAIN_Q = _gat_stack_train_q_sql(epochs=3, lr=0.5)
 
 
+def _gat_stack_train_sampled_q_sql(hidden: int = 2, d_in: int = 2,
+                                   layers: int = 2, epochs: int = 2,
+                                   steps: int = 2, batch_size: int = 128,
+                                   fanouts: tuple = (1, 1),
+                                   lr: float = 0.5, val_frac: float = 0.2,
+                                   seed: int = 42,
+                                   probe: str | None = None) -> str:
+    """Twin of queries.q_gat_stack_train_sampled_q — DuckDB RETRAINS
+    the 2-layer GATv2 stack through the MINI-BATCH sampled loop
+    (the tier left after round 8/9 put the forward, inference, scorer
+    training, and full-batch multi-layer backprop under the gate):
+
+      * the same ring+self-loop customer graph, features, stride
+        labels, and md5 0.8 split as _gat_stack_train_q_sql;
+      * batch COUNT from the data (ceil(|train| / batch_size), the
+        trainer's own formula) and per-epoch batch MEMBERSHIP as the
+        md5 first-8-hex-chars parse mod n_batches — the trainer's
+        batch_draw='md5' convention;
+      * per gradient step, the batch's 2-hop sampled in-edge closure
+        replayed draw-for-draw: row_number over md5(dst:src:seed+hop)
+        per dst (sample_neighbors' reversed-orientation md5 key,
+        tie-broken on src) capped at the hop fanout, frontier = the
+        previous hop's sampled srcs;
+      * the quantized forward over the sampled edge set, emitting
+        ZERO-vector embeddings for closure nodes without sampled
+        in-edges (the _forward_layer coalesce convention — leaf nodes
+        feed s = W·0 into the next layer, exactly like Spark);
+      * the full backprop restricted to the batch + sampled edges and
+        a plain-GD update per BATCH (w advances inside the epoch);
+      * after each epoch, validation decoded from a FULL-graph forward
+        — value-identical to the trainer's val-closure forward (the
+        documented exactness: val endpoints' k-hop dependency cones
+        are complete in both).
+
+    Output per epoch: (epoch, train_n, val_acc) — train_n is the
+    summed batch sizes (integer: checks membership), val_acc is
+    correct/n on the post-epoch weights (integer-derived: checks the
+    whole sampled loop; last-ulp gradient drift cannot flip it off
+    measure-zero boundaries). Assumes every replayed batch is
+    non-empty (the trainer SKIPS empty batches; with the fixed
+    testdata and ~batch_size·steps ≪ |train| this never triggers —
+    the pytest pin runs both engines on the real tables)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    init = []
+    dim = d_in
+    for _ in range(layers):
+        init.append((rng.normal(0, 0.5, size=(hidden, dim)),
+                     rng.normal(0, 0.5, size=(hidden, dim)),
+                     rng.normal(0, 0.5, size=hidden)))
+        dim = hidden
+    dims = range(1, hidden + 1)
+    indims = {L: (d_in if L == 0 else hidden) for L in range(layers)}
+
+    def lit(v: float) -> str:
+        return repr(float(v))
+
+    parts: list[str] = []
+    # --- graph, features, labels, split (same derivations as the
+    # full-batch twin — see _gat_stack_train_q_sql) -------------------
+    parts.append("cid AS MATERIALIZED ("
+                 + ids_scalable_cte("customer", "c_custkey") + ")")
+    parts.append("nn AS (SELECT count(*) AS n FROM cid)")
+    parts.append(
+        "degc AS (SELECT b.c_custkey AS pk, "
+        "CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE) AS degree FROM customer b "
+        "LEFT JOIN (SELECT pk, count(*) AS cnt FROM ("
+        "SELECT c_custkey AS pk FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE c_custkey IS NOT NULL "
+        "UNION ALL SELECT o_custkey FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE o_orderkey IS NOT NULL) GROUP BY pk) c "
+        "ON b.c_custkey = c.pk)")
+    parts.append("nfc AS (SELECT b.c_custkey AS pk, "
+                 "CAST(b.c_acctbal AS DOUBLE) AS f1, d.degree AS f2 "
+                 "FROM customer b JOIN degc d ON b.c_custkey = d.pk)")
+    parts.append("mxc AS (SELECT greatest(max(abs(f1)), 1e-12) AS m1, "
+                 "greatest(max(abs(f2)), 1e-12) AS m2 FROM nfc)")
+    parts.append("emb0 AS MATERIALIZED (SELECT cid.node_id, "
+                 "n.f1 / m.m1 AS e1, n.f2 / m.m2 AS e2 "
+                 "FROM nfc n JOIN cid ON n.pk = cid.pk, mxc m)")
+    parts.append("edges AS MATERIALIZED ("
+                 "SELECT node_id AS src, (node_id + 1) % n.n AS dst "
+                 "FROM cid, nn n "
+                 "UNION ALL SELECT node_id, node_id FROM cid)")
+    parts.append("cnk AS (SELECT cid.node_id, c_nationkey AS nk "
+                 "FROM customer JOIN cid ON c_custkey = cid.pk)")
+    parts.append("strides AS (SELECT s.node_id AS src, "
+                 "(s.node_id + k.k) % n.n AS dst "
+                 "FROM cnk s, (VALUES (1), (7), (13)) k(k), nn n)")
+    parts.append("ex0 AS (SELECT st.src, st.dst, "
+                 "CAST(sa.nk = sb.nk AS INTEGER) AS label FROM strides st "
+                 "JOIN cnk sa ON sa.node_id = st.src "
+                 "JOIN cnk sb ON sb.node_id = st.dst)")
+    cut = lit(1.0 - val_frac)
+    parts.append(
+        "exs AS MATERIALIZED (SELECT src, dst, label, "
+        f"({_hex32_sql(_edge_draw_sql(str(seed)))} / 4294967296.0) AS u "
+        "FROM ex0)")
+    parts.append("tr AS MATERIALIZED (SELECT src, dst, label FROM exs "
+                 f"WHERE u < CAST({cut} AS DOUBLE))")
+    parts.append("vl AS MATERIALIZED (SELECT src, dst, label FROM exs "
+                 f"WHERE NOT (u < CAST({cut} AS DOUBLE)))")
+    # the trainer's own batch-count formula, from the data
+    parts.append("nb AS (SELECT greatest(CAST(ceil(count(*) / "
+                 f"{float(batch_size)}) AS BIGINT), 1) AS nb FROM tr)")
+
+    # --- initial weights as one literal row (same rng sequence) ------
+    wcols = []
+    for L, (Wl, Wr, a) in enumerate(init):
+        for r in dims:
+            for c in range(1, indims[L] + 1):
+                wcols.append(f"{lit(Wl[r - 1][c - 1])} AS wl{L}_{r}{c}")
+                wcols.append(f"{lit(Wr[r - 1][c - 1])} AS wr{L}_{r}{c}")
+        for i in dims:
+            wcols.append(f"{lit(a[i - 1])} AS a{L}_{i}")
+    wcols.append("0.0 AS bb")
+    parts.append("w0 AS (SELECT " + ", ".join(wcols) + ")")
+
+    sig = SIGMOID
+
+    def forward(tag: str, w: str, edges_cte: str, base: str,
+                closure: str | None) -> str:
+        """Quantized stack forward over ``edges_cte`` starting from
+        ``base`` embeddings under weights ``w`` → fe{tag}_L per layer.
+        ``closure``: emit a row for EVERY closure node (zeros where no
+        in-edges — the _forward_layer coalesce); None = inner shape
+        (full graph: every node has in-edges)."""
+        prev = base
+        for L in range(layers):
+            nd = range(1, indims[L] + 1)
+            sp = ", ".join(
+                "0.0 + " + " + ".join(f"n.e{c} * w.wl{L}_{r}{c}"
+                                      for c in nd) + f" AS s{r}"
+                for r in dims)
+            tp = ", ".join(
+                "0.0 + " + " + ".join(f"n.e{c} * w.wr{L}_{r}{c}"
+                                      for c in nd) + f" AS t{r}"
+                for r in dims)
+            parts.append(f"sp{tag}_{L} AS (SELECT n.node_id, {sp} "
+                         f"FROM {prev} n, {w} w)")
+            parts.append(f"tp{tag}_{L} AS (SELECT n.node_id, {tp} "
+                         f"FROM {prev} n, {w} w)")
+            qs = ", ".join(f"sp.s{i} + tp.t{i} AS q{i}" for i in dims)
+            rs = ", ".join(
+                f"(CASE WHEN (sp.s{i} + tp.t{i}) > 0 "
+                f"THEN (sp.s{i} + tp.t{i}) "
+                f"ELSE (sp.s{i} + tp.t{i}) * 0.2 END) AS r{i}"
+                for i in dims)
+            ss = ", ".join(f"sp.s{i}" for i in dims)
+            parts.append(
+                f"ef{tag}_{L} AS MATERIALIZED (SELECT e.src, e.dst, {ss}, "
+                f"{qs}, {rs}, 0.0 + "
+                + " + ".join(
+                    f"(CASE WHEN (sp.s{i} + tp.t{i}) > 0 "
+                    f"THEN (sp.s{i} + tp.t{i}) "
+                    f"ELSE (sp.s{i} + tp.t{i}) * 0.2 END) * w.a{L}_{i}"
+                    for i in dims)
+                + f" AS ee FROM {edges_cte} e "
+                f"JOIN sp{tag}_{L} sp ON e.src = sp.node_id "
+                f"JOIN tp{tag}_{L} tp ON e.dst = tp.node_id, {w} w)")
+            parts.append(f"mxe{tag}_{L} AS (SELECT dst, max(ee) AS m "
+                         f"FROM ef{tag}_{L} GROUP BY dst)")
+            keep = ", ".join(f"f.s{i}" for i in dims) + ", " + \
+                ", ".join(f"f.q{i}" for i in dims) + ", " + \
+                ", ".join(f"f.r{i}" for i in dims)
+            parts.append(
+                f"aw{tag}_{L} AS MATERIALIZED (SELECT f.src, f.dst, "
+                f"{keep}, round(exp(f.ee - m.m), 6) AS wq "
+                f"FROM ef{tag}_{L} f JOIN mxe{tag}_{L} m ON f.dst = m.dst)")
+            parts.append(
+                f"z{tag}_{L} AS (SELECT dst, "
+                f"CAST(sum(CAST(wq AS DECIMAL(27,6))) AS DOUBLE) AS z "
+                f"FROM aw{tag}_{L} GROUP BY dst)")
+            parts.append(
+                f"al{tag}_{L} AS MATERIALIZED (SELECT a.*, a.wq / z.z "
+                f"AS alpha FROM aw{tag}_{L} a JOIN z{tag}_{L} z "
+                f"ON a.dst = z.dst)")
+            ms = ", ".join(
+                f"CAST(sum(CAST(round(alpha * s{i}, 6) "
+                f"AS DECIMAL(27,6))) AS DOUBLE) AS m{i}" for i in dims)
+            parts.append(f"ma{tag}_{L} AS (SELECT dst AS node_id, {ms} "
+                         f"FROM al{tag}_{L} GROUP BY dst)")
+            if closure is None:
+                es = ", ".join(
+                    f"round({sig.format(z=f'm{i}')}, 6) AS e{i}"
+                    for i in dims)
+                mcols = ", ".join(f"m{i}" for i in dims)
+                parts.append(f"fe{tag}_{L} AS MATERIALIZED "
+                             f"(SELECT node_id, {es}, {mcols} "
+                             f"FROM ma{tag}_{L})")
+            else:
+                es = ", ".join(
+                    "CASE WHEN m.node_id IS NULL THEN 0.0 ELSE round("
+                    + sig.format(z=f"m.m{i}") + f", 6) END AS e{i}"
+                    for i in dims)
+                mcols = ", ".join(f"COALESCE(m.m{i}, 0.0) AS m{i}"
+                                  for i in dims)
+                parts.append(
+                    f"fe{tag}_{L} AS MATERIALIZED (SELECT c.node_id, "
+                    f"{es}, {mcols} FROM {closure} c "
+                    f"LEFT JOIN ma{tag}_{L} m ON c.node_id = m.node_id)")
+            prev = f"fe{tag}_{L}"
+        return prev
+
+    def decode(tag: str, exset: str, w: str, name: str) -> None:
+        top = f"fe{tag}_{layers - 1}"
+        hu = ", ".join(f"hu.e{i} AS hu{i}" for i in dims)
+        hv = ", ".join(f"hv.e{i} AS hv{i}" for i in dims)
+        zc = ("(0.0 + "
+              + " + ".join(f"hu.e{i} * hv.e{i}" for i in dims)
+              + ") + w.bb")
+        parts.append(
+            f"sc{name} AS MATERIALIZED (SELECT s.src, s.dst, s.label, "
+            f"{hu}, {hv}, "
+            f"{sig.format(z=f'greatest(least({zc}, 30.0), -30.0)')} AS p "
+            f"FROM {exset} s JOIN {top} hu ON s.src = hu.node_id "
+            f"JOIN {top} hv ON s.dst = hv.node_id, {w} w)")
+        parts.append(
+            f"st{name} AS MATERIALIZED (SELECT count(*) AS n, "
+            f"sum(CAST(CAST(p > 0.5 AS INT) = label AS BIGINT)) "
+            f"AS correct, sum(p - CAST(label AS DOUBLE)) AS gb "
+            f"FROM sc{name})")
+
+    def backward(tag: str, w: str, sc: str, base: str) -> None:
+        """Backprop over the tag's forward (al{tag}_L / fe{tag}_L),
+        gradient source ``sc`` examples, layer-0 inputs ``base`` →
+        gwl{tag}_L / gwr{tag}_L / ga{tag}_L."""
+        gs = ", ".join(f"sum(g{i}) AS g{i}" for i in dims)
+        u1 = ", ".join(f"(s.p - CAST(s.label AS DOUBLE)) * s.hv{i} AS g{i}"
+                       for i in dims)
+        u2 = ", ".join(f"(s.p - CAST(s.label AS DOUBLE)) * s.hu{i} AS g{i}"
+                       for i in dims)
+        parts.append(
+            f"gtop{tag} AS MATERIALIZED (SELECT node_id, {gs} FROM ("
+            f"SELECT s.src AS node_id, {u1} FROM {sc} s "
+            f"UNION ALL SELECT s.dst AS node_id, {u2} FROM {sc} s) "
+            f"GROUP BY node_id)")
+        G = f"gtop{tag}"
+        for L in range(layers - 1, -1, -1):
+            H = f"fe{tag}_{L}"
+            emb_in = base if L == 0 else f"fe{tag}_{L - 1}"
+            gm = ", ".join(
+                f"g.g{i} * h.e{i} * (1 - h.e{i}) AS gm{i}" for i in dims)
+            c = "0.0 + " + " + ".join(
+                f"(g.g{i} * h.e{i} * (1 - h.e{i})) * h.m{i}"
+                for i in dims)
+            parts.append(
+                f"gm{tag}_{L} AS MATERIALIZED (SELECT g.node_id, {gm}, "
+                f"{c} AS c FROM {G} g JOIN {H} h "
+                f"ON g.node_id = h.node_id)")
+            keep = (", ".join(f"a.s{i}" for i in dims) + ", "
+                    + ", ".join(f"a.q{i}" for i in dims) + ", "
+                    + ", ".join(f"a.r{i}" for i in dims)
+                    + ", a.alpha, "
+                    + ", ".join(f"g.gm{i}" for i in dims))
+            dotgs = "0.0 + " + " + ".join(f"g.gm{i} * a.s{i}"
+                                          for i in dims)
+            parts.append(
+                f"eb{tag}_{L} AS MATERIALIZED (SELECT a.src, a.dst, "
+                f"{keep}, a.alpha * (({dotgs}) - g.c) AS ge "
+                f"FROM al{tag}_{L} a "
+                f"JOIN gm{tag}_{L} g ON a.dst = g.node_id)")
+            parts.append(
+                f"ga{tag}_{L} AS MATERIALIZED (SELECT "
+                + ", ".join(f"sum(ge * r{i}) AS ga{i}" for i in dims)
+                + f" FROM eb{tag}_{L})")
+            dq = {i: (f"e.ge * w.a{L}_{i} * (CASE WHEN e.q{i} > 0 "
+                      f"THEN 1.0 ELSE 0.2 END)") for i in dims}
+            parts.append(
+                f"ds{tag}_{L} AS MATERIALIZED (SELECT e.src AS node_id, "
+                + ", ".join(f"sum(e.alpha * e.gm{i} + {dq[i]}) AS d{i}"
+                            for i in dims)
+                + f" FROM eb{tag}_{L} e, {w} w GROUP BY e.src)")
+            parts.append(
+                f"dt{tag}_{L} AS MATERIALIZED (SELECT e.dst AS node_id, "
+                + ", ".join(f"sum({dq[i]}) AS d{i}" for i in dims)
+                + f" FROM eb{tag}_{L} e, {w} w GROUP BY e.dst)")
+            nd = range(1, indims[L] + 1)
+            parts.append(
+                f"gwl{tag}_{L} AS MATERIALIZED (SELECT "
+                + ", ".join(f"sum(d.d{r} * x.e{c}) AS g{r}{c}"
+                            for r in dims for c in nd)
+                + f" FROM ds{tag}_{L} d JOIN {emb_in} x "
+                f"ON d.node_id = x.node_id)")
+            parts.append(
+                f"gwr{tag}_{L} AS MATERIALIZED (SELECT "
+                + ", ".join(f"sum(d.d{r} * x.e{c}) AS g{r}{c}"
+                            for r in dims for c in nd)
+                + f" FROM dt{tag}_{L} d JOIN {emb_in} x "
+                f"ON d.node_id = x.node_id)")
+            if L > 0:
+                chain = ", ".join(
+                    "(0.0 + "
+                    + " + ".join(f"COALESCE(d.d{o}, 0.0) * w.wl{L}_{o}{j}"
+                                 for o in dims)
+                    + ") + (0.0 + "
+                    + " + ".join(f"COALESCE(e.d{o}, 0.0) * w.wr{L}_{o}{j}"
+                                 for o in dims)
+                    + f") AS g{j}" for j in dims)
+                parts.append(
+                    f"gch{tag}_{L} AS MATERIALIZED (SELECT "
+                    f"COALESCE(d.node_id, e.node_id) AS node_id, {chain} "
+                    f"FROM ds{tag}_{L} d FULL OUTER JOIN dt{tag}_{L} e "
+                    f"ON d.node_id = e.node_id, {w} w)")
+                G = f"gch{tag}_{L}"
+
+    def update(g: int, tag: str) -> None:
+        """w{g+1} = w{g} - lr · (Σg / n_batch) per cell (plain GD,
+        the batch's own n — the per-BATCH step of the sampled loop)."""
+        cols = []
+        for L in range(layers):
+            nd = range(1, indims[L] + 1)
+            for r in dims:
+                for c in nd:
+                    cols.append(f"w.wl{L}_{r}{c} - {lit(lr)} * "
+                                f"(gl{L}.g{r}{c} / s.n) AS wl{L}_{r}{c}")
+                    cols.append(f"w.wr{L}_{r}{c} - {lit(lr)} * "
+                                f"(gr{L}.g{r}{c} / s.n) AS wr{L}_{r}{c}")
+            for i in dims:
+                cols.append(f"w.a{L}_{i} - {lit(lr)} * "
+                            f"(gal{L}.ga{i} / s.n) AS a{L}_{i}")
+        cols.append(f"w.bb - {lit(lr)} * (s.gb / s.n) AS bb")
+        froms = ", ".join(
+            [f"w{g} w", f"stt{g} s"]
+            + [f"gwl{tag}_{L} gl{L}" for L in range(layers)]
+            + [f"gwr{tag}_{L} gr{L}" for L in range(layers)]
+            + [f"ga{tag}_{L} gal{L}" for L in range(layers)])
+        parts.append(f"w{g + 1} AS MATERIALIZED (SELECT "
+                     + ", ".join(cols) + f" FROM {froms})")
+
+    for t in range(epochs):
+        # per-epoch md5 batch membership over the train split
+        parts.append(
+            f"mb{t} AS MATERIALIZED (SELECT src, dst, label, "
+            f"({_hex32_sql(_edge_draw_sql(str(seed + t)))} % b.nb) AS bi "
+            "FROM tr, nb b)")
+        for k in range(steps):
+            g = t * steps + k
+            bseed = seed + 7919 * t + 104729 * k
+            parts.append(f"bx{g} AS MATERIALIZED (SELECT src, dst, label "
+                         f"FROM mb{t} WHERE bi = {k})")
+            parts.append(f"sd{g} AS MATERIALIZED ("
+                         f"SELECT src AS node_id FROM bx{g} "
+                         f"UNION SELECT dst FROM bx{g})")
+            hop_names = []
+            for j, f in enumerate(fanouts):
+                fr = f"sd{g}" if j == 0 else f"fr{g}_{j}"
+                if j > 0:
+                    parts.append(
+                        f"fr{g}_{j} AS (SELECT DISTINCT src AS node_id "
+                        f"FROM hp{g}_{j - 1})")
+                # sample_neighbors over the REVERSED graph: partition by
+                # the message target (orig dst), md5(dst:src:seed+hop)
+                # rank key, src tie-break, ≤ fanout
+                parts.append(
+                    f"hp{g}_{j} AS MATERIALIZED (SELECT src, dst FROM ("
+                    f"SELECT e.src, e.dst, row_number() OVER ("
+                    f"PARTITION BY e.dst ORDER BY "
+                    f"md5(CAST(e.dst AS VARCHAR) || ':' || "
+                    f"CAST(e.src AS VARCHAR) || ':{bseed + j}'), e.src) "
+                    f"AS rk FROM edges e JOIN {fr} f "
+                    f"ON e.dst = f.node_id) WHERE rk <= {int(f)})")
+                hop_names.append(f"hp{g}_{j}")
+            parts.append(
+                f"sub{g} AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+                + " UNION ALL ".join(f"SELECT src, dst FROM {h}"
+                                     for h in hop_names) + "))")
+            parts.append(
+                f"cl{g} AS MATERIALIZED (SELECT node_id FROM sd{g} "
+                f"UNION SELECT src FROM sub{g} "
+                f"UNION SELECT dst FROM sub{g})")
+            ecols = ", ".join(f"e.e{c}" for c in range(1, d_in + 1))
+            parts.append(f"em{g} AS MATERIALIZED (SELECT e.node_id, "
+                         f"{ecols} FROM emb0 e JOIN cl{g} c "
+                         f"ON e.node_id = c.node_id)")
+            forward(f"b{g}", f"w{g}", f"sub{g}", f"em{g}",
+                    closure=f"cl{g}")
+            decode(f"b{g}", f"bx{g}", f"w{g}", f"t{g}")
+            backward(f"b{g}", f"w{g}", f"sct{g}", f"em{g}")
+            update(g, f"b{g}")
+        # post-epoch validation: full-graph forward (value-identical to
+        # the trainer's once-computed val closure at the val endpoints)
+        gend = (t + 1) * steps
+        forward(f"v{t}", f"w{gend}", "edges", "emb0", closure=None)
+        decode(f"v{t}", "vl", f"w{gend}", f"v{t}")
+    finals = [
+        f"SELECT CAST({t} AS INTEGER) AS epoch, CAST("
+        + " + ".join(f"stt{t * steps + k}.n" for k in range(steps))
+        + f" AS BIGINT) AS train_n, "
+        f"CAST(stv{t}.correct AS DOUBLE) / stv{t}.n AS val_acc FROM "
+        + ", ".join([f"stt{t * steps + k}" for k in range(steps)]
+                    + [f"stv{t}"])
+        for t in range(epochs)]
+    if probe:                               # debugging aid, not an oracle
+        finals = [probe]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+GAT_STACK_TRAIN_SAMPLED_Q = _gat_stack_train_sampled_q_sql()
+
+
 #: name -> oracle SQL (queries without an entry get rows-only checks)
 ORACLES: dict[str, str] = {
     "hetero_forward_q": HETERO_FORWARD_Q,
     "recommend_gnn": RECOMMEND_GNN,
     "gat_stack_train_q": GAT_STACK_TRAIN_Q,
+    "gat_stack_train_sampled_q": GAT_STACK_TRAIN_SAMPLED_Q,
     "link_pred_train": LINK_PRED_TRAIN,
     "catalog_tables": CATALOG_TABLES,
     "edge_catalog": EDGE_CATALOG,

@@ -784,6 +784,64 @@ def q_gat_stack_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epoch int, train_acc double, val_acc double")
 
 
+def q_gat_stack_train_sampled_q(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """L2→L10 SAMPLED mini-batch training under the hash gate (round 9
+    — the last GNN tier without a hash-checked representative after
+    the forward / inference / scorer-training / full-batch-backprop
+    rungs): the 2-layer GATv2 stack trained through 2-hop sampled
+    in-edge closures with fanout 1 (REAL draw divergence — each node
+    keeps 1 of its 2 in-edges on the ring+self-loop graph), md5
+    content-addressed batch membership, per-BATCH plain-GD steps on
+    6-dp quantized forwards, and the md5 split. The DuckDB twin
+    (oracle.py::_gat_stack_train_sampled_q_sql) RETRAINS the whole
+    loop: it re-derives n_batches from the data, replays every batch's
+    membership, both hops' md5 neighbor draws (row_number per dst over
+    md5(dst:src:seed+hop)), the zero-coalesced closure forwards, the
+    restricted backprop, and the per-batch updates; per epoch it
+    outputs (train_n, val_acc) — both integer-derived, immune to
+    gradient-sum last-ulp drift. The production xxhash64/AdamW sampled
+    trainer stays driver-visible as q_gat_stack_train_sampled."""
+    from rel_db_to_graph_spark.ml.gat_train import train_gat_stack_sampled
+    from rel_db_to_graph_spark.ml.hetero import node_features_normalized
+
+    g = build_graph(spark, sf_dir)
+    cust = g["nodes"]["customer"]
+    feats = node_features_normalized({"customer": cust})["customer"][0]
+    n_nodes = cust.count()
+    ring = cust.select(
+        F.col("node_id").alias("src"),
+        ((F.col("node_id") + 1) % F.lit(n_nodes)).alias("dst"))
+    loops = g["edges"][("customer", "SELF_LOOP", "customer")]
+    edges = ring.unionByName(loops.select("src", "dst"))
+    raw = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pk"), "c_nationkey")
+    cn = (cust.select("node_id", "pk").join(raw, "pk")
+          .select("node_id", F.col("c_nationkey").alias("_nk")))
+    strides = None
+    for k in (1, 7, 13):
+        s = cn.select(F.col("node_id").alias("src"),
+                      ((F.col("node_id") + k) % F.lit(n_nodes)).alias("dst"))
+        strides = s if strides is None else strides.unionByName(s)
+    pairs = (strides
+             .join(cn.select(F.col("node_id").alias("src"),
+                             F.col("_nk").alias("_na")), "src")
+             .join(cn.select(F.col("node_id").alias("dst"),
+                             F.col("_nk").alias("_nb")), "dst")
+             .select("src", "dst",
+                     (F.col("_na") == F.col("_nb")).cast("int")
+                     .alias("label")))
+    res = train_gat_stack_sampled(
+        edges, feats, pairs, hidden=2, layers=2, fanouts=[1, 1],
+        batch_size=128, max_batches=2, epochs=2, lr=0.5, seed=42,
+        optimizer="sgd", quantize=True, split_draw="md5",
+        batch_draw="md5", sample_draw="md5")
+    return spark.createDataFrame(
+        [(h["epoch"], int(h["train_n"]), float(h["val_acc"]))
+         for h in res.history],
+        "epoch int, train_n long, val_acc double")
+
+
 def q_recommend_gnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G9+L5+L6+A7, HASH-CHECKED since round 9 (VERDICT r8 item 3; was
     rows-only): the reference's full inference path — graph mutation
