@@ -48,6 +48,8 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
+from contextlib import ExitStack
 
 import numpy as np
 from pyspark.sql import DataFrame, Window
@@ -1333,9 +1335,14 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
                        seed=seed)
     train = split.filter(F.col("split") == "train").drop("split").cache()
     val = split.filter(F.col("split") == "val").drop("split").cache()
-    # both split sizes in ONE job (two .count()s were pure floor)
-    cnt = {r["split"]: r["n"] for r in
-           split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # both split sizes in ONE job (two .count()s were pure floor) —
+    # counted THROUGH the cached frames so the job also fills both
+    # caches before the background prefetch and the val-closure build
+    # race to read them
+    cnt = {r["_s"]: r["n"] for r in
+           (train.select(F.lit("train").alias("_s"))
+            .unionByName(val.select(F.lit("val").alias("_s")))
+            .groupBy("_s").agg(F.count("*").alias("n"))).collect()}
     n_train = int(cnt.get("train", 0))
     n_val = int(cnt.get("val", 0))
     n_batches = max(1, -(-n_train // max(1, batch_size)))
@@ -1368,10 +1375,20 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
             {bi: seed + 7919 * epoch + 104729 * bi for bi in range(steps)})
 
     pool = fut = None
+    _scope = ExitStack()
     if edge_tables is not None:
         # epoch 0's sampling overlaps the val-closure build below;
-        # epoch e+1's sampling overlaps epoch e's gradient steps
-        from concurrent.futures import ThreadPoolExecutor
+        # epoch e+1's sampling overlaps epoch e's gradient steps.
+        # The bucket-scan planner override is held for the WHOLE run
+        # (session confs are not thread-local — per-prefetch set/unset
+        # from the background thread would flicker under the main
+        # thread's planning; inside the trainer the only bucketed-table
+        # scans are the store probes, which want it off anyway)
+        from rel_db_to_graph_spark.operators.sampling import (
+            _forced_bucketed_scan,
+        )
+        _scope.enter_context(
+            _forced_bucketed_scan(examples.sparkSession))
         pool = ThreadPoolExecutor(max_workers=1)
         fut = pool.submit(_prefetch, 0)
 
@@ -1510,6 +1527,7 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
     finally:
         if pool is not None:
             pool.shutdown(wait=True)
+        _scope.close()
     params, b = best
     result.weights, result.bias = flat(params, b)[:-1], b
     train.unpersist(), val.unpersist()
@@ -1586,9 +1604,14 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
                        draw=split_draw)
     train = split.filter(F.col("split") == "train").drop("split").cache()
     val = split.filter(F.col("split") == "val").drop("split").cache()
-    # both split sizes in ONE job (two .count()s were pure floor)
-    cnt = {r["split"]: r["n"] for r in
-           split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # both split sizes in ONE job (two .count()s were pure floor) —
+    # counted THROUGH the cached frames so the job also fills both
+    # caches before the background prefetch and the val-closure build
+    # race to read them
+    cnt = {r["_s"]: r["n"] for r in
+           (train.select(F.lit("train").alias("_s"))
+            .unionByName(val.select(F.lit("val").alias("_s")))
+            .groupBy("_s").agg(F.count("*").alias("n"))).collect()}
     n_train = int(cnt.get("train", 0))
     n_val = int(cnt.get("val", 0))
     n_batches = max(1, -(-n_train // max(1, batch_size)))
@@ -1623,13 +1646,20 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
             fr[int(r["_bi"])].append(r["node_id"])
         return sample_incoming_store_multi(
             examples.sparkSession, edge_table, fr, fanouts,
-            {bi: seed + 7919 * epoch + 104729 * bi for bi in range(steps)})
+            {bi: seed + 7919 * epoch + 104729 * bi for bi in range(steps)},
+            draw=sample_draw)
 
     pool = fut = None
+    _scope = ExitStack()
     if edge_table is not None:
         # epoch 0's sampling overlaps the val-closure build below;
-        # epoch e+1's sampling overlaps epoch e's gradient steps
-        from concurrent.futures import ThreadPoolExecutor
+        # epoch e+1's sampling overlaps epoch e's gradient steps; the
+        # planner override is run-scoped — see train_hetero_gat_sampled
+        from rel_db_to_graph_spark.operators.sampling import (
+            _forced_bucketed_scan,
+        )
+        _scope.enter_context(
+            _forced_bucketed_scan(examples.sparkSession))
         pool = ThreadPoolExecutor(max_workers=1)
         fut = pool.submit(_prefetch, 0)
 
@@ -1755,6 +1785,7 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
     finally:
         if pool is not None:
             pool.shutdown(wait=True)
+        _scope.close()
     params, b = best
     result.weights, result.bias = flat(params, b)[:-1], b
     train.unpersist(), val.unpersist()

@@ -152,7 +152,8 @@ def sample_hetero_subgraph(graph: dict, seeds: dict[str, DataFrame],
 def sample_incoming_store_multi(spark, table: str,
                                 frontiers: dict[int, list],
                                 fanouts: list[int],
-                                seeds: dict[int, int]) -> dict:
+                                seeds: dict[int, int],
+                                draw: str = "xxhash64") -> dict:
     """Fused multi-batch ``sample_incoming_store``: sample EVERY
     mini-batch's in-edge closure in one driver job per hop instead of
     one per batch per hop (VERDICT r8 item 7 — the sampled trainers'
@@ -185,7 +186,7 @@ def sample_incoming_store_multi(spark, table: str,
                     [(int(i),) for i in cur[tag]], "node_id bigint")
                 branches.append(
                     sample_incoming(pruned, fr_df, [fanout], seeds[tag],
-                                    hop0=hop)
+                                    hop0=hop, draw=draw)
                     .withColumn("_tag", F.lit(int(tag))))
             fused = branches[0]
             for b in branches[1:]:
@@ -216,7 +217,8 @@ def sample_incoming_store_multi(spark, table: str,
 def sample_incoming_hetero_store_multi(spark, tables: dict,
                                        frontiers: dict[int, dict],
                                        fanouts: list[int],
-                                       seeds: dict[int, int]) -> dict:
+                                       seeds: dict[int, int],
+                                       draw: str = "xxhash64") -> dict:
     """Hetero twin of ``sample_incoming_store_multi``: one driver job
     per hop samples every batch's hetero in-edge closure (union of
     per-(batch, edge-type) branches over SHARED bucket-pruned probes),
@@ -252,7 +254,8 @@ def sample_incoming_hetero_store_multi(spark, tables: dict,
                     for t, ids in fr.items() if ids}
                 branches.append(
                     sample_incoming_hetero(live, fr_dfs, [fanout],
-                                           seeds[tag], hop0=hop)
+                                           seeds[tag], hop0=hop,
+                                           draw=draw)
                     .withColumn("_tag", F.lit(int(tag))))
             if not branches:
                 break
@@ -272,10 +275,19 @@ def sample_incoming_hetero_store_multi(spark, tables: dict,
                     r["src_table"], set()).add(r["src"])
             cur = {tag: {t: sorted(ids) for t, ids in fr.items()}
                    for tag, fr in nxt.items()}
+    hempty = spark.createDataFrame(
+        [], "src_table string, relation string, dst_table string, "
+            "src bigint, dst bigint, hop int")
     out = {}
     for tag in frontiers:
         if not layers[tag]:
-            raise ValueError("no edge type matched any seed node type")
+            if any(ids for ids in frontiers[tag].values()):
+                # a NONEMPTY frontier no edge type reaches is the
+                # per-batch path's structural error; an empty batch is
+                # not — the trainers skip it via stats n == 0
+                raise ValueError("no edge type matched any seed node type")
+            out[tag] = hempty
+            continue
         df = layers[tag][0]
         for p in layers[tag][1:]:
             df = df.unionAll(p)
@@ -326,7 +338,8 @@ def negative_sample(positives: DataFrame, node_ids: DataFrame,
 
 def sample_incoming_hetero(graph_edges: dict, seeds: dict,
                            fanouts: list[int], seed: int = 42,
-                           hop0: int = 0) -> DataFrame:
+                           hop0: int = 0,
+                           draw: str = "xxhash64") -> DataFrame:
     """L2 in the MESSAGE-DEPENDENCY direction (LinkNeighborLoader,
     dataloader.py:24-51): ≤ fanout IN-edges per target node per edge
     type, frontier expanding backward through message flow — the
@@ -345,7 +358,8 @@ def sample_incoming_hetero(graph_edges: dict, seeds: dict,
         (d, rel, s): df.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst"))
         for (s, rel, d), df in graph_edges.items()}}
-    samp = sample_hetero_subgraph(rev, seeds, fanouts, seed=seed, hop0=hop0)
+    samp = sample_hetero_subgraph(rev, seeds, fanouts, seed=seed, hop0=hop0,
+                                  draw=draw)
     return samp.select(
         F.col("dst_table").alias("src_table"), "relation",
         F.col("src_table").alias("dst_table"),

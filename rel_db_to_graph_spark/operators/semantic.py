@@ -76,11 +76,16 @@ def _gemm_cell_fn(threshold: float):
         # same dot/(|a|·|b|) formula shape as the scalar path, so the
         # only divergence is GEMM's blocked sum order vs the fold's
         # sequential order (last-ulp — the existing 6-dp-round-before-
-        # compare convention absorbs exactly that class). np.round is
-        # round-half-even vs the JVM/DuckDB HALF_UP, but a cosine
-        # landing EXACTLY on a 6-dp midpoint is measure-zero in
-        # float64; tests/test_semantic.py pins GEMM == scalar on real
-        # data and the DuckDB oracle re-checks the survivors.
+        # compare convention absorbs exactly that class). np.round
+        # (scale-by-1e6 + rint, half-even ties) is NOT the JVM/DuckDB
+        # exact-decimal HALF_UP: besides exact midpoints (measure-zero)
+        # it can flip a value whose scaled double lands within ~1 ulp
+        # of a .5 boundary — O(1e-11) per pair and DETERMINISTIC for
+        # fixed inputs, so the oracle-gated query cannot flake; at a
+        # data refresh a survivor-set diff of a few rows in ~1e11
+        # pairs is the expected noise floor. tests/test_semantic.py
+        # pins GEMM == scalar on real data and the DuckDB oracle
+        # re-checks the survivors.
         na = np.sqrt((a * a).sum(axis=1))
         nb = np.sqrt((b * b).sum(axis=1))
         sims = np.round((a @ b.T) / (na[:, None] * nb[None, :]), 6)

@@ -3082,57 +3082,17 @@ HETERO_FORWARD_Q = _hetero_forward_q_sql()
 RECOMMEND_GNN = _hetero_forward_q_sql(recommend_k=10)
 
 
-def _gat_stack_train_q_sql(hidden: int = 2, d_in: int = 2,
-                           layers: int = 2, epochs: int = 2,
-                           lr: float = 0.05, val_frac: float = 0.2,
-                           seed: int = 42,
-                           probe: str | None = None) -> str:
-    """Twin of queries.q_gat_stack_train_q — DuckDB RETRAINS the
-    2-layer homogeneous GATv2 stack (VERDICT r8 item 4: real
-    multi-layer BACKPROP under the cross-engine gate):
-
-      * the same graph re-derived from raw parquet: bucketed scalable
-        customer ids, ring (i → (i+1) mod n) + self loops, max-abs
-        scaled (c_acctbal, degree) features, stride-pair labels,
-        md5-draw 0.8 split;
-      * per weight state w_t, ONE quantized forward (both layers:
-        round(exp(e-max), 6) + DECIMAL softmax sums, round(α·s, 6) +
-        DECIMAL message sums, round(sigmoid, 6) outputs — the
-        _forward_layer quantize=True contract), shared between epoch
-        t's train stats and epoch t-1's val stats;
-      * per epoch, the FULL backprop as CTE algebra mirroring
-        ml/gat_train.py::_backward_layer_frames: decoder grads
-        G = Σ err·h_other, sigmoid chain gm = g·h·(1-h), the softmax
-        Jacobian ge = α·(gm·s − gm·m), the LeakyReLU gate on
-        dq = ge·a·(q>0 ? 1 : 0.2), per-node ds/dt sums, the outer-
-        product weight gradients, and the Wlᵀ·ds + Wrᵀ·dt chain into
-        layer 1;
-      * the plain-GD update w ← w − lr·(Σg/n) per cell.
-
-    Gradient sums are NOT quantized on either side — the history is
-    the integer-derived accuracy timeline (train acc at pre-step
-    weights, val acc at post-step weights), which last-ulp gradient
-    divergence cannot flip off measure-zero boundaries (the
-    link_pred_train convention). Initial weights re-drawn with the
-    identical numpy default_rng sequence, inlined as literals."""
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    init = []
-    dim = d_in
-    for _ in range(layers):
-        init.append((rng.normal(0, 0.5, size=(hidden, dim)),
-                     rng.normal(0, 0.5, size=(hidden, dim)),
-                     rng.normal(0, 0.5, size=hidden)))
-        dim = hidden
-    dims = range(1, hidden + 1)
-    indims = {L: (d_in if L == 0 else hidden) for L in range(layers)}
-
+def _gat_ring_setup_parts(val_frac: float, seed: int) -> list:
+    """The stack-trainer twins' shared prelude: scalable-id
+    customer graph (ring + self loops), max-abs scaled
+    (c_acctbal, degree) features, stride-pair same-nation
+    labels, md5-draw split — the SQL re-derivation of
+    queries._ring_stride_fixture, emitted once for both
+    _gat_stack_train_q_sql and its sampled sibling."""
     def lit(v: float) -> str:
         return repr(float(v))
 
-    parts: list[str] = []
-    # --- graph, features, labels, split (engine derivations) ---------
+    parts: list = []
     parts.append("cid AS MATERIALIZED ("
                  + ids_scalable_cte("customer", "c_custkey") + ")")
     parts.append("nn AS (SELECT count(*) AS n FROM cid)")
@@ -3177,276 +3137,13 @@ def _gat_stack_train_q_sql(hidden: int = 2, d_in: int = 2,
                  f"WHERE u < CAST({cut} AS DOUBLE))")
     parts.append("vl AS MATERIALIZED (SELECT src, dst, label FROM exs "
                  f"WHERE NOT (u < CAST({cut} AS DOUBLE)))")
-    # --- initial weights as one literal row --------------------------
-    wcols = []
-    for L, (Wl, Wr, a) in enumerate(init):
-        for r in dims:
-            for c in range(1, indims[L] + 1):
-                wcols.append(f"{lit(Wl[r - 1][c - 1])} AS wl{L}_{r}{c}")
-                wcols.append(f"{lit(Wr[r - 1][c - 1])} AS wr{L}_{r}{c}")
-        for i in dims:
-            wcols.append(f"{lit(a[i - 1])} AS a{L}_{i}")
-    wcols.append("0.0 AS bb")
-    parts.append("w0 AS (SELECT " + ", ".join(wcols) + ")")
-
-    sig = SIGMOID
-
-    def forward(t: int) -> None:
-        """Quantized 2-layer forward under weights w{t} → fe{t}_L<L+1>
-        (node_id, e1.., m1..) per layer output."""
-        prev = "emb0"
-        for L in range(layers):
-            nd = range(1, indims[L] + 1)
-            sp = ", ".join(
-                "0.0 + " + " + ".join(f"n.e{c} * w.wl{L}_{r}{c}"
-                                      for c in nd) + f" AS s{r}"
-                for r in dims)
-            tp = ", ".join(
-                "0.0 + " + " + ".join(f"n.e{c} * w.wr{L}_{r}{c}"
-                                      for c in nd) + f" AS t{r}"
-                for r in dims)
-            parts.append(f"sp{t}_{L} AS (SELECT n.node_id, {sp} "
-                         f"FROM {prev} n, w{t} w)")
-            parts.append(f"tp{t}_{L} AS (SELECT n.node_id, {tp} "
-                         f"FROM {prev} n, w{t} w)")
-            qs = ", ".join(f"sp.s{i} + tp.t{i} AS q{i}" for i in dims)
-            rs = ", ".join(
-                f"(CASE WHEN (sp.s{i} + tp.t{i}) > 0 "
-                f"THEN (sp.s{i} + tp.t{i}) "
-                f"ELSE (sp.s{i} + tp.t{i}) * 0.2 END) AS r{i}"
-                for i in dims)
-            ss = ", ".join(f"sp.s{i}" for i in dims)
-            parts.append(
-                f"ef{t}_{L} AS MATERIALIZED (SELECT e.src, e.dst, {ss}, "
-                f"{qs}, {rs}, 0.0 + "
-                + " + ".join(
-                    f"(CASE WHEN (sp.s{i} + tp.t{i}) > 0 "
-                    f"THEN (sp.s{i} + tp.t{i}) "
-                    f"ELSE (sp.s{i} + tp.t{i}) * 0.2 END) * w.a{L}_{i}"
-                    for i in dims)
-                + f" AS ee FROM edges e "
-                f"JOIN sp{t}_{L} sp ON e.src = sp.node_id "
-                f"JOIN tp{t}_{L} tp ON e.dst = tp.node_id, w{t} w)")
-            parts.append(f"mxe{t}_{L} AS (SELECT dst, max(ee) AS m "
-                         f"FROM ef{t}_{L} GROUP BY dst)")
-            keep = ", ".join(f"f.s{i}" for i in dims) + ", " + \
-                ", ".join(f"f.q{i}" for i in dims) + ", " + \
-                ", ".join(f"f.r{i}" for i in dims)
-            parts.append(
-                f"aw{t}_{L} AS MATERIALIZED (SELECT f.src, f.dst, {keep}, "
-                f"round(exp(f.ee - m.m), 6) AS wq FROM ef{t}_{L} f "
-                f"JOIN mxe{t}_{L} m ON f.dst = m.dst)")
-            parts.append(
-                f"z{t}_{L} AS (SELECT dst, "
-                f"CAST(sum(CAST(wq AS DECIMAL(27,6))) AS DOUBLE) AS z "
-                f"FROM aw{t}_{L} GROUP BY dst)")
-            parts.append(
-                f"al{t}_{L} AS MATERIALIZED (SELECT a.*, a.wq / z.z "
-                f"AS alpha FROM aw{t}_{L} a JOIN z{t}_{L} z "
-                f"ON a.dst = z.dst)")
-            ms = ", ".join(
-                f"CAST(sum(CAST(round(alpha * s{i}, 6) "
-                f"AS DECIMAL(27,6))) AS DOUBLE) AS m{i}" for i in dims)
-            parts.append(f"ma{t}_{L} AS (SELECT dst AS node_id, {ms} "
-                         f"FROM al{t}_{L} GROUP BY dst)")
-            es = ", ".join(
-                f"round({sig.format(z=f'm{i}')}, 6) AS e{i}"
-                for i in dims)
-            mcols = ", ".join(f"m{i}" for i in dims)
-            parts.append(f"fe{t}_{L} AS MATERIALIZED "
-                         f"(SELECT node_id, {es}, {mcols} FROM ma{t}_{L})")
-            prev = f"fe{t}_{L}"
-
-    def decode(t: int, exset: str, wt: int, name: str) -> None:
-        """Decoder pass of example set ``exset`` against forward
-        fe{t}_* embeddings and weights w{wt} → sc<name> (per-example
-        p/err) and st<name> (n, correct, gb)."""
-        top = f"fe{t}_{layers - 1}"
-        hu = ", ".join(f"hu.e{i} AS hu{i}" for i in dims)
-        hv = ", ".join(f"hv.e{i} AS hv{i}" for i in dims)
-        zc = ("(0.0 + "
-              + " + ".join(f"hu.e{i} * hv.e{i}" for i in dims)
-              + ") + w.bb")
-        parts.append(
-            f"sc{name} AS MATERIALIZED (SELECT s.src, s.dst, s.label, "
-            f"{hu}, {hv}, "
-            f"{sig.format(z=f'greatest(least({zc}, 30.0), -30.0)')} AS p "
-            f"FROM {exset} s JOIN {top} hu ON s.src = hu.node_id "
-            f"JOIN {top} hv ON s.dst = hv.node_id, w{wt} w)")
-        parts.append(
-            f"st{name} AS MATERIALIZED (SELECT count(*) AS n, "
-            f"sum(CAST(CAST(p > 0.5 AS INT) = label AS BIGINT)) "
-            f"AS correct, sum(p - CAST(label AS DOUBLE)) AS gb "
-            f"FROM sc{name})")
-
-    def backward(t: int) -> None:
-        """Backprop of epoch t (train set, weights w{t}, forward
-        fe{t}_*) → gradient CTEs gwl{t}_L / gwr{t}_L / ga{t}_L."""
-        # decoder grads: G = Σ err·h_other over both endpoint roles
-        gs = ", ".join(f"sum(g{i}) AS g{i}" for i in dims)
-        u1 = ", ".join(f"(s.p - CAST(s.label AS DOUBLE)) * s.hv{i} AS g{i}"
-                       for i in dims)
-        u2 = ", ".join(f"(s.p - CAST(s.label AS DOUBLE)) * s.hu{i} AS g{i}"
-                       for i in dims)
-        parts.append(
-            f"gtop{t} AS MATERIALIZED (SELECT node_id, {gs} FROM ("
-            f"SELECT s.src AS node_id, {u1} FROM sct{t} s "
-            f"UNION ALL SELECT s.dst AS node_id, {u2} FROM sct{t} s) "
-            f"GROUP BY node_id)")
-        G = f"gtop{t}"
-        for L in range(layers - 1, -1, -1):
-            H = f"fe{t}_{L}"
-            emb_in = "emb0" if L == 0 else f"fe{t}_{L - 1}"
-            gm = ", ".join(
-                f"g.g{i} * h.e{i} * (1 - h.e{i}) AS gm{i}" for i in dims)
-            c = "0.0 + " + " + ".join(
-                f"(g.g{i} * h.e{i} * (1 - h.e{i})) * h.m{i}"
-                for i in dims)
-            parts.append(
-                f"gm{t}_{L} AS MATERIALIZED (SELECT g.node_id, {gm}, "
-                f"{c} AS c FROM {G} g JOIN {H} h "
-                f"ON g.node_id = h.node_id)")
-            keep = (", ".join(f"a.s{i}" for i in dims) + ", "
-                    + ", ".join(f"a.q{i}" for i in dims) + ", "
-                    + ", ".join(f"a.r{i}" for i in dims)
-                    + ", a.alpha, "
-                    + ", ".join(f"g.gm{i}" for i in dims))
-            dotgs = "0.0 + " + " + ".join(f"g.gm{i} * a.s{i}"
-                                          for i in dims)
-            parts.append(
-                f"eb{t}_{L} AS MATERIALIZED (SELECT a.src, a.dst, {keep}, "
-                f"a.alpha * (({dotgs}) - g.c) AS ge FROM al{t}_{L} a "
-                f"JOIN gm{t}_{L} g ON a.dst = g.node_id)")
-            parts.append(
-                f"ga{t}_{L} AS MATERIALIZED (SELECT "
-                + ", ".join(f"sum(ge * r{i}) AS ga{i}" for i in dims)
-                + f" FROM eb{t}_{L})")
-            dq = {i: (f"e.ge * w.a{L}_{i} * (CASE WHEN e.q{i} > 0 "
-                      f"THEN 1.0 ELSE 0.2 END)") for i in dims}
-            parts.append(
-                f"ds{t}_{L} AS MATERIALIZED (SELECT e.src AS node_id, "
-                + ", ".join(f"sum(e.alpha * e.gm{i} + {dq[i]}) AS d{i}"
-                            for i in dims)
-                + f" FROM eb{t}_{L} e, w{t} w GROUP BY e.src)")
-            parts.append(
-                f"dt{t}_{L} AS MATERIALIZED (SELECT e.dst AS node_id, "
-                + ", ".join(f"sum({dq[i]}) AS d{i}" for i in dims)
-                + f" FROM eb{t}_{L} e, w{t} w GROUP BY e.dst)")
-            nd = range(1, indims[L] + 1)
-            parts.append(
-                f"gwl{t}_{L} AS MATERIALIZED (SELECT "
-                + ", ".join(f"sum(d.d{r} * x.e{c}) AS g{r}{c}"
-                            for r in dims for c in nd)
-                + f" FROM ds{t}_{L} d JOIN {emb_in} x "
-                f"ON d.node_id = x.node_id)")
-            parts.append(
-                f"gwr{t}_{L} AS MATERIALIZED (SELECT "
-                + ", ".join(f"sum(d.d{r} * x.e{c}) AS g{r}{c}"
-                            for r in dims for c in nd)
-                + f" FROM dt{t}_{L} d JOIN {emb_in} x "
-                f"ON d.node_id = x.node_id)")
-            if L > 0:
-                # chain: G^{L-1} = Wlᵀ·ds + Wrᵀ·dt (full outer, zeros)
-                chain = ", ".join(
-                    "(0.0 + "
-                    + " + ".join(f"COALESCE(d.d{o}, 0.0) * w.wl{L}_{o}{j}"
-                                 for o in dims)
-                    + ") + (0.0 + "
-                    + " + ".join(f"COALESCE(e.d{o}, 0.0) * w.wr{L}_{o}{j}"
-                                 for o in dims)
-                    + f") AS g{j}" for j in dims)
-                parts.append(
-                    f"gch{t}_{L} AS MATERIALIZED (SELECT "
-                    f"COALESCE(d.node_id, e.node_id) AS node_id, {chain} "
-                    f"FROM ds{t}_{L} d FULL OUTER JOIN dt{t}_{L} e "
-                    f"ON d.node_id = e.node_id, w{t} w)")
-                G = f"gch{t}_{L}"
-
-    def update(t: int) -> None:
-        """w{t+1} = w{t} - lr · (Σg / n) per cell (plain GD)."""
-        cols = []
-        for L in range(layers):
-            nd = range(1, indims[L] + 1)
-            for r in dims:
-                for c in nd:
-                    cols.append(f"w.wl{L}_{r}{c} - {lit(lr)} * "
-                                f"(gl{L}.g{r}{c} / s.n) AS wl{L}_{r}{c}")
-                    cols.append(f"w.wr{L}_{r}{c} - {lit(lr)} * "
-                                f"(gr{L}.g{r}{c} / s.n) AS wr{L}_{r}{c}")
-            for i in dims:
-                cols.append(f"w.a{L}_{i} - {lit(lr)} * "
-                            f"(gal{L}.ga{i} / s.n) AS a{L}_{i}")
-        cols.append(f"w.bb - {lit(lr)} * (s.gb / s.n) AS bb")
-        froms = ", ".join(
-            [f"w{t} w", f"stt{t} s"]
-            + [f"gwl{t}_{L} gl{L}" for L in range(layers)]
-            + [f"gwr{t}_{L} gr{L}" for L in range(layers)]
-            + [f"ga{t}_{L} gal{L}" for L in range(layers)])
-        parts.append(f"w{t + 1} AS MATERIALIZED (SELECT "
-                     + ", ".join(cols) + f" FROM {froms})")
-
-    forward(0)
-    for t in range(epochs):
-        decode(t, "tr", t, f"t{t}")          # train stats, pre-step
-        backward(t)
-        update(t)
-        forward(t + 1)
-        decode(t + 1, "vl", t + 1, f"v{t}")  # val stats, post-step
-    finals = [
-        f"SELECT CAST({t} AS INTEGER) AS epoch, "
-        f"CAST(stt{t}.correct AS DOUBLE) / stt{t}.n AS train_acc, "
-        f"CAST(stv{t}.correct AS DOUBLE) / stv{t}.n AS val_acc "
-        f"FROM stt{t}, stv{t}" for t in range(epochs)]
-    if probe:                               # debugging aid, not an oracle
-        finals = [probe]
-    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+    return parts
 
 
-GAT_STACK_TRAIN_Q = _gat_stack_train_q_sql(epochs=3, lr=0.5)
-
-
-def _gat_stack_train_sampled_q_sql(hidden: int = 2, d_in: int = 2,
-                                   layers: int = 2, epochs: int = 2,
-                                   steps: int = 2, batch_size: int = 128,
-                                   fanouts: tuple = (1, 1),
-                                   lr: float = 0.5, val_frac: float = 0.2,
-                                   seed: int = 42,
-                                   probe: str | None = None) -> str:
-    """Twin of queries.q_gat_stack_train_sampled_q — DuckDB RETRAINS
-    the 2-layer GATv2 stack through the MINI-BATCH sampled loop
-    (the tier left after round 8/9 put the forward, inference, scorer
-    training, and full-batch multi-layer backprop under the gate):
-
-      * the same ring+self-loop customer graph, features, stride
-        labels, and md5 0.8 split as _gat_stack_train_q_sql;
-      * batch COUNT from the data (ceil(|train| / batch_size), the
-        trainer's own formula) and per-epoch batch MEMBERSHIP as the
-        md5 first-8-hex-chars parse mod n_batches — the trainer's
-        batch_draw='md5' convention;
-      * per gradient step, the batch's 2-hop sampled in-edge closure
-        replayed draw-for-draw: row_number over md5(dst:src:seed+hop)
-        per dst (sample_neighbors' reversed-orientation md5 key,
-        tie-broken on src) capped at the hop fanout, frontier = the
-        previous hop's sampled srcs;
-      * the quantized forward over the sampled edge set, emitting
-        ZERO-vector embeddings for closure nodes without sampled
-        in-edges (the _forward_layer coalesce convention — leaf nodes
-        feed s = W·0 into the next layer, exactly like Spark);
-      * the full backprop restricted to the batch + sampled edges and
-        a plain-GD update per BATCH (w advances inside the epoch);
-      * after each epoch, validation decoded from a FULL-graph forward
-        — value-identical to the trainer's val-closure forward (the
-        documented exactness: val endpoints' k-hop dependency cones
-        are complete in both).
-
-    Output per epoch: (epoch, train_n, val_acc) — train_n is the
-    summed batch sizes (integer: checks membership), val_acc is
-    correct/n on the post-epoch weights (integer-derived: checks the
-    whole sampled loop; last-ulp gradient drift cannot flip it off
-    measure-zero boundaries). Assumes every replayed batch is
-    non-empty (the trainer SKIPS empty batches; with the fixed
-    testdata and ~batch_size·steps ≪ |train| this never triggers —
-    the pytest pin runs both engines on the real tables)."""
+def _gat_stack_w0_part(seed: int, hidden: int, d_in: int,
+                       layers: int) -> str:
+    """Initial weights as one literal CTE row — the trainers' exact
+    numpy default_rng(seed) draw sequence, shared by both stack twins."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -3463,58 +3160,6 @@ def _gat_stack_train_sampled_q_sql(hidden: int = 2, d_in: int = 2,
     def lit(v: float) -> str:
         return repr(float(v))
 
-    parts: list[str] = []
-    # --- graph, features, labels, split (same derivations as the
-    # full-batch twin — see _gat_stack_train_q_sql) -------------------
-    parts.append("cid AS MATERIALIZED ("
-                 + ids_scalable_cte("customer", "c_custkey") + ")")
-    parts.append("nn AS (SELECT count(*) AS n FROM cid)")
-    parts.append(
-        "degc AS (SELECT b.c_custkey AS pk, "
-        "CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE) AS degree FROM customer b "
-        "LEFT JOIN (SELECT pk, count(*) AS cnt FROM ("
-        "SELECT c_custkey AS pk FROM customer "
-        "JOIN nation ON c_nationkey = n_nationkey "
-        "WHERE c_custkey IS NOT NULL "
-        "UNION ALL SELECT o_custkey FROM orders "
-        "JOIN customer ON o_custkey = c_custkey "
-        "WHERE o_orderkey IS NOT NULL) GROUP BY pk) c "
-        "ON b.c_custkey = c.pk)")
-    parts.append("nfc AS (SELECT b.c_custkey AS pk, "
-                 "CAST(b.c_acctbal AS DOUBLE) AS f1, d.degree AS f2 "
-                 "FROM customer b JOIN degc d ON b.c_custkey = d.pk)")
-    parts.append("mxc AS (SELECT greatest(max(abs(f1)), 1e-12) AS m1, "
-                 "greatest(max(abs(f2)), 1e-12) AS m2 FROM nfc)")
-    parts.append("emb0 AS MATERIALIZED (SELECT cid.node_id, "
-                 "n.f1 / m.m1 AS e1, n.f2 / m.m2 AS e2 "
-                 "FROM nfc n JOIN cid ON n.pk = cid.pk, mxc m)")
-    parts.append("edges AS MATERIALIZED ("
-                 "SELECT node_id AS src, (node_id + 1) % n.n AS dst "
-                 "FROM cid, nn n "
-                 "UNION ALL SELECT node_id, node_id FROM cid)")
-    parts.append("cnk AS (SELECT cid.node_id, c_nationkey AS nk "
-                 "FROM customer JOIN cid ON c_custkey = cid.pk)")
-    parts.append("strides AS (SELECT s.node_id AS src, "
-                 "(s.node_id + k.k) % n.n AS dst "
-                 "FROM cnk s, (VALUES (1), (7), (13)) k(k), nn n)")
-    parts.append("ex0 AS (SELECT st.src, st.dst, "
-                 "CAST(sa.nk = sb.nk AS INTEGER) AS label FROM strides st "
-                 "JOIN cnk sa ON sa.node_id = st.src "
-                 "JOIN cnk sb ON sb.node_id = st.dst)")
-    cut = lit(1.0 - val_frac)
-    parts.append(
-        "exs AS MATERIALIZED (SELECT src, dst, label, "
-        f"({_hex32_sql(_edge_draw_sql(str(seed)))} / 4294967296.0) AS u "
-        "FROM ex0)")
-    parts.append("tr AS MATERIALIZED (SELECT src, dst, label FROM exs "
-                 f"WHERE u < CAST({cut} AS DOUBLE))")
-    parts.append("vl AS MATERIALIZED (SELECT src, dst, label FROM exs "
-                 f"WHERE NOT (u < CAST({cut} AS DOUBLE)))")
-    # the trainer's own batch-count formula, from the data
-    parts.append("nb AS (SELECT greatest(CAST(ceil(count(*) / "
-                 f"{float(batch_size)}) AS BIGINT), 1) AS nb FROM tr)")
-
-    # --- initial weights as one literal row (same rng sequence) ------
     wcols = []
     for L, (Wl, Wr, a) in enumerate(init):
         for r in dims:
@@ -3524,9 +3169,26 @@ def _gat_stack_train_sampled_q_sql(hidden: int = 2, d_in: int = 2,
         for i in dims:
             wcols.append(f"{lit(a[i - 1])} AS a{L}_{i}")
     wcols.append("0.0 AS bb")
-    parts.append("w0 AS (SELECT " + ", ".join(wcols) + ")")
+    return "w0 AS (SELECT " + ", ".join(wcols) + ")"
 
+
+def _gat_stack_emitters(parts: list, hidden: int, d_in: int,
+                        layers: int, lr: float):
+    """CTE emitters shared by the full-batch and sampled
+    stack-trainer twins (the backprop algebra exists ONCE): each
+    appends into ``parts``. ``forward(tag, w, edges_cte, base,
+    closure)`` emits the quantized stack forward (closure=None ->
+    inner node emission, the full-graph shape; a closure CTE ->
+    LEFT-JOIN zero rows, the sampled-subgraph shape);
+    ``decode(tag, exset, w, name)`` the dot-decoder stats;
+    ``backward(tag, w, sc, base)`` the full backprop;
+    ``update(g, tag)`` the plain-GD step w{g} -> w{g+1}."""
+    dims = range(1, hidden + 1)
+    indims = {L: (d_in if L == 0 else hidden) for L in range(layers)}
     sig = SIGMOID
+
+    def lit(v: float) -> str:
+        return repr(float(v))
 
     def forward(tag: str, w: str, edges_cte: str, base: str,
                 closure: str | None) -> str:
@@ -3737,6 +3399,128 @@ def _gat_stack_train_sampled_q_sql(hidden: int = 2, d_in: int = 2,
             + [f"ga{tag}_{L} gal{L}" for L in range(layers)])
         parts.append(f"w{g + 1} AS MATERIALIZED (SELECT "
                      + ", ".join(cols) + f" FROM {froms})")
+
+    return forward, decode, backward, update
+
+
+def _gat_stack_train_q_sql(hidden: int = 2, d_in: int = 2,
+                           layers: int = 2, epochs: int = 2,
+                           lr: float = 0.05, val_frac: float = 0.2,
+                           seed: int = 42,
+                           probe: str | None = None) -> str:
+    """Twin of queries.q_gat_stack_train_q — DuckDB RETRAINS the
+    2-layer homogeneous GATv2 stack (VERDICT r8 item 4: real
+    multi-layer BACKPROP under the cross-engine gate):
+
+      * the same graph re-derived from raw parquet: bucketed scalable
+        customer ids, ring (i → (i+1) mod n) + self loops, max-abs
+        scaled (c_acctbal, degree) features, stride-pair labels,
+        md5-draw 0.8 split;
+      * per weight state w_t, ONE quantized forward (both layers:
+        round(exp(e-max), 6) + DECIMAL softmax sums, round(α·s, 6) +
+        DECIMAL message sums, round(sigmoid, 6) outputs — the
+        _forward_layer quantize=True contract), shared between epoch
+        t's train stats and epoch t-1's val stats;
+      * per epoch, the FULL backprop as CTE algebra mirroring
+        ml/gat_train.py::_backward_layer_frames: decoder grads
+        G = Σ err·h_other, sigmoid chain gm = g·h·(1-h), the softmax
+        Jacobian ge = α·(gm·s − gm·m), the LeakyReLU gate on
+        dq = ge·a·(q>0 ? 1 : 0.2), per-node ds/dt sums, the outer-
+        product weight gradients, and the Wlᵀ·ds + Wrᵀ·dt chain into
+        layer 1;
+      * the plain-GD update w ← w − lr·(Σg/n) per cell.
+
+    Gradient sums are NOT quantized on either side — the history is
+    the integer-derived accuracy timeline (train acc at pre-step
+    weights, val acc at post-step weights), which last-ulp gradient
+    divergence cannot flip off measure-zero boundaries (the
+    link_pred_train convention). Initial weights re-drawn with the
+    identical numpy default_rng sequence, inlined as literals."""
+    # --- graph, features, labels, split (engine derivations,
+    # shared with the sibling twin) ----------------------------------
+    parts: list = _gat_ring_setup_parts(val_frac, seed)
+    # --- initial weights as one literal row --------------------------
+    parts.append(_gat_stack_w0_part(seed, hidden, d_in, layers))
+
+    forward, decode, backward, update = _gat_stack_emitters(
+        parts, hidden, d_in, layers, lr)
+
+    forward("0", "w0", "edges", "emb0", None)
+    for t in range(epochs):
+        decode(str(t), "tr", f"w{t}", f"t{t}")  # train stats, pre-step
+        backward(str(t), f"w{t}", f"sct{t}", "emb0")
+        update(t, str(t))
+        forward(str(t + 1), f"w{t + 1}", "edges", "emb0", None)
+        decode(str(t + 1), "vl", f"w{t + 1}", f"v{t}")  # val stats, post-step
+    finals = [
+        f"SELECT CAST({t} AS INTEGER) AS epoch, "
+        f"CAST(stt{t}.correct AS DOUBLE) / stt{t}.n AS train_acc, "
+        f"CAST(stv{t}.correct AS DOUBLE) / stv{t}.n AS val_acc "
+        f"FROM stt{t}, stv{t}" for t in range(epochs)]
+    if probe:                               # debugging aid, not an oracle
+        finals = [probe]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+GAT_STACK_TRAIN_Q = _gat_stack_train_q_sql(epochs=3, lr=0.5)
+
+
+def _gat_stack_train_sampled_q_sql(hidden: int = 2, d_in: int = 2,
+                                   layers: int = 2, epochs: int = 2,
+                                   steps: int = 2, batch_size: int = 128,
+                                   fanouts: tuple = (1, 1),
+                                   lr: float = 0.5, val_frac: float = 0.2,
+                                   seed: int = 42,
+                                   probe: str | None = None) -> str:
+    """Twin of queries.q_gat_stack_train_sampled_q — DuckDB RETRAINS
+    the 2-layer GATv2 stack through the MINI-BATCH sampled loop
+    (the tier left after round 8/9 put the forward, inference, scorer
+    training, and full-batch multi-layer backprop under the gate):
+
+      * the same ring+self-loop customer graph, features, stride
+        labels, and md5 0.8 split as _gat_stack_train_q_sql;
+      * batch COUNT from the data (ceil(|train| / batch_size), the
+        trainer's own formula) and per-epoch batch MEMBERSHIP as the
+        md5 first-8-hex-chars parse mod n_batches — the trainer's
+        batch_draw='md5' convention;
+      * per gradient step, the batch's 2-hop sampled in-edge closure
+        replayed draw-for-draw: row_number over md5(dst:src:seed+hop)
+        per dst (sample_neighbors' reversed-orientation md5 key,
+        tie-broken on src) capped at the hop fanout, frontier = the
+        previous hop's sampled srcs;
+      * the quantized forward over the sampled edge set, emitting
+        ZERO-vector embeddings for closure nodes without sampled
+        in-edges (the _forward_layer coalesce convention — leaf nodes
+        feed s = W·0 into the next layer, exactly like Spark);
+      * the full backprop restricted to the batch + sampled edges and
+        a plain-GD update per BATCH (w advances inside the epoch);
+      * after each epoch, validation decoded from a FULL-graph forward
+        — value-identical to the trainer's val-closure forward (the
+        documented exactness: val endpoints' k-hop dependency cones
+        are complete in both).
+
+    Output per epoch: (epoch, train_n, val_acc) — train_n is the
+    summed batch sizes (integer: checks membership), val_acc is
+    correct/n on the post-epoch weights (integer-derived: checks the
+    whole sampled loop; last-ulp gradient drift cannot flip it off
+    measure-zero boundaries). Assumes every replayed batch is
+    non-empty (the trainer SKIPS empty batches; with the fixed
+    testdata and ~batch_size·steps ≪ |train| this never triggers —
+    the pytest pin runs both engines on the real tables)."""
+    # --- graph, features, labels, split (same derivations as the
+    # full-batch twin — shared prelude) -------------------------------
+    parts: list = _gat_ring_setup_parts(val_frac, seed)
+    # the trainer's own batch-count formula, from the data
+    parts.append("nb AS (SELECT greatest(CAST(ceil(count(*) / "
+                 f"{float(batch_size)}) AS BIGINT), 1) AS nb FROM tr)")
+
+    # --- initial weights as one literal row (same rng sequence) ------
+    parts.append(_gat_stack_w0_part(seed, hidden, d_in, layers))
+
+    sig = SIGMOID
+
+    forward, decode, backward, update = _gat_stack_emitters(
+        parts, hidden, d_in, layers, lr)
 
     for t in range(epochs):
         # per-epoch md5 batch membership over the train split

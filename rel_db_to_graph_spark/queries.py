@@ -614,23 +614,20 @@ def q_hetero_link_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epoch int, train_loss double, train_n long, val_acc double")
 
 
-def q_gat_stack_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2→L10 at FULL DEPTH (rows-only; iterative + sampled): the
-    2-layer homogeneous GATv2 stack trained through per-layer sampled
-    in-edge closures — the complete `[num_neighbors] * num_layers`
-    LinkNeighborLoader shape (reference dataloader.py:24-51). Same
-    customer→nation message graph and labels as q_gat_stack_train;
-    fanouts [15, 15], content-addressed batches, max_batches=2 bounds
-    driver runtime. Returns the epoch history; train BCE must
-    decrease."""
-    from rel_db_to_graph_spark.ml.gat_train import train_gat_stack_sampled
+def _ring_stride_fixture(spark: SparkSession, sf_dir: str):
+    """Shared fixture of the four stack-trainer queries: (edges, feats,
+    pairs) on the customer graph — deterministic ring (i -> (i+1) mod n)
+    + the SELF_LOOP edges as the message graph (every node has
+    in-edges), stride pairs (i, i+k mod n) for k in {1, 7, 13} labeled
+    same-nation (map-only generation, no cross join; the FK was dropped
+    from the node frame per P5, so it rejoins via pk). The DuckDB twins
+    re-derive the identical fixture from raw parquet
+    (oracle.py::_gat_stack_train_q_sql and its sampled sibling)."""
     from rel_db_to_graph_spark.ml.hetero import node_features_normalized
 
     g = build_graph(spark, sf_dir)
     cust = g["nodes"]["customer"]
     feats = node_features_normalized({"customer": cust})["customer"][0]
-    # same deterministic ring + self-loop message graph and stride-pair
-    # labels as q_gat_stack_train (see that docstring)
     n_nodes = cust.count()
     ring = cust.select(
         F.col("node_id").alias("src"),
@@ -646,14 +643,29 @@ def q_gat_stack_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = cn.select(F.col("node_id").alias("src"),
                       ((F.col("node_id") + k) % F.lit(n_nodes)).alias("dst"))
         strides = s if strides is None else strides.unionByName(s)
-    ex = (strides
-          .join(cn.select(F.col("node_id").alias("src"),
-                          F.col("_nk").alias("_na")), "src")
-          .join(cn.select(F.col("node_id").alias("dst"),
-                          F.col("_nk").alias("_nb")), "dst")
-          .select("src", "dst",
-                  (F.col("_na") == F.col("_nb")).cast("int")
-                  .alias("label")))
+    pairs = (strides
+             .join(cn.select(F.col("node_id").alias("src"),
+                             F.col("_nk").alias("_na")), "src")
+             .join(cn.select(F.col("node_id").alias("dst"),
+                             F.col("_nk").alias("_nb")), "dst")
+             .select("src", "dst",
+                     (F.col("_na") == F.col("_nb")).cast("int")
+                     .alias("label")))
+    return edges, feats, pairs
+
+
+def q_gat_stack_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2→L10 at FULL DEPTH (rows-only; iterative + sampled): the
+    2-layer homogeneous GATv2 stack trained through per-layer sampled
+    in-edge closures — the complete `[num_neighbors] * num_layers`
+    LinkNeighborLoader shape (reference dataloader.py:24-51). Same
+    customer→nation message graph and labels as q_gat_stack_train;
+    fanouts [15, 15], content-addressed batches, max_batches=2 bounds
+    driver runtime. Returns the epoch history; train BCE must
+    decrease."""
+    from rel_db_to_graph_spark.ml.gat_train import train_gat_stack_sampled
+
+    edges, feats, ex = _ring_stride_fixture(spark, sf_dir)
     # dst-bucketed store: per-batch probes prune to the frontier's
     # buckets/row groups instead of scanning |E| (bit-identical draws,
     # tests/test_edge_store.py)
@@ -682,40 +694,8 @@ def q_gat_stack_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the message graph); label = same-nation pairs from a deterministic
     sample. Returns the epoch history; train BCE must decrease."""
     from rel_db_to_graph_spark.ml.gat_train import train_gat_stack
-    from rel_db_to_graph_spark.ml.hetero import node_features_normalized
 
-    g = build_graph(spark, sf_dir)
-    cust = g["nodes"]["customer"]
-    feats = node_features_normalized({"customer": cust})["customer"][0]
-    # message graph: customer ring by dense id (deterministic, every
-    # node has in-edges) + the SELF_LOOP edges the graph already carries
-    n_nodes = cust.count()
-    ring = cust.select(
-        F.col("node_id").alias("src"),
-        ((F.col("node_id") + 1) % F.lit(n_nodes)).alias("dst"))
-    loops = g["edges"][("customer", "SELF_LOOP", "customer")]
-    edges = ring.unionByName(loops.select("src", "dst"))
-    # labeled pairs: deterministic stride pairs (i, i+k mod n) — map-only
-    # generation (3n rows, no cross join) + two label joins; positive =
-    # same nation (the FK was dropped from the node frame per P5, so
-    # rejoin it via pk)
-    raw = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("pk"), "c_nationkey")
-    cn = (cust.select("node_id", "pk").join(raw, "pk")
-          .select("node_id", F.col("c_nationkey").alias("_nk")))
-    strides = None
-    for k in (1, 7, 13):
-        s = cn.select(F.col("node_id").alias("src"),
-                      ((F.col("node_id") + k) % F.lit(n_nodes)).alias("dst"))
-        strides = s if strides is None else strides.unionByName(s)
-    pairs = (strides
-             .join(cn.select(F.col("node_id").alias("src"),
-                             F.col("_nk").alias("_na")), "src")
-             .join(cn.select(F.col("node_id").alias("dst"),
-                             F.col("_nk").alias("_nb")), "dst")
-             .select("src", "dst",
-                     (F.col("_na") == F.col("_nb")).cast("int")
-                     .alias("label")))
+    edges, feats, pairs = _ring_stride_fixture(spark, sf_dir)
     res = train_gat_stack(edges, feats, pairs, hidden=2, layers=2,
                           epochs=3, lr=0.05, seed=42)
     return spark.createDataFrame(
@@ -743,34 +723,8 @@ def q_gat_stack_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine checked; the AdamW full-depth trainer stays
     driver-visible as q_gat_stack_train."""
     from rel_db_to_graph_spark.ml.gat_train import train_gat_stack
-    from rel_db_to_graph_spark.ml.hetero import node_features_normalized
 
-    g = build_graph(spark, sf_dir)
-    cust = g["nodes"]["customer"]
-    feats = node_features_normalized({"customer": cust})["customer"][0]
-    n_nodes = cust.count()
-    ring = cust.select(
-        F.col("node_id").alias("src"),
-        ((F.col("node_id") + 1) % F.lit(n_nodes)).alias("dst"))
-    loops = g["edges"][("customer", "SELF_LOOP", "customer")]
-    edges = ring.unionByName(loops.select("src", "dst"))
-    raw = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("pk"), "c_nationkey")
-    cn = (cust.select("node_id", "pk").join(raw, "pk")
-          .select("node_id", F.col("c_nationkey").alias("_nk")))
-    strides = None
-    for k in (1, 7, 13):
-        s = cn.select(F.col("node_id").alias("src"),
-                      ((F.col("node_id") + k) % F.lit(n_nodes)).alias("dst"))
-        strides = s if strides is None else strides.unionByName(s)
-    pairs = (strides
-             .join(cn.select(F.col("node_id").alias("src"),
-                             F.col("_nk").alias("_na")), "src")
-             .join(cn.select(F.col("node_id").alias("dst"),
-                             F.col("_nk").alias("_nb")), "dst")
-             .select("src", "dst",
-                     (F.col("_na") == F.col("_nb")).cast("int")
-                     .alias("label")))
+    edges, feats, pairs = _ring_stride_fixture(spark, sf_dir)
     # lr=0.5 (vs the AdamW trainer's 0.05) so the 3-epoch GD
     # trajectory actually MOVES the decision boundary — the twin then
     # pins a changing accuracy history, not a fixed point
@@ -803,34 +757,8 @@ def q_gat_stack_train_sampled_q(spark: SparkSession,
     gradient-sum last-ulp drift. The production xxhash64/AdamW sampled
     trainer stays driver-visible as q_gat_stack_train_sampled."""
     from rel_db_to_graph_spark.ml.gat_train import train_gat_stack_sampled
-    from rel_db_to_graph_spark.ml.hetero import node_features_normalized
 
-    g = build_graph(spark, sf_dir)
-    cust = g["nodes"]["customer"]
-    feats = node_features_normalized({"customer": cust})["customer"][0]
-    n_nodes = cust.count()
-    ring = cust.select(
-        F.col("node_id").alias("src"),
-        ((F.col("node_id") + 1) % F.lit(n_nodes)).alias("dst"))
-    loops = g["edges"][("customer", "SELF_LOOP", "customer")]
-    edges = ring.unionByName(loops.select("src", "dst"))
-    raw = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("pk"), "c_nationkey")
-    cn = (cust.select("node_id", "pk").join(raw, "pk")
-          .select("node_id", F.col("c_nationkey").alias("_nk")))
-    strides = None
-    for k in (1, 7, 13):
-        s = cn.select(F.col("node_id").alias("src"),
-                      ((F.col("node_id") + k) % F.lit(n_nodes)).alias("dst"))
-        strides = s if strides is None else strides.unionByName(s)
-    pairs = (strides
-             .join(cn.select(F.col("node_id").alias("src"),
-                             F.col("_nk").alias("_na")), "src")
-             .join(cn.select(F.col("node_id").alias("dst"),
-                             F.col("_nk").alias("_nb")), "dst")
-             .select("src", "dst",
-                     (F.col("_na") == F.col("_nb")).cast("int")
-                     .alias("label")))
+    edges, feats, pairs = _ring_stride_fixture(spark, sf_dir)
     res = train_gat_stack_sampled(
         edges, feats, pairs, hidden=2, layers=2, fanouts=[1, 1],
         batch_size=128, max_batches=2, epochs=2, lr=0.5, seed=42,
