@@ -67,6 +67,15 @@ _LEAKY = 0.2
 #: is measured, not guessed. Off by default — zero cost in production.
 _TRACE = os.environ.get("SPARK_GRAFT_TRACE", "") == "1"
 
+#: fused-sampling chunk width: the multi-batch store sampler unions one
+#: sample branch per (batch, edge type) into a single job, so its plan
+#: size grows linearly in batches-per-call — unbounded fusion would hit
+#: Catalyst analysis cost long before the data does. Per-epoch
+#: prefetches draw in chunks of this many batches (each chunk = one
+#: fused job per hop); 16 amortizes the scheduling floor ~16x while
+#: keeping the plan bounded.
+_FUSE_BATCHES = 16
+
 
 def _tr(label: str, t0: float) -> float:
     now = time.time()
@@ -1370,9 +1379,16 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
         fr: dict = {bi: {} for bi in range(steps)}
         for r in su.collect():
             fr[int(r["_bi"])].setdefault(r["_t"], []).append(r["node_id"])
-        return sample_incoming_hetero_store_multi(
-            examples.sparkSession, edge_tables, fr, fanouts,
-            {bi: seed + 7919 * epoch + 104729 * bi for bi in range(steps)})
+        bseeds = {bi: seed + 7919 * epoch + 104729 * bi
+                  for bi in range(steps)}
+        out: dict = {}
+        for lo in range(0, steps, _FUSE_BATCHES):
+            tags = range(lo, min(lo + _FUSE_BATCHES, steps))
+            out.update(sample_incoming_hetero_store_multi(
+                examples.sparkSession, edge_tables,
+                {bi: fr[bi] for bi in tags}, fanouts,
+                {bi: bseeds[bi] for bi in tags}))
+        return out
 
     pool = fut = None
     _scope = ExitStack()
@@ -1644,10 +1660,16 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
         fr: dict = {bi: [] for bi in range(steps)}
         for r in su.collect():
             fr[int(r["_bi"])].append(r["node_id"])
-        return sample_incoming_store_multi(
-            examples.sparkSession, edge_table, fr, fanouts,
-            {bi: seed + 7919 * epoch + 104729 * bi for bi in range(steps)},
-            draw=sample_draw)
+        bseeds = {bi: seed + 7919 * epoch + 104729 * bi
+                  for bi in range(steps)}
+        out: dict = {}
+        for lo in range(0, steps, _FUSE_BATCHES):
+            tags = range(lo, min(lo + _FUSE_BATCHES, steps))
+            out.update(sample_incoming_store_multi(
+                examples.sparkSession, edge_table,
+                {bi: fr[bi] for bi in tags}, fanouts,
+                {bi: bseeds[bi] for bi in tags}, draw=sample_draw))
+        return out
 
     pool = fut = None
     _scope = ExitStack()
