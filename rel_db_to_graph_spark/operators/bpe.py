@@ -177,14 +177,25 @@ def bpe_train_batched(docs: DataFrame, n_merges: int = 100,
                      .alias("p"))
                  .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
                  .agg(F.sum("n").alias("cnt")))
-        # scan depth 16x batch (round 9; was 4x): late in training the
-        # top candidates share symbols, so a shallow prefix yields only
-        # ~7 disjoint accepts of a 32 batch — the deeper prefix lifts
-        # acceptance ~3x for a few KB more collect. The policy itself
-        # is unchanged (greedy disjoint scan over the global ranking
-        # prefix); oracle + python twin use the identical depth.
+        # scan depth 16x batch (round 9; was 4x). Honest result: the
+        # sf1 2k-merge audit measured ~6.5 accepts/round at depth 512
+        # vs ~7.1 at depth 128 — acceptance is NOT prefix-limited but
+        # SYMBOL-CONCENTRATED (late in training the whole top of the
+        # ranking shares the few hottest phrase tokens, so a deeper
+        # prefix adds more of the same conflicts). The deeper scan is
+        # kept (a few KB more collect, and it can only help on corpora
+        # with flatter symbol distributions); the policy is unchanged
+        # (greedy disjoint scan over the global ranking prefix);
+        # oracle + python twin use the identical depth.
+        import os as _os
+        import time as _time
+        _trace = _os.environ.get("SPARK_GRAFT_TRACE", "") == "1"
+        _t0 = _time.time()
         top = (pairs.orderBy(F.desc("cnt"), "a", "b")
                .limit(16 * batch).collect())
+        if _trace:
+            print(f"    [bpe] round@{len(merges)} count+collect "
+                  f"{_time.time() - _t0:.2f}s", flush=True)
         used: set[str] = set()
         accepted: list[tuple[str, str, int]] = []
         for row in top:
@@ -201,7 +212,14 @@ def bpe_train_batched(docs: DataFrame, n_merges: int = 100,
         for left, right, _ in accepted:
             rewritten = rewritten.select(
                 "n", _merge_expr(left, right).alias("syms"))
-        words = rewritten.localCheckpoint(eager=True)
+        # LAZY checkpoint (round 9): the rewrite is map-only over the
+        # previous round's RAM-resident table — no shuffle stages to
+        # materialize at call time — so deferring it folds the rewrite
+        # scan into the NEXT round's count job (which cuts the lineage
+        # when it runs; depth stays 1). One job per round instead of
+        # two: the dedicated eager rewrite job re-scanned the corpus
+        # table purely to store it again.
+        words = rewritten.localCheckpoint(eager=False)
         for left, right, cnt in accepted:
             merges.append({"step": step, "left": left, "right": right,
                            "pair_count": cnt})
