@@ -123,7 +123,8 @@ def bpe_train(docs: DataFrame, n_merges: int = 10,
 
 def bpe_train_batched(docs: DataFrame, n_merges: int = 100,
                       batch: int = 8, text_col: str = "text",
-                      pretokenize: bool = True) -> list[dict]:
+                      pretokenize: bool = True,
+                      delta_frac: float = 0.02) -> list[dict]:
     """Learn up to ``n_merges`` merges with ~n_merges/batch driver
     round-trips instead of n_merges (VERDICT r5 item 7 — the shape that
     makes a realistic 32k-vocab training feasible: at batch=32 that is
@@ -148,6 +149,22 @@ def bpe_train_batched(docs: DataFrame, n_merges: int = 100,
     pinned against a python twin implementing the same policy
     (tests/test_bpe.py).
 
+    ``delta_frac`` gates the sparse-round DELTA recount (round 9):
+    when a round's accepted merge SITES fall below delta_frac x
+    |sequences|, the pair-count table is updated by exploding only the
+    CHANGED sequences (old pairs negative, new positive — exact integer
+    algebra, so the merge sequence and every twin are untouched)
+    instead of a full recount. MEASURED at sf1 (BASELINE.md round-9
+    BPE): locally the dense single-job recount over the
+    merge-compressed corpus is already near-optimal, and an eager
+    2*sites >= |seq| delta gate made the 2k-merge audit 1139->1509 s
+    (delta's extra driver jobs + the full-corpus rewrite map outweigh
+    its explode savings at 50k sequences) — hence the conservative
+    default: delta engages only in the deep-sparse tail here, while at
+    production sequence counts (where one recount explode is the
+    dominant term) the crossover moves orders of magnitude higher and
+    the same knob expresses it.
+
     ``pretokenize=False`` trains over whole normalized documents
     (``sequence_counts``) instead of the whitespace vocabulary — the
     SentencePiece-style regime where merges cross word boundaries and
@@ -165,36 +182,73 @@ def bpe_train_batched(docs: DataFrame, n_merges: int = 100,
              .repartition(width)
              .localCheckpoint(eager=True))
 
+    def _pair_rows(df: DataFrame) -> DataFrame:
+        """(a, b, n) adjacent-pair rows of a (n, syms) frame."""
+        return (df.filter(F.size("syms") >= 2)
+                .select("n", F.explode(F.arrays_zip(
+                    F.slice("syms", 1, F.size("syms") - 1).alias("a"),
+                    F.slice("syms", 2, F.size("syms") - 1).alias("b")))
+                    .alias("p"))
+                .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"),
+                        "n"))
+
+    import os as _os
+    import time as _time
+    _trace = _os.environ.get("SPARK_GRAFT_TRACE", "") == "1"
+
+    # Incremental pair-count state (round 9): the corpus is exploded
+    # into pair rows ONCE up front; afterwards each round keeps the
+    # RAM-resident counts table exact by one of two EQUIVALENT moves
+    # (both integer-exact, so the merge sequence — and the python/SQL
+    # twins — are untouched):
+    #   * full recount while the accepted merges still touch a
+    #     corpus-scale number of sites (early rounds: recounting once
+    #     is cheaper than delta's old+new explode over ~everything);
+    #   * exact DELTA once merge sites are sparse: explode pairs of
+    #     only the CHANGED sequences (old negative, new positive) and
+    #     fold into the counts table — a merge provably leaves every
+    #     pair of an unchanged sequence alone, so sparse rounds cost
+    #     O(changed) instead of O(corpus). This is what collapsed the
+    #     sf1 2k-merge audit's long tail (BASELINE.md round-9 BPE).
+    # The switch uses the accepted pairs' own exact counts (= merge
+    # sites, known driver-side) vs the sequence count — deterministic,
+    # data-independent of engine state.
+    n_seq = words.count()
+    # LINEAGE RULE (learned the hard way — StackOverflowError in task
+    # deserialization at ~14 rounds): RDD.doCheckpoint truncates only
+    # the FIRST checkpoint-marked RDD it reaches from a job's final
+    # RDD, so stacking a marked counts table above a marked lazy words
+    # table leaves words' lineage untruncated forever and the RDD chain
+    # grows by ~|accepted| per round. Invariant here: at most ONE
+    # marked-pending RDD exists at any time — dense rounds keep counts
+    # as a PLAIN plan (the next top-collect job both recounts and
+    # truncates the pending words), sparse rounds use only EAGER
+    # checkpoints (self-truncating: the materializing job's final RDD
+    # is the marked one).
+    counts = (_pair_rows(words).groupBy("a", "b")
+              .agg(F.sum("n").alias("cnt"))
+              .localCheckpoint(eager=True))
+    counts_ram = True
     merges: list[dict] = []
     step = 0
     while len(merges) < n_merges:
         want = min(batch, n_merges - len(merges))
-        pairs = (words
-                 .filter(F.size("syms") >= 2)
-                 .select("n", F.explode(F.arrays_zip(
-                     F.slice("syms", 1, F.size("syms") - 1).alias("a"),
-                     F.slice("syms", 2, F.size("syms") - 1).alias("b")))
-                     .alias("p"))
-                 .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-                 .agg(F.sum("n").alias("cnt")))
         # scan depth 16x batch (round 9; was 4x). Honest result: the
-        # sf1 2k-merge audit measured ~6.5 accepts/round at depth 512
-        # vs ~7.1 at depth 128 — acceptance is NOT prefix-limited but
-        # SYMBOL-CONCENTRATED (late in training the whole top of the
-        # ranking shares the few hottest phrase tokens, so a deeper
-        # prefix adds more of the same conflicts). The deeper scan is
-        # kept (a few KB more collect, and it can only help on corpora
-        # with flatter symbol distributions); the policy is unchanged
-        # (greedy disjoint scan over the global ranking prefix);
-        # oracle + python twin use the identical depth.
-        import os as _os
-        import time as _time
-        _trace = _os.environ.get("SPARK_GRAFT_TRACE", "") == "1"
+        # sf1 2k-merge audit measured no acceptance lift at depth 512
+        # vs 128 — acceptance is NOT prefix-limited but
+        # SYMBOL-CONCENTRATED (the top of the ranking shares the few
+        # hottest tokens, so a deeper prefix adds more of the same
+        # conflicts). The deeper scan is kept (a few KB more collect,
+        # and it can only help on corpora with flatter symbol
+        # distributions); the policy is unchanged (greedy disjoint
+        # scan over the global ranking prefix); oracle + python twin
+        # use the identical depth.
         _t0 = _time.time()
-        top = (pairs.orderBy(F.desc("cnt"), "a", "b")
+        top = (counts.orderBy(F.desc("cnt"), "a", "b")
                .limit(16 * batch).collect())
         if _trace:
-            print(f"    [bpe] round@{len(merges)} count+collect "
+            kind = "top" if counts_ram else "recount+top"
+            print(f"    [bpe] round@{len(merges)} {kind} "
                   f"{_time.time() - _t0:.2f}s", flush=True)
         used: set[str] = set()
         accepted: list[tuple[str, str, int]] = []
@@ -208,18 +262,58 @@ def bpe_train_batched(docs: DataFrame, n_merges: int = 100,
             accepted.append((a, b, int(row["cnt"])))
         if not accepted:
             break
-        rewritten = words
-        for left, right, _ in accepted:
-            rewritten = rewritten.select(
-                "n", _merge_expr(left, right).alias("syms"))
-        # LAZY checkpoint (round 9): the rewrite is map-only over the
-        # previous round's RAM-resident table — no shuffle stages to
-        # materialize at call time — so deferring it folds the rewrite
-        # scan into the NEXT round's count job (which cuts the lineage
-        # when it runs; depth stays 1). One job per round instead of
-        # two: the dedicated eager rewrite job re-scanned the corpus
-        # table purely to store it again.
-        words = rewritten.localCheckpoint(eager=False)
+        sites = sum(cnt for _, _, cnt in accepted)
+        _t0 = _time.time()
+        if sites >= delta_frac * n_seq:
+            # dense round: a full recount is cheaper than delta's
+            # extra jobs + full-corpus rewrite map (see delta_frac). The recount plan stays
+            # LAZY — the next round's top-collect executes it, and that
+            # job's lineage walk is also what truncates the pending
+            # words checkpoint (see the lineage rule above).
+            rewritten = words
+            for left, right, _ in accepted:
+                rewritten = rewritten.select(
+                    "n", _merge_expr(left, right).alias("syms"))
+            words = rewritten.localCheckpoint(eager=False)
+            counts = (_pair_rows(words).groupBy("a", "b")
+                      .agg(F.sum("n").alias("cnt")))
+            counts_ram = False
+        else:
+            # sparse round: exact delta over changed sequences only —
+            # a merge provably leaves every pair of an unchanged
+            # sequence alone, so the explodes cost O(changed), not
+            # O(corpus). All checkpoints here are EAGER (the lineage
+            # rule); the preceding top-collect already truncated any
+            # pending dense-round words.
+            if not counts_ram:
+                # dense->sparse transition: materialize the last dense
+                # recount once so deltas fold into a RAM base
+                counts = counts.localCheckpoint(eager=True)
+                counts_ram = True
+            both = words.select("n", F.col("syms").alias("_old"),
+                                F.col("syms"))
+            for left, right, _ in accepted:
+                both = both.select("n", "_old",
+                                   _merge_expr(left, right).alias("syms"))
+            both = both.localCheckpoint(eager=True)
+            touched = both.filter(F.col("syms") != F.col("_old"))
+            delta = (_pair_rows(touched.select("n", "syms"))
+                     .unionByName(_pair_rows(
+                         touched.select((-F.col("n")).alias("n"),
+                                        F.col("_old").alias("syms")))))
+            counts = (counts.unionByName(
+                          delta.groupBy("a", "b")
+                          .agg(F.sum("n").alias("cnt")))
+                      .groupBy("a", "b").agg(F.sum("cnt").alias("cnt"))
+                      .filter(F.col("cnt") > 0)
+                      .localCheckpoint(eager=True))
+            words = both.select("n", "syms")
+        if _trace:
+            mode = ("full(lazy)" if sites >= delta_frac * n_seq
+                    else "delta")
+            print(f"    [bpe] round@{len(merges)} {mode} rewrite "
+                  f"(sites={sites}) {_time.time() - _t0:.2f}s",
+                  flush=True)
         for left, right, cnt in accepted:
             merges.append({"step": step, "left": left, "right": right,
                            "pair_count": cnt})

@@ -163,6 +163,36 @@ def test_batched_matches_python_twin_real_corpus(spark):
     assert len(got) == 40
 
 
+def test_batched_delta_recount_matches_twin(spark, monkeypatch, capsys):
+    """Force the sparse-round DELTA recount (round 9: pair counts are
+    kept exact by exploding only CHANGED sequences once merge sites are
+    sparse) and pin the merge sequence against the python twin, which
+    full-recounts every round — equality proves the delta algebra is
+    exact. The corpus: one hot bigram so round 1 runs the dense path,
+    plus hundreds of low-frequency distinct words so later rounds'
+    accepted pairs have counts far below the sequence count."""
+    import hashlib
+
+    from rel_db_to_graph_spark.operators.bpe import bpe_train_batched
+
+    rows = [("the thing there", 1)] * 150    # hot 'th' — dense round 1
+    for i in range(600):                      # sparse tail
+        h = hashlib.md5(f"w{i}".encode()).hexdigest()
+        w = "".join(chr(ord("a") + int(c, 16) % 26) for c in h[:8])
+        rows.append((w, 1))
+    docs = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    freq = {r.word: r.n for r in word_counts(docs).collect()}
+    want, _ = _python_bpe_batched(freq, n_merges=24, batch=4)
+    monkeypatch.setenv("SPARK_GRAFT_TRACE", "1")
+    got = bpe_train_batched(docs, n_merges=24, batch=4,
+                            delta_frac=0.5)   # force the sparse path
+    out = capsys.readouterr().out
+    assert "delta rewrite" in out, out       # the sparse path really ran
+    assert "full(lazy) rewrite" in out, out  # and so did the dense one
+    assert [(m["step"], m["left"], m["right"], m["pair_count"])
+            for m in got] == want
+
+
 def test_batched_accepts_are_symbol_disjoint_per_round(spark):
     from rel_db_to_graph_spark.operators.bpe import bpe_train_batched
     got = bpe_train_batched(_docs(spark), n_merges=12, batch=4)
