@@ -22,10 +22,51 @@ from pyspark.sql import functions as F
 from rel_db_to_graph_spark.functions.vector import cosine, to_double
 
 
+#: assignment kernel switch: below this k the argmin is a literal
+#: zip_with fold (zero Python, one map-only codegen pass — and the fold
+#: order the DuckDB oracle twins replay bit-exactly, so every
+#: oracle-gated query at k<=16 keeps it); at or above it the argmin is
+#: an Arrow mapInPandas GEMM over a broadcast centroid matrix, because
+#: the literal form is O(k*dim) Catalyst expression nodes per pass — a
+#: plan-size bomb at SemDeDup's advertised web-scale k~100k (the same
+#: defect class semantic.py's routing metadata had; fixed round 10).
+_GEMM_ASSIGN_MIN_K = 128
+
+
 def _sq_dist(vec: Column, centroid: list[float]) -> Column:
     c = F.array(*[F.lit(float(x)) for x in centroid])
     return F.aggregate(F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
                        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _gemm_assign_fn(bc_centroids):
+    """mapInPandas argmin kernel. Factory-wrapped so the closure pickles
+    BY VALUE (workers lack the repo on sys.path when the driver imports
+    __spark_entry__ by file path). ``bc_centroids`` is a SparkContext
+    broadcast of the (k, d) float64 centroid matrix — at k~100k x 768 d
+    that is ~600 MB, which must travel ONCE per executor as a torrent
+    broadcast, never per-task in the closure."""
+    def fn(batches):
+        import numpy as np
+        C = np.asarray(bc_centroids.value, dtype="float64")   # (k, d)
+        cn = (C * C).sum(axis=1)                               # |c|^2
+        for pdf in batches:
+            if len(pdf) == 0:
+                out = pdf.copy()
+                out["cluster"] = np.array([], dtype="int32")
+                yield out
+                continue
+            a = np.stack(pdf["_v"].to_numpy())                 # (n, d)
+            # d2 = |a|^2 - 2 a.C^T + |c|^2; |a|^2 is constant per row so
+            # argmin needs only the last two terms. np.argmin takes the
+            # FIRST minimum -> lowest cluster id, the same tie rule as
+            # the literal path's array_position(array_min) (identical
+            # centroids produce bitwise-equal distances in both kernels).
+            d2 = cn[None, :] - 2.0 * (a @ C.T)
+            out = pdf.copy()
+            out["cluster"] = d2.argmin(axis=1).astype("int32")
+            yield out
+    return fn
 
 
 def _assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
@@ -34,6 +75,13 @@ def _assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
         # empty input frame (ADVICE r8): no vectors -> no centroids to
         # argmin over; keep the schema contract on the empty frame
         return df.withColumn("cluster", F.lit(0).cast("int"))
+    if len(centroids) >= _GEMM_ASSIGN_MIN_K:
+        from pyspark.sql.types import IntegerType, StructField, StructType
+        bc = df.sparkSession.sparkContext.broadcast(
+            [list(map(float, c)) for c in centroids])
+        schema = StructType(list(df.schema.fields)
+                            + [StructField("cluster", IntegerType())])
+        return df.mapInPandas(_gemm_assign_fn(bc), schema=schema)
     dists = F.array(*[_sq_dist(F.col("_v"), c) for c in centroids])
     return df.withColumn(
         "cluster", F.array_position(dists, F.array_min(dists)).cast("int") - 1)

@@ -76,19 +76,18 @@ def _gemm_cell_fn(threshold: float):
         # same dot/(|a|·|b|) formula shape as the scalar path, so the
         # only divergence is GEMM's blocked sum order vs the fold's
         # sequential order (last-ulp — the existing 6-dp-round-before-
-        # compare convention absorbs exactly that class). np.round
-        # (scale-by-1e6 + rint, half-even ties) is NOT the JVM/DuckDB
-        # exact-decimal HALF_UP: besides exact midpoints (measure-zero)
-        # it can flip a value whose scaled double lands within ~1 ulp
-        # of a .5 boundary — O(1e-11) per pair and DETERMINISTIC for
-        # fixed inputs, so the oracle-gated query cannot flake; at a
-        # data refresh a survivor-set diff of a few rows in ~1e11
-        # pairs is the expected noise floor. tests/test_semantic.py
-        # pins GEMM == scalar on real data and the DuckDB oracle
-        # re-checks the survivors.
+        # compare convention absorbs exactly that class). Rounding
+        # emulates the JVM/DuckDB HALF_UP tie rule (sign·floor(|x|·1e6
+        # + 0.5)/1e6) rather than np.round's half-even, so all three
+        # engines share ONE rounding rule; the residual divergence
+        # class is only the scale-by-1e6 double ulp (~1e-11 per pair,
+        # deterministic for fixed inputs — the oracle-gated query
+        # cannot flake). tests/test_semantic.py pins GEMM == scalar on
+        # real data and the DuckDB oracle re-checks the survivors.
         na = np.sqrt((a * a).sum(axis=1))
         nb = np.sqrt((b * b).sum(axis=1))
-        sims = np.round((a @ b.T) / (na[:, None] * nb[None, :]), 6)
+        raw = (a @ b.T) / (na[:, None] * nb[None, :])
+        sims = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
         mask = (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
         hit = np.unique(b_ids[mask.any(axis=0)])
         return pd.DataFrame({"_idb": hit.astype("int64")})
@@ -152,14 +151,6 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.2,
                                   id_col=id_col, vec_col=vec_col)
     assigned = assigned.localCheckpoint(eager=True)
 
-    left = assigned.select(F.col(id_col).alias("_ida"), "cluster",
-                           F.col("_v").alias("_va"))
-    if max_cluster is not None:
-        from pyspark.sql import Window
-        w = Window.partitionBy("cluster").orderBy("_ida")
-        left = (left.withColumn("_rk", F.row_number().over(w))
-                .filter(F.col("_rk") <= max_cluster).drop("_rk"))
-
     # per-cluster grid dimensions from one tiny (n_clusters-row) collect
     sizes = {r["cluster"]: r["n"] for r in
              assigned.groupBy("cluster").agg(F.count("*").alias("n"))
@@ -180,49 +171,77 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.2,
         if n_left * n >= gemm_min_pairs:
             gemm_clusters.append(c)
 
-    def _by_cluster(values: dict[int, int]) -> F.Column:
-        items = list(values.items())
-        out = F.when(F.col("cluster") == items[0][0], F.lit(items[0][1]))
-        for c, v in items[1:]:
-            out = out.when(F.col("cluster") == c, F.lit(v))
-        return out.otherwise(F.lit(1))
+    # Routing metadata travels as a BROADCAST-JOINED n_clusters-row
+    # frame, not literal expressions: the previous nested-`when` chain /
+    # `isin` literal list were O(n_clusters) Catalyst expression trees —
+    # free at k=8, a plan-size/recursion bomb at the module's advertised
+    # web-scale k≈100k. A broadcast hash join on cluster id costs one
+    # tiny exchange regardless of k and produces identical values
+    # (tests/test_semantic.py pins the survivor set at n_clusters≈2000).
+    gemm_set = set(gemm_clusters)
+    spark = embeddings.sparkSession
+    route = F.broadcast(spark.createDataFrame(
+        [(int(c), int(g[0]), int(g[1]), c in gemm_set)
+         for c, g in sorted(grid.items())],
+        schema="cluster int, _gl int, _gr int, _gemm boolean"))
+    # ONE broadcast join onto the checkpointed assignment; both pair
+    # sides then derive from this single routed frame (separate
+    # per-side route joins trip the ambiguous-self-join analyzer at
+    # the cogroup)
+    routed = assigned.join(route, "cluster")
 
-    gl_col = _by_cluster({c: g[0] for c, g in grid.items()})
-    gr_col = _by_cluster({c: g[1] for c, g in grid.items()})
     # left: fixed row-bucket, replicated across the column-buckets;
     # the explicit-numPartitions repartition both spreads the work and
     # opts the exchange out of AQE coalescing
+    left = routed.select(F.col(id_col).alias("_ida"), "cluster",
+                         F.col("_v").alias("_va"), "_gl", "_gr", "_gemm")
+    if max_cluster is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("cluster").orderBy("_ida")
+        left = (left.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= max_cluster).drop("_rk"))
     left = (left
-            .withColumn("_bl", F.pmod(F.xxhash64("_ida"), gl_col)
+            .withColumn("_bl", F.pmod(F.xxhash64("_ida"), F.col("_gl"))
                         .cast("int"))
             .withColumn("_br", F.explode(
-                F.sequence(F.lit(0), gr_col - F.lit(1)))))
+                F.sequence(F.lit(0), F.col("_gr") - F.lit(1))))
+            .drop("_gl", "_gr"))
     total_cells = sum(g[0] * g[1] for g in grid.values())
-    spark = embeddings.sparkSession
     n_part = int(max(spark.sparkContext.defaultParallelism,
                      min(total_cells, _MAX_GRID_CELLS * 4)))
     left = left.repartition(n_part, F.col("cluster"), F.col("_bl"),
                             F.col("_br"))
-    right = (assigned.select(
-        F.col(id_col).alias("_idb"), "cluster", F.col("_v").alias("_vb"))
-        .withColumn("_br", F.pmod(F.xxhash64("_idb"), gr_col)
+    right = (routed.select(
+        F.col(id_col).alias("_idb"), "cluster", F.col("_v").alias("_vb"),
+        "_gl", "_gr", "_gemm")
+        .withColumn("_br", F.pmod(F.xxhash64("_idb"), F.col("_gr"))
                     .cast("int"))
         .withColumn("_bl", F.explode(
-            F.sequence(F.lit(0), gl_col - F.lit(1)))))
-    in_gemm = F.col("cluster").isin(gemm_clusters)
+            F.sequence(F.lit(0), F.col("_gl") - F.lit(1))))
+        .drop("_gl", "_gr"))
+    in_gemm = F.col("_gemm")
     dropped = (
-        left.filter(~in_gemm)
-        .join(right.filter(~in_gemm), ["cluster", "_bl", "_br"])
+        left.filter(~in_gemm).drop("_gemm")
+        .join(right.filter(~in_gemm).drop("_gemm"),
+              ["cluster", "_bl", "_br"])
         .filter(F.col("_ida") < F.col("_idb"))
         .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6)
                 >= F.lit(threshold))
         .select(F.col("_idb").alias(id_col))
     )
     if gemm_clusters:
-        keys = ["cluster", "_bl", "_br"]
+        # cogroup keys match POSITIONALLY, so the right side's keys are
+        # renamed to fresh attributes — both sides descend from the one
+        # routed frame and identically-named keys trip Spark's
+        # ambiguous-self-join analyzer (the using-join form the scalar
+        # path takes disambiguates; cogroup has no such form)
+        r_gemm = (right.filter(in_gemm).drop("_gemm")
+                  .withColumnsRenamed({"cluster": "_clb", "_bl": "_blb",
+                                       "_br": "_brb"}))
         gemm_dropped = (
-            left.filter(in_gemm).groupBy(*keys)
-            .cogroup(right.filter(in_gemm).groupBy(*keys))
+            left.filter(in_gemm).drop("_gemm")
+            .groupBy("cluster", "_bl", "_br")
+            .cogroup(r_gemm.groupBy("_clb", "_blb", "_brb"))
             .applyInPandas(_gemm_cell_fn(threshold), schema="_idb long")
             .select(F.col("_idb").alias(id_col))
         )

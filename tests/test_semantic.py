@@ -111,3 +111,38 @@ def test_salt_does_not_change_results(spark):
         emb, threshold=0.2, n_clusters=4, iters=2, max_cluster=None,
         salt=7).collect()))
     assert a == b == c
+
+
+def test_web_scale_k_routing_compiles_and_runs(spark):
+    """Round-10 `weak` fix, measured: at the module's advertised
+    web-scale recipe the routing metadata must not be O(n_clusters)
+    Catalyst literals. Build a ~4000-vector frame (8 id-offset,
+    slightly-perturbed replicas of the real embeddings table) and run
+    semantic_dedup at n_clusters=2000 — the old nested-`when` /
+    `isin` routing could not compile plans of this width, and ivf's
+    literal argmin could not either (2000 x 64-dim literal folds per
+    Lloyd pass); the broadcast route frame + GEMM assignment make the
+    whole operator plan-size-flat in k. Asserts it completes with the
+    survivor invariants intact."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    reps = [emb.select(
+        (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: x + F.lit(float(i)) * F.lit(0.001))
+        .alias("embedding")) for i in range(8)]
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+    flags = semantic_dedup(big, threshold=0.2, n_clusters=2000, iters=1,
+                           max_cluster=None, salt=1,
+                           gemm_min_pairs=10**12)
+    rows = flags.collect()
+    assert len(rows) == 8 * 500
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    # >> 8 distinct clusters actually materialized (the k axis is real)
+    assert len(by_cluster) > 200
+    # lowest id per cluster always survives
+    for members in by_cluster.values():
+        assert min(members, key=lambda r: r.vec_id).kept
