@@ -88,9 +88,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_skew": Q.q_key_skew,
     "zorder_key": Q.q_zorder_key,
     "hetero_link_train_sampled": Q.q_hetero_link_train_sampled,
-    "gat_stack_train_sampled": Q.q_gat_stack_train_sampled,
     "layout_compact": Q.q_layout_compact,
-    "gat_stack_train": Q.q_gat_stack_train,
+    "gat_stack_train_variants": Q.q_gat_stack_train_variants,
     "gat_stack_train_q": Q.q_gat_stack_train_q,
     "gat_stack_train_sampled_q": Q.q_gat_stack_train_sampled_q,
     "hetero_neighbor_sample": Q.q_hetero_neighbor_sample,
@@ -140,11 +139,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neighbor_sample": Q.q_neighbor_sample,
     "events_asof": Q.q_events_asof,
     "funnel_variants": Q.q_funnel_variants,
-    "events_hourly": Q.q_events_hourly,
+    "hourly_variants": Q.q_hourly_variants,
     "events_sessionize": Q.q_events_sessionize,
     "events_attribution": Q.q_events_attribution,
     "cdc_stream": Q.q_cdc_stream,
-    "stream_hourly": Q.q_stream_hourly,
+    "hetero_link_train_sampled_q": Q.q_hetero_link_train_sampled_q,
     "stream_variants": Q.q_stream_variants,
     "retention_cohorts": Q.q_retention_cohorts,
     "event_anomalies": Q.q_event_anomalies,

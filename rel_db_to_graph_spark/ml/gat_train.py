@@ -736,7 +736,7 @@ def _collect_keyed_cells(frames: list) -> dict:
 
 def _hetero_epoch(graph_edges: dict, feats: dict, examples: DataFrame,
                   params: dict, b: float, src_type: str, dst_type: str,
-                  with_grads: bool = True) -> dict:
+                  with_grads: bool = True, quantize: bool = False) -> dict:
     """Forward(+backward) through the FULL hetero model shape
     (ml/hetero.py::hetero_gat_forward, reference model.py:92-94):
 
@@ -763,7 +763,16 @@ def _hetero_epoch(graph_edges: dict, feats: dict, examples: DataFrame,
     bounded stage count, instead of a scheduler-bound forest of tiny
     per-type stages. Per-group sums are unchanged; cross-path
     accumulation order changes only within the numpy-twin tolerances
-    (tests/test_gat_train.py pins gradients at rtol 1e-7)."""
+    (tests/test_gat_train.py pins gradients at rtol 1e-7).
+
+    ``quantize=True`` (round 10 — the hetero sampled trainer's turn
+    under the hash gate) applies the repo's 6-dp float-parity
+    convention at every order-dependent reduction, the _forward_layer
+    contract carried to the tagged-union plan: round(sigmoid, 6) input
+    projections, round(exp(e-max), 6) softmax numerators + DECIMAL
+    partition sums, round(α·s_i, 6) message terms + DECIMAL sums,
+    round(sigmoid, 6) layer outputs. Gradients stay unquantized (the
+    gated query outputs integer-derived accuracy/counts)."""
     hidden = next(iter(params["Wself"].values())).shape[0]
     types = sorted(feats)
     edge_types = sorted(params["attn"])
@@ -779,10 +788,14 @@ def _hetero_epoch(graph_edges: dict, feats: dict, examples: DataFrame,
         return out
 
     # ---- forward: per-type input projection -> tagged node frame ----
-    h0 = {t: feats[t].select(
-        "node_id",
-        linear_layer(F.col("emb"), params["W0"][t],
-                     activation="sigmoid").alias("emb")) for t in types}
+    def _h0_expr(t):
+        raw = linear_layer(F.col("emb"), params["W0"][t],
+                           activation="sigmoid")
+        return (F.transform(raw, lambda x: F.round(x, 6))
+                if quantize else raw)
+
+    h0 = {t: feats[t].select("node_id", _h0_expr(t).alias("emb"))
+          for t in types}
     N = None
     for t in types:
         part = h0[t].select(F.lit(t).alias("nt"), "node_id", "emb")
@@ -822,14 +835,23 @@ def _hetero_epoch(graph_edges: dict, feats: dict, examples: DataFrame,
     # softmax over each (edge type, dst)'s in-edges in ONE shuffle for
     # every edge type together
     wd = Window.partitionBy("tag", "dt", "dst")
+    w_raw = F.exp(F.col("_e") - F.col("_mx"))
     al = (ef.withColumn("_mx", F.max("_e").over(wd))
-          .withColumn("_w", F.exp(F.col("_e") - F.col("_mx")))
-          .withColumn("_z", F.sum("_w").over(wd))
+          .withColumn("_w", F.round(w_raw, 6) if quantize else w_raw)
+          .withColumn("_z",
+                      F.sum(F.col("_w").cast("decimal(27,6)")).over(wd)
+                      .cast("double") if quantize
+                      else F.sum("_w").over(wd))
           .withColumn("_alpha", F.col("_w") / F.col("_z")))
     al = _cut(al)
+
+    def _mterm(i):
+        ax = F.col("_alpha") * F.col("_s").getItem(i)
+        return (F.sum(F.round(ax, 6).cast("decimal(27,6)")).cast("double")
+                if quantize else F.sum(ax))
+
     msum = (al.groupBy("tag", "dt", "dst").agg(
-        *[F.sum(F.col("_alpha") * F.col("_s").getItem(i)).alias(f"_m{i}")
-          for i in dims]))
+        *[_mterm(i).alias(f"_m{i}") for i in dims]))
     msum = _cut(msum)
 
     # ordered aggr='sum' combine: pivot the per-tag messages to columns,
@@ -855,9 +877,11 @@ def _hetero_epoch(graph_edges: dict, feats: dict, examples: DataFrame,
         pre_exprs.append(_case(F.col("nt"), per_type))
     pre = _cut(npre.select("nt", "node_id",
                            F.array(*pre_exprs).alias("_pre")))
+    _act = ((lambda x: F.round(sigmoid(x), 6)) if quantize
+            else (lambda x: sigmoid(x)))
     h1 = _cut(pre.select(
         "nt", "node_id",
-        F.transform("_pre", lambda x: sigmoid(x)).alias("emb")))
+        F.transform("_pre", _act).alias("emb")))
 
     zeros = F.array_repeat(F.lit(0.0), hidden)
     ex = (examples
@@ -1266,7 +1290,12 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
                              epochs: int = 3, lr: float = 0.05,
                              val_frac: float = 0.2, seed: int = 42,
                              weight_decay: float = 0.01,
-                             edge_tables: dict | None = None) -> TrainResult:
+                             edge_tables: dict | None = None,
+                             optimizer: str = "adamw",
+                             quantize: bool = False,
+                             split_draw: str = "xxhash64",
+                             batch_draw: str = "xxhash64",
+                             sample_draw: str = "xxhash64") -> TrainResult:
     """Sampled MINI-BATCH training of the full hetero model — the
     LinkNeighborLoader regime the reference actually trains in
     (dataloader.py:24-51, tuning.py:53: per-layer fanout 15, batch 512,
@@ -1310,6 +1339,16 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
     table, pruning the scan to ~|frontier| buckets/row groups. The
     sampled edges are bit-identical either way (tested), so the
     exactness anchor carries over unchanged.
+
+    ``optimizer='sgd'`` + ``quantize=True`` + md5 ``split_draw`` /
+    ``batch_draw`` / ``sample_draw`` is the cross-engine-replayable
+    config (the train_gat_stack_sampled convention carried to the
+    FLAGSHIP hetero trainer — round 10, the last rows-only tier):
+    DuckDB then replays the md5 split, batch membership, every edge
+    type's md5 in-edge draws, the quantized hetero forwards, and the
+    per-batch plain-GD steps, putting the whole sampled hetero loop
+    under the hash gate (q_hetero_link_train_sampled_q). md5 draws
+    require non-null src/dst (null-dropped edge frames guarantee it).
     """
     from rel_db_to_graph_spark.operators.sampling import (
         sample_incoming_hetero,
@@ -1341,7 +1380,7 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
     b = 0.0
 
     split = hash_split(examples, val_frac=val_frac, test_frac=0.0,
-                       seed=seed)
+                       seed=seed, draw=split_draw)
     train = split.filter(F.col("split") == "train").drop("split").cache()
     val = split.filter(F.col("split") == "val").drop("split").cache()
     # both split sizes in ONE job (two .count()s were pure floor) —
@@ -1359,6 +1398,18 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
              else min(n_batches, max_batches))
     t0 = _tr("split + counts", t0)
 
+    def _member(epoch: int) -> F.Column:
+        # content-addressed batch membership; 'md5' is the
+        # DuckDB-replayable variant (train_gat_stack_sampled's _member)
+        if batch_draw == "md5":
+            dig = F.md5(F.concat_ws(
+                ":", F.col("src").cast("string"),
+                F.col("dst").cast("string"), F.lit(str(seed + epoch))))
+            return F.pmod(F.conv(F.substring(dig, 1, 8), 16, 10)
+                          .cast("long"), F.lit(n_batches))
+        return F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
+                      F.lit(n_batches))
+
     def _prefetch(epoch: int) -> dict:
         """All of epoch ``epoch``'s sampled batch closures — ONE tagged
         seed-frontier collect + the fused multi-batch store sampler.
@@ -1367,9 +1418,8 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
         the steps' jobs read only RAM-checkpointed frames (never the
         bucketed tables), so the sampler's scoped autoBucketedScan
         override cannot affect their planning."""
-        tagged = train.withColumn(
-            "_bi", F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
-                          F.lit(n_batches))).filter(F.col("_bi") < steps)
+        tagged = (train.withColumn("_bi", _member(epoch))
+                  .filter(F.col("_bi") < steps))
         su = (tagged.select("_bi", F.lit(src_type).alias("_t"),
                             F.col("src").alias("node_id"))
               .unionByName(tagged.select(
@@ -1387,7 +1437,7 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
             out.update(sample_incoming_hetero_store_multi(
                 examples.sparkSession, edge_tables,
                 {bi: fr[bi] for bi in tags}, fanouts,
-                {bi: bseeds[bi] for bi in tags}))
+                {bi: bseeds[bi] for bi in tags}, draw=sample_draw))
         return out
 
     pool = fut = None
@@ -1469,7 +1519,8 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
             ps["attn"][et] = (Wl, Wr, a)
         return ps, float(v[i])
 
-    opt = AdamW(lr=lr, weight_decay=weight_decay)
+    opt = (None if optimizer == "sgd"
+           else AdamW(lr=lr, weight_decay=weight_decay))
     result = TrainResult(weights=flat(params, b)[:-1], bias=b)
     best = (params, b)
     try:
@@ -1495,8 +1546,7 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
                 # only paid another scheduling floor for a filter over the
                 # cached train frame
                 batch = train.filter(
-                    F.pmod(F.xxhash64("src", "dst", F.lit(seed + epoch)),
-                           F.lit(n_batches)) == bi).localCheckpoint(eager=False)
+                    _member(epoch) == bi).localCheckpoint(eager=False)
                 seeds = {src_type: batch.select(F.col("src").alias("node_id"))}
                 dst_seed = batch.select(F.col("dst").alias("node_id"))
                 if dst_type in seeds:
@@ -1508,13 +1558,15 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
                     samp = samp_by_bi[bi]
                 else:
                     samp = sample_incoming_hetero(
-                        graph_edges, seeds, fanouts, seed=batch_seed)
+                        graph_edges, seeds, fanouts, seed=batch_seed,
+                        draw=sample_draw)
                 # eager=False: the whole step — closure, forward, backward,
                 # stats — executes as ONE driver job (the fused collect)
                 sub, fcut = _batch_closure(samp, seeds, edge_types, feats,
                                            eager=False)
                 stats = _hetero_epoch(sub, fcut, batch, params, b,
-                                      src_type, dst_type)
+                                      src_type, dst_type,
+                                      quantize=quantize)
                 t0 = _tr(f"e{epoch} b{bi} epoch collect", t0)
                 if stats["n"] == 0:
                     continue
@@ -1522,13 +1574,19 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
                 gparams = {"W0": g["W0"], "Wself": g["Wself"],
                            "attn": {et: (gg[0], gg[1], np.asarray(gg[2]))
                                     for et, gg in g["attn"].items()}}
-                params, b = unflat(opt.step(flat(params, b),
-                                            flat(gparams, stats["gb"])))
+                gflat = flat(gparams, stats["gb"])
+                if opt is None:
+                    stepped = [w - lr * g
+                               for w, g in zip(flat(params, b), gflat)]
+                else:
+                    stepped = opt.step(flat(params, b), gflat)
+                params, b = unflat(stepped)
                 losses.append(stats["loss"] * stats["n"])
                 ns.append(stats["n"])
             n_seen = sum(ns)
             vstats = _hetero_epoch(val_sub, val_fcut, val, params, b,
-                                   src_type, dst_type, with_grads=False)
+                                   src_type, dst_type, with_grads=False,
+                                   quantize=quantize)
             t0 = _tr(f"e{epoch} val forward", t0)
             result.history.append({
                 "epoch": epoch,

@@ -2172,6 +2172,25 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
 FROM events GROUP BY 1, 2
 """
 
+#: hourly_variants consolidation (round 10): batch rollup + drained
+#: streaming final state as one tagged union — the streaming half
+#: carries NULL n_users (countDistinct is illegal in a streaming agg).
+HOURLY_VARIANTS = """
+SELECT 'batch' AS variant, event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'stream' AS variant, event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*) AS n_events,
+       CAST(NULL AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 2, 3
+"""
+
 EVENTS_SESSIONIZE = """
 WITH flagged AS (
     SELECT user_id, event_id, epoch_us(ts) AS tsu,
@@ -3593,12 +3612,527 @@ def _gat_stack_train_sampled_q_sql(hidden: int = 2, d_in: int = 2,
 GAT_STACK_TRAIN_SAMPLED_Q = _gat_stack_train_sampled_q_sql()
 
 
+def _hetero_link_train_sampled_q_sql(hidden: int = 2, epochs: int = 2,
+                                     steps: int = 2, batch_size: int = 512,
+                                     fanout: int = 1, lr: float = 0.5,
+                                     val_frac: float = 0.2, seed: int = 42,
+                                     probe: str | None = None) -> str:
+    """Twin of queries.q_hetero_link_train_sampled_q — DuckDB RETRAINS
+    the FLAGSHIP heterogeneous sampled mini-batch trainer (round 10,
+    the last rows-only tier; reference T:72-80 + dataloader.py:24-51):
+
+      * scalable dense ids for orders/customer, FULL-graph degrees
+        (every _HF_FWD edge type touching the two tables, +1), max-abs
+        scaled (numeric, degree) features — the build_graph /
+        node_features_normalized derivations;
+      * the orders↔customer message graph: hasCust (EDGES_FK
+        semantics), its REVERSE_, both SELF_LOOPs;
+      * md5 negative sampling (NEGATIVE_SAMPLE recipe over dense ids),
+        md5 0.8 split, batch count from the data, md5 per-epoch batch
+        membership — the trainer's draw conventions;
+      * per gradient step: every edge type's md5 in-edge draw replayed
+        (row_number per dst over md5(dst:src:etseed), src tie-break,
+        ≤ fanout; etseed = the REVERSED-tuple _edge_type_seed of the
+        batch seed), the 6-dp QUANTIZED hetero forward over the
+        sampled edges (round(sigmoid,6) input projections,
+        round(exp(e-max),6) + DECIMAL softmax sums, round(α·s,6) +
+        DECIMAL message sums, round(sigmoid,6) combine — closure nodes
+        without sampled in-edges get σ(W_self·h0), the piv-left-join
+        convention, NOT the stack's zero vectors), the full hetero
+        backprop (decoder → sigmoid chain → per-edge-type softmax
+        Jacobian → LeakyReLU gate → W_selfᵀ/W_lᵀ/W_rᵀ chain into h0 →
+        W0 outer products) and a plain-GD step on EVERY parameter
+        (W0/W_self per type, W_l/W_r/a per edge type, bias), missing
+        gradient cells coalesced to 0 (the engine's zeros default);
+      * post-epoch validation from a full-graph forward (value-
+        identical to the trainer's once-computed val closure).
+
+    Output per epoch: (epoch, train_n, val_acc) — integer-derived, so
+    gradient-sum last-ulp divergence cannot flip it off measure-zero
+    boundaries. Assumes n_batches ≥ steps and non-empty replayed
+    batches (the trainer skips empty ones); tests/test_gat_train.py
+    asserts both on the real tables so a data change fails loudly."""
+    import hashlib
+
+    import numpy as np
+
+    tps = ["customer", "orders"]                     # sorted(feats)
+    tl = {"customer": "c", "orders": "o"}
+    pk = {"customer": "c_custkey", "orders": "o_orderkey"}
+    numf = {"customer": "c_acctbal", "orders": "o_totalprice"}
+    edge_types = sorted([
+        ("customer", "REVERSE_hasCust", "orders"),
+        ("customer", "SELF_LOOP", "customer"),
+        ("orders", "SELF_LOOP", "orders"),
+        ("orders", "hasCust", "customer"),
+    ])
+    src_type, dst_type = "orders", "customer"
+    d_in = 2
+    dims = range(1, hidden + 1)
+    nd = range(1, d_in + 1)
+
+    # initial weights: the trainer's exact default_rng(seed) sequence
+    rng = np.random.default_rng(seed)
+    W0 = {t: rng.normal(0, 0.5, size=(hidden, d_in)) for t in tps}
+    Wself = {t: rng.normal(0, 0.5, size=(hidden, hidden)) for t in tps}
+    attn = {et: (rng.normal(0, 0.5, size=(hidden, hidden)),
+                 rng.normal(0, 0.5, size=(hidden, hidden)),
+                 rng.normal(0, 0.5, size=hidden)) for et in edge_types}
+
+    def lit(v: float) -> str:
+        return repr(float(v))
+
+    def etseed(bseed: int, et: tuple) -> int:
+        # sample_incoming_hetero samples over the REVERSED graph, so
+        # _edge_type_seed keys on the reversed tuple
+        s, rel, d = et
+        tag = f"{d}|{rel}|{s}".encode()
+        return bseed + int.from_bytes(hashlib.md5(tag).digest()[:4], "big")
+
+    sig = SIGMOID
+    parts: list = []
+
+    # ---- ids, degrees, features, message edges ----------------------
+    parts.append("oid AS MATERIALIZED ("
+                 + ids_scalable_cte("orders", "o_orderkey") + ")")
+    parts.append("cid AS MATERIALIZED ("
+                 + ids_scalable_cte("customer", "c_custkey") + ")")
+    fwd_needed = [et for et in _HF_FWD
+                  if et[0] in tps or et[2] in tps]
+    fkey = {et: f"{et[0]}_{et[1]}_{et[2]}".lower() for et in fwd_needed}
+    for et in fwd_needed:
+        parts.append(f"dg_{fkey[et]} AS MATERIALIZED ({_HF_FWD[et]})")
+    for t in tps:
+        ends = [f"SELECT src_pk AS pk FROM dg_{fkey[et]}"
+                for et in fwd_needed if et[0] == t]
+        ends += [f"SELECT dst_pk AS pk FROM dg_{fkey[et]}"
+                 for et in fwd_needed if et[2] == t]
+        cnt = " UNION ALL ".join(ends)
+        parts.append(
+            f"deg_{tl[t]} AS (SELECT b.{pk[t]} AS pk, "
+            f"CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE) AS degree "
+            f"FROM {t} b LEFT JOIN (SELECT pk, count(*) AS cnt "
+            f"FROM ({cnt}) GROUP BY pk) c ON b.{pk[t]} = c.pk)")
+        parts.append(
+            f"nf_{tl[t]} AS (SELECT b.{pk[t]} AS pk, "
+            f"CAST(b.{numf[t]} AS DOUBLE) AS f1, d.degree AS f2 "
+            f"FROM {t} b JOIN deg_{tl[t]} d ON b.{pk[t]} = d.pk)")
+        parts.append(
+            f"mx_{tl[t]} AS (SELECT greatest(max(abs(f1)), 1e-12) AS m1, "
+            f"greatest(max(abs(f2)), 1e-12) AS m2 FROM nf_{tl[t]})")
+        idc = "oid" if t == "orders" else "cid"
+        parts.append(
+            f"x{tl[t]} AS MATERIALIZED (SELECT i.node_id, "
+            f"n.f1 / m.m1 AS f1, n.f2 / m.m2 AS f2 "
+            f"FROM nf_{tl[t]} n JOIN {idc} i ON n.pk = i.pk, "
+            f"mx_{tl[t]} m)")
+    parts.append(
+        "efwd AS MATERIALIZED (SELECT o.node_id AS src, c.node_id AS dst "
+        "FROM orders JOIN oid o ON o_orderkey = o.pk "
+        "JOIN cid c ON o_custkey = c.pk "
+        "WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL)")
+    ecte = {
+        ("orders", "hasCust", "customer"): "efwd",
+        ("customer", "REVERSE_hasCust", "orders"): "erev",
+        ("customer", "SELF_LOOP", "customer"): "eslc",
+        ("orders", "SELF_LOOP", "orders"): "eslo",
+    }
+    parts.append("erev AS (SELECT dst AS src, src AS dst FROM efwd)")
+    parts.append("eslc AS (SELECT node_id AS src, node_id AS dst FROM cid)")
+    parts.append("eslo AS (SELECT node_id AS src, node_id AS dst FROM oid)")
+
+    # ---- labeled examples (md5 negatives), split, batch count -------
+    parts.append("ncust AS (SELECT count(*) AS n FROM cid)")
+    parts.append(
+        "ex0 AS (SELECT src, dst, CAST(1 AS INTEGER) AS label FROM efwd "
+        "UNION ALL "
+        "SELECT g.src, g.dst, g.label FROM ("
+        f"SELECT src, CAST({_hex32_sql(_edge_draw_sql(f'0:{seed}'))} "
+        "% n.n AS BIGINT) AS dst, CAST(0 AS INTEGER) AS label "
+        "FROM efwd, ncust n) g "
+        "WHERE NOT EXISTS (SELECT 1 FROM efwd e "
+        "WHERE e.src = g.src AND e.dst = g.dst))")
+    cut = lit(1.0 - val_frac)
+    parts.append(
+        "exs AS MATERIALIZED (SELECT src, dst, label, "
+        f"({_hex32_sql(_edge_draw_sql(str(seed)))} / 4294967296.0) AS u "
+        "FROM ex0)")
+    parts.append("tr AS MATERIALIZED (SELECT src, dst, label FROM exs "
+                 f"WHERE u < CAST({cut} AS DOUBLE))")
+    parts.append("vl AS MATERIALIZED (SELECT src, dst, label FROM exs "
+                 f"WHERE NOT (u < CAST({cut} AS DOUBLE)))")
+    parts.append("nb AS (SELECT greatest(CAST(ceil(count(*) / "
+                 f"{float(batch_size)}) AS BIGINT), 1) AS nb FROM tr)")
+
+    # ---- initial weights as one literal row --------------------------
+    wcols = []
+    for ti, t in enumerate(tps):
+        for r in dims:
+            for c in nd:
+                wcols.append(f"{lit(W0[t][r - 1][c - 1])} AS w0{ti}_{r}{c}")
+        for r in dims:
+            for c in dims:
+                wcols.append(f"{lit(Wself[t][r - 1][c - 1])} AS ws{ti}_{r}{c}")
+    for ei, et in enumerate(edge_types):
+        Wl, Wr, a = attn[et]
+        for r in dims:
+            for c in dims:
+                wcols.append(f"{lit(Wl[r - 1][c - 1])} AS wl{ei}_{r}{c}")
+                wcols.append(f"{lit(Wr[r - 1][c - 1])} AS wr{ei}_{r}{c}")
+        for i in dims:
+            wcols.append(f"{lit(a[i - 1])} AS aa{ei}_{i}")
+    wcols.append("0.0 AS bb")
+    parts.append("w0w AS (SELECT " + ", ".join(wcols) + ")")
+
+    tidx = {t: ti for ti, t in enumerate(tps)}
+
+    def forward(tag: str, w: str, edges_of: dict, closure_of: dict) -> None:
+        """Quantized hetero forward → h0{tag}_{ti} / ms{tag}_{ei} /
+        h1{tag}_{ti}. ``edges_of``: et → edge CTE; ``closure_of``:
+        type → node-set CTE (full graph: oid/cid)."""
+        for t in tps:
+            ti = tidx[t]
+            es = []
+            for i in dims:
+                z = ("0.0 + " + " + ".join(
+                    f"x.f{c} * w.w0{ti}_{i}{c}" for c in nd))
+                es.append(f"round({sig.format(z=z)}, 6) AS e{i}")
+            parts.append(
+                f"h0{tag}_{ti} AS MATERIALIZED (SELECT c.node_id, "
+                + ", ".join(es)
+                + f" FROM {closure_of[t]} c "
+                f"JOIN x{tl[t]} x ON c.node_id = x.node_id, {w} w)")
+        for ei, et in enumerate(edge_types):
+            si, di = tidx[et[0]], tidx[et[2]]
+            sp = ", ".join(
+                "0.0 + " + " + ".join(f"h.e{c} * w.wl{ei}_{r}{c}"
+                                      for c in dims) + f" AS s{r}"
+                for r in dims)
+            tp = ", ".join(
+                "0.0 + " + " + ".join(f"h.e{c} * w.wr{ei}_{r}{c}"
+                                      for c in dims) + f" AS t{r}"
+                for r in dims)
+            parts.append(f"sp{tag}_{ei} AS (SELECT h.node_id, {sp} "
+                         f"FROM h0{tag}_{si} h, {w} w)")
+            parts.append(f"tp{tag}_{ei} AS (SELECT h.node_id, {tp} "
+                         f"FROM h0{tag}_{di} h, {w} w)")
+            qs = ", ".join(f"sp.s{i} + tp.t{i} AS q{i}" for i in dims)
+            rs = ", ".join(
+                f"(CASE WHEN (sp.s{i} + tp.t{i}) > 0 "
+                f"THEN (sp.s{i} + tp.t{i}) "
+                f"ELSE (sp.s{i} + tp.t{i}) * 0.2 END) AS r{i}"
+                for i in dims)
+            ss = ", ".join(f"sp.s{i}" for i in dims)
+            ee = "0.0 + " + " + ".join(
+                f"(CASE WHEN (sp.s{i} + tp.t{i}) > 0 "
+                f"THEN (sp.s{i} + tp.t{i}) "
+                f"ELSE (sp.s{i} + tp.t{i}) * 0.2 END) * w.aa{ei}_{i}"
+                for i in dims)
+            parts.append(
+                f"ef{tag}_{ei} AS MATERIALIZED (SELECT e.src, e.dst, "
+                f"{ss}, {qs}, {rs}, {ee} AS ee "
+                f"FROM {edges_of[et]} e "
+                f"JOIN sp{tag}_{ei} sp ON e.src = sp.node_id "
+                f"JOIN tp{tag}_{ei} tp ON e.dst = tp.node_id, {w} w)")
+            parts.append(f"mxe{tag}_{ei} AS (SELECT dst, max(ee) AS m "
+                         f"FROM ef{tag}_{ei} GROUP BY dst)")
+            keep = (", ".join(f"f.s{i}" for i in dims) + ", "
+                    + ", ".join(f"f.q{i}" for i in dims) + ", "
+                    + ", ".join(f"f.r{i}" for i in dims))
+            parts.append(
+                f"aw{tag}_{ei} AS MATERIALIZED (SELECT f.src, f.dst, "
+                f"{keep}, round(exp(f.ee - m.m), 6) AS wq "
+                f"FROM ef{tag}_{ei} f JOIN mxe{tag}_{ei} m "
+                f"ON f.dst = m.dst)")
+            parts.append(
+                f"z{tag}_{ei} AS (SELECT dst, "
+                f"CAST(sum(CAST(wq AS DECIMAL(27,6))) AS DOUBLE) AS z "
+                f"FROM aw{tag}_{ei} GROUP BY dst)")
+            parts.append(
+                f"al{tag}_{ei} AS MATERIALIZED (SELECT a.*, a.wq / z.z "
+                f"AS alpha FROM aw{tag}_{ei} a JOIN z{tag}_{ei} z "
+                f"ON a.dst = z.dst)")
+            ms = ", ".join(
+                f"CAST(sum(CAST(round(alpha * s{i}, 6) "
+                f"AS DECIMAL(27,6))) AS DOUBLE) AS m{i}" for i in dims)
+            parts.append(f"ms{tag}_{ei} AS MATERIALIZED "
+                         f"(SELECT dst AS node_id, {ms} "
+                         f"FROM al{tag}_{ei} GROUP BY dst)")
+        for t in tps:
+            ti = tidx[t]
+            incoming = [ei for ei, et in enumerate(edge_types)
+                        if et[2] == t]
+            joins = "".join(
+                f" LEFT JOIN ms{tag}_{ei} g{gi} "
+                f"ON h.node_id = g{gi}.node_id"
+                for gi, ei in enumerate(incoming))
+            es = []
+            for i in dims:
+                z = ("(0.0 + " + " + ".join(
+                    f"h.e{c} * w.ws{ti}_{i}{c}" for c in dims) + ")")
+                for gi in range(len(incoming)):
+                    z = f"{z} + COALESCE(g{gi}.m{i}, 0.0)"
+                es.append(f"round({sig.format(z=z)}, 6) AS e{i}")
+            parts.append(
+                f"h1{tag}_{ti} AS MATERIALIZED (SELECT h.node_id, "
+                + ", ".join(es)
+                + f" FROM h0{tag}_{ti} h{joins}, {w} w)")
+
+    def decode(tag: str, exset: str, w: str, name: str) -> None:
+        si, di = tidx[src_type], tidx[dst_type]
+        hu = ", ".join(f"hu.e{i} AS hu{i}" for i in dims)
+        hv = ", ".join(f"hv.e{i} AS hv{i}" for i in dims)
+        zc = ("(0.0 + "
+              + " + ".join(f"hu.e{i} * hv.e{i}" for i in dims)
+              + ") + w.bb")
+        parts.append(
+            f"sc{name} AS MATERIALIZED (SELECT s.src, s.dst, s.label, "
+            f"{hu}, {hv}, "
+            f"{sig.format(z=f'greatest(least({zc}, 30.0), -30.0)')} AS p "
+            f"FROM {exset} s JOIN h1{tag}_{si} hu ON s.src = hu.node_id "
+            f"JOIN h1{tag}_{di} hv ON s.dst = hv.node_id, {w} w)")
+        parts.append(
+            f"st{name} AS MATERIALIZED (SELECT count(*) AS n, "
+            f"sum(CAST(CAST(p > 0.5 AS INT) = label AS BIGINT)) "
+            f"AS correct, sum(p - CAST(label AS DOUBLE)) AS gb "
+            f"FROM sc{name})")
+
+    def backward(tag: str, w: str, sc: str) -> None:
+        gs = ", ".join(f"sum(g{i}) AS g{i}" for i in dims)
+        u_src = ", ".join(
+            f"(s.p - CAST(s.label AS DOUBLE)) * s.hv{i} AS g{i}"
+            for i in dims)
+        u_dst = ", ".join(
+            f"(s.p - CAST(s.label AS DOUBLE)) * s.hu{i} AS g{i}"
+            for i in dims)
+        si, di = tidx[src_type], tidx[dst_type]
+        parts.append(f"gt{tag}_{si} AS (SELECT node_id, {gs} FROM ("
+                     f"SELECT s.src AS node_id, {u_src} FROM {sc} s) "
+                     f"GROUP BY node_id)")
+        parts.append(f"gt{tag}_{di} AS (SELECT node_id, {gs} FROM ("
+                     f"SELECT s.dst AS node_id, {u_dst} FROM {sc} s) "
+                     f"GROUP BY node_id)")
+        for t in tps:
+            ti = tidx[t]
+            gm = ", ".join(
+                f"g.g{i} * h.e{i} * (1 - h.e{i}) AS g{i}" for i in dims)
+            parts.append(
+                f"gp{tag}_{ti} AS MATERIALIZED (SELECT g.node_id, {gm} "
+                f"FROM gt{tag}_{ti} g JOIN h1{tag}_{ti} h "
+                f"ON g.node_id = h.node_id)")
+            parts.append(
+                f"gws{tag}_{ti} AS (SELECT "
+                + ", ".join(f"sum(d.g{r} * h.e{c}) AS g{r}{c}"
+                            for r in dims for c in dims)
+                + f" FROM gp{tag}_{ti} d JOIN h0{tag}_{ti} h "
+                f"ON d.node_id = h.node_id)")
+        for ei, et in enumerate(edge_types):
+            si, di = tidx[et[0]], tidx[et[2]]
+            c = "0.0 + " + " + ".join(f"g.g{i} * m.m{i}" for i in dims)
+            parts.append(
+                f"gmc{tag}_{ei} AS (SELECT g.node_id AS dst, "
+                + ", ".join(f"g.g{i} AS gm{i}" for i in dims)
+                + f", {c} AS c FROM gp{tag}_{di} g "
+                f"JOIN ms{tag}_{ei} m ON g.node_id = m.node_id)")
+            keep = (", ".join(f"a.s{i}" for i in dims) + ", "
+                    + ", ".join(f"a.q{i}" for i in dims) + ", "
+                    + ", ".join(f"a.r{i}" for i in dims) + ", a.alpha, "
+                    + ", ".join(f"g.gm{i}" for i in dims))
+            dotgs = "0.0 + " + " + ".join(f"g.gm{i} * a.s{i}"
+                                          for i in dims)
+            parts.append(
+                f"eb{tag}_{ei} AS MATERIALIZED (SELECT a.src, a.dst, "
+                f"{keep}, a.alpha * (({dotgs}) - g.c) AS ge "
+                f"FROM al{tag}_{ei} a "
+                f"JOIN gmc{tag}_{ei} g ON a.dst = g.dst)")
+            parts.append(
+                f"ga{tag}_{ei} AS (SELECT "
+                + ", ".join(f"sum(ge * r{i}) AS ga{i}" for i in dims)
+                + f" FROM eb{tag}_{ei})")
+            dq = {i: (f"e.ge * w.aa{ei}_{i} * (CASE WHEN e.q{i} > 0 "
+                      f"THEN 1.0 ELSE 0.2 END)") for i in dims}
+            parts.append(
+                f"ds{tag}_{ei} AS MATERIALIZED (SELECT e.src AS node_id, "
+                + ", ".join(f"sum(e.alpha * e.gm{i} + {dq[i]}) AS d{i}"
+                            for i in dims)
+                + f" FROM eb{tag}_{ei} e, {w} w GROUP BY e.src)")
+            parts.append(
+                f"dt{tag}_{ei} AS MATERIALIZED (SELECT e.dst AS node_id, "
+                + ", ".join(f"sum({dq[i]}) AS d{i}" for i in dims)
+                + f" FROM eb{tag}_{ei} e, {w} w GROUP BY e.dst)")
+            parts.append(
+                f"gwl{tag}_{ei} AS (SELECT "
+                + ", ".join(f"sum(d.d{r} * h.e{c}) AS g{r}{c}"
+                            for r in dims for c in dims)
+                + f" FROM ds{tag}_{ei} d JOIN h0{tag}_{si} h "
+                f"ON d.node_id = h.node_id)")
+            parts.append(
+                f"gwr{tag}_{ei} AS (SELECT "
+                + ", ".join(f"sum(d.d{r} * h.e{c}) AS g{r}{c}"
+                            for r in dims for c in dims)
+                + f" FROM dt{tag}_{ei} d JOIN h0{tag}_{di} h "
+                f"ON d.node_id = h.node_id)")
+        for t in tps:
+            ti = tidx[t]
+            srcs = [
+                "SELECT d.node_id, "
+                + ", ".join(
+                    "0.0 + " + " + ".join(
+                        f"d.g{o} * w.ws{ti}_{o}{j}" for o in dims)
+                    + f" AS g{j}" for j in dims)
+                + f" FROM gp{tag}_{ti} d, {w} w"]
+            for ei, et in enumerate(edge_types):
+                if et[0] == t:
+                    srcs.append(
+                        "SELECT d.node_id, "
+                        + ", ".join(
+                            "0.0 + " + " + ".join(
+                                f"d.d{o} * w.wl{ei}_{o}{j}" for o in dims)
+                            + f" AS g{j}" for j in dims)
+                        + f" FROM ds{tag}_{ei} d, {w} w")
+                if et[2] == t:
+                    srcs.append(
+                        "SELECT d.node_id, "
+                        + ", ".join(
+                            "0.0 + " + " + ".join(
+                                f"d.d{o} * w.wr{ei}_{o}{j}" for o in dims)
+                            + f" AS g{j}" for j in dims)
+                        + f" FROM dt{tag}_{ei} d, {w} w")
+            parts.append(
+                f"gh0{tag}_{ti} AS MATERIALIZED (SELECT node_id, "
+                + ", ".join(f"sum(g{j}) AS g{j}" for j in dims)
+                + " FROM (" + " UNION ALL ".join(srcs)
+                + ") GROUP BY node_id)")
+            parts.append(
+                f"gm0{tag}_{ti} AS (SELECT g.node_id, "
+                + ", ".join(
+                    f"g.g{i} * h.e{i} * (1 - h.e{i}) AS d{i}"
+                    for i in dims)
+                + f" FROM gh0{tag}_{ti} g JOIN h0{tag}_{ti} h "
+                f"ON g.node_id = h.node_id)")
+            parts.append(
+                f"gw0{tag}_{ti} AS (SELECT "
+                + ", ".join(f"sum(d.d{r} * x.f{c}) AS g{r}{c}"
+                            for r in dims for c in nd)
+                + f" FROM gm0{tag}_{ti} d JOIN x{tl[t]} x "
+                f"ON d.node_id = x.node_id)")
+
+    def update(g: int, tag: str) -> None:
+        """w{g+1} = w{g} − lr·(COALESCE(Σg,0)/n) per cell — the plain
+        per-batch GD step; a parameter untouched by the batch keeps a
+        zero gradient (the engine's zeros default)."""
+        cols = []
+        for ti, _t in enumerate(tps):
+            for r in dims:
+                for c in nd:
+                    cols.append(
+                        f"w.w0{ti}_{r}{c} - {lit(lr)} * "
+                        f"(COALESCE(g0{ti}.g{r}{c}, 0.0) / s.n) "
+                        f"AS w0{ti}_{r}{c}")
+            for r in dims:
+                for c in dims:
+                    cols.append(
+                        f"w.ws{ti}_{r}{c} - {lit(lr)} * "
+                        f"(COALESCE(gs{ti}.g{r}{c}, 0.0) / s.n) "
+                        f"AS ws{ti}_{r}{c}")
+        for ei in range(len(edge_types)):
+            for r in dims:
+                for c in dims:
+                    cols.append(
+                        f"w.wl{ei}_{r}{c} - {lit(lr)} * "
+                        f"(COALESCE(gl{ei}.g{r}{c}, 0.0) / s.n) "
+                        f"AS wl{ei}_{r}{c}")
+                    cols.append(
+                        f"w.wr{ei}_{r}{c} - {lit(lr)} * "
+                        f"(COALESCE(gr{ei}.g{r}{c}, 0.0) / s.n) "
+                        f"AS wr{ei}_{r}{c}")
+            for i in dims:
+                cols.append(
+                    f"w.aa{ei}_{i} - {lit(lr)} * "
+                    f"(COALESCE(gal{ei}.ga{i}, 0.0) / s.n) AS aa{ei}_{i}")
+        cols.append(f"w.bb - {lit(lr)} * (s.gb / s.n) AS bb")
+        froms = ", ".join(
+            [f"w{g}w w", f"stt{g} s"]
+            + [f"gw0{tag}_{ti} g0{ti}" for ti in range(len(tps))]
+            + [f"gws{tag}_{ti} gs{ti}" for ti in range(len(tps))]
+            + [f"gwl{tag}_{ei} gl{ei}" for ei in range(len(edge_types))]
+            + [f"gwr{tag}_{ei} gr{ei}" for ei in range(len(edge_types))]
+            + [f"ga{tag}_{ei} gal{ei}" for ei in range(len(edge_types))])
+        parts.append(f"w{g + 1}w AS MATERIALIZED (SELECT "
+                     + ", ".join(cols) + f" FROM {froms})")
+
+    full_edges = {et: ecte[et] for et in edge_types}
+    full_closure = {"customer": "cid", "orders": "oid"}
+
+    for t in range(epochs):
+        parts.append(
+            f"mb{t} AS MATERIALIZED (SELECT src, dst, label, "
+            f"({_hex32_sql(_edge_draw_sql(str(seed + t)))} % b.nb) AS bi "
+            "FROM tr, nb b)")
+        for k in range(steps):
+            g = t * steps + k
+            bseed = seed + 7919 * t + 104729 * k
+            parts.append(f"bx{g} AS MATERIALIZED (SELECT src, dst, label "
+                         f"FROM mb{t} WHERE bi = {k})")
+            # per-type seeds (orders = example srcs, customer = dsts)
+            parts.append(f"sd{g}_{tidx['orders']} AS "
+                         f"(SELECT DISTINCT src AS node_id FROM bx{g})")
+            parts.append(f"sd{g}_{tidx['customer']} AS "
+                         f"(SELECT DISTINCT dst AS node_id FROM bx{g})")
+            for ei, et in enumerate(edge_types):
+                di = tidx[et[2]]
+                es = etseed(bseed, et)
+                parts.append(
+                    f"hp{g}_{ei} AS MATERIALIZED (SELECT src, dst FROM ("
+                    f"SELECT e.src, e.dst, row_number() OVER ("
+                    f"PARTITION BY e.dst ORDER BY "
+                    f"md5(CAST(e.dst AS VARCHAR) || ':' || "
+                    f"CAST(e.src AS VARCHAR) || ':{es}'), e.src) AS rk "
+                    f"FROM {ecte[et]} e JOIN sd{g}_{di} f "
+                    f"ON e.dst = f.node_id) WHERE rk <= {int(fanout)})")
+            for t2 in tps:
+                ti = tidx[t2]
+                mem = [f"SELECT node_id FROM sd{g}_{ti}"]
+                for ei, et in enumerate(edge_types):
+                    if et[0] == t2:
+                        mem.append(f"SELECT src FROM hp{g}_{ei}")
+                    if et[2] == t2:
+                        mem.append(f"SELECT dst FROM hp{g}_{ei}")
+                parts.append(f"cl{g}_{ti} AS MATERIALIZED ("
+                             + " UNION ".join(mem) + ")")
+            forward(f"b{g}", f"w{g}w",
+                    {et: f"hp{g}_{ei}"
+                     for ei, et in enumerate(edge_types)},
+                    {t2: f"cl{g}_{tidx[t2]}" for t2 in tps})
+            decode(f"b{g}", f"bx{g}", f"w{g}w", f"t{g}")
+            backward(f"b{g}", f"w{g}w", f"sct{g}")
+            update(g, f"b{g}")
+        gend = (t + 1) * steps
+        forward(f"v{t}", f"w{gend}w", full_edges, full_closure)
+        decode(f"v{t}", "vl", f"w{gend}w", f"v{t}")
+    finals = [
+        f"SELECT CAST({t} AS INTEGER) AS epoch, CAST("
+        + " + ".join(f"stt{t * steps + k}.n" for k in range(steps))
+        + f" AS BIGINT) AS train_n, "
+        f"CAST(stv{t}.correct AS DOUBLE) / stv{t}.n AS val_acc FROM "
+        + ", ".join([f"stt{t * steps + k}" for k in range(steps)]
+                    + [f"stv{t}"])
+        for t in range(epochs)]
+    if probe:                               # debugging aid, not an oracle
+        finals = [probe]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+HETERO_LINK_TRAIN_SAMPLED_Q = _hetero_link_train_sampled_q_sql()
+
+
 #: name -> oracle SQL (queries without an entry get rows-only checks)
 ORACLES: dict[str, str] = {
     "hetero_forward_q": HETERO_FORWARD_Q,
     "recommend_gnn": RECOMMEND_GNN,
     "gat_stack_train_q": GAT_STACK_TRAIN_Q,
     "gat_stack_train_sampled_q": GAT_STACK_TRAIN_SAMPLED_Q,
+    "hetero_link_train_sampled_q": HETERO_LINK_TRAIN_SAMPLED_Q,
     "link_pred_train": LINK_PRED_TRAIN,
     "catalog_tables": CATALOG_TABLES,
     "edge_catalog": EDGE_CATALOG,
@@ -3689,8 +4223,7 @@ ORACLES: dict[str, str] = {
     "multimodal_meta": MULTIMODAL_META,
     "audio_meta": AUDIO_META,
     "video_meta": VIDEO_META,
-    "events_hourly": EVENTS_HOURLY,
-    "stream_hourly": STREAM_HOURLY,
+    "hourly_variants": HOURLY_VARIANTS,
     "events_sessionize": EVENTS_SESSIONIZE,
     "events_asof": EVENTS_ASOF,
     "events_attribution": EVENTS_ATTRIBUTION,

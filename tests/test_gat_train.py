@@ -768,3 +768,59 @@ def test_val_closure_matches_full_graph(spark):
     assert clo2["n"] == full2["n"] > 0
     assert abs(clo2["loss"] - full2["loss"]) < 1e-12
     assert clo2["acc"] == full2["acc"]
+
+
+def test_sampled_gate_batch_assumptions(spark):
+    """ADVICE r9: the sampled-trainer DuckDB twins hardcode the step
+    count and divide every GD update by the batch's n unconditionally,
+    while the engine uses steps = min(n_batches, max_batches) and
+    SKIPS empty batches. Assert — at the ORACLE scale factor, for both
+    gated configs — that n_batches >= steps and every replayed batch
+    is non-empty, so a data change fails HERE with a clear message
+    instead of as an opaque hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from rel_db_to_graph_spark.operators.sampling import negative_sample
+    from rel_db_to_graph_spark.operators.split import hash_split
+    from rel_db_to_graph_spark.pipeline import build_graph
+    from rel_db_to_graph_spark.queries import _ring_stride_fixture
+    from tests.conftest import SF_ORACLE
+
+    seed = 42
+
+    def member(epoch):
+        dig = F.md5(F.concat_ws(
+            ":", F.col("src").cast("string"), F.col("dst").cast("string"),
+            F.lit(str(seed + epoch))))
+        return F.conv(F.substring(dig, 1, 8), 16, 10).cast("long")
+
+    def check(examples, batch_size, steps, epochs, label):
+        train = (hash_split(examples, val_frac=0.2, test_frac=0.0,
+                            seed=seed, draw="md5")
+                 .filter(F.col("split") == "train"))
+        n_train = train.count()
+        n_batches = max(1, -(-n_train // batch_size))
+        assert n_batches >= steps, (
+            f"{label}: n_batches={n_batches} < steps={steps} — the "
+            f"DuckDB twin unrolls exactly {steps} steps")
+        for epoch in range(epochs):
+            counts = {r["bi"]: r["n"] for r in
+                      (train.withColumn(
+                          "bi", F.pmod(member(epoch), F.lit(n_batches)))
+                       .filter(F.col("bi") < steps).groupBy("bi")
+                       .agg(F.count("*").alias("n"))).collect()}
+            for k in range(steps):
+                assert counts.get(k, 0) > 0, (
+                    f"{label}: epoch {epoch} batch {k} is EMPTY — the "
+                    f"engine skips it (no update), the twin does not")
+
+    _edges, _feats, pairs = _ring_stride_fixture(spark, SF_ORACLE)
+    check(pairs, batch_size=128, steps=2, epochs=2,
+          label="gat_stack_train_sampled_q")
+
+    g = build_graph(spark, SF_ORACLE)
+    pos = g["edges"][("orders", "hasCust", "customer")]
+    labeled = negative_sample(pos, g["nodes"]["customer"].select("node_id"),
+                              ratio=1, seed=seed, draw="md5")
+    check(labeled, batch_size=512, steps=2, epochs=2,
+          label="hetero_link_train_sampled_q")

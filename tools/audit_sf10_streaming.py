@@ -1,0 +1,134 @@
+"""sf10 streaming scale probe (round 10, VERDICT r9 ask 7): the batch
+tier has sf10 evidence, streaming didn't. Drives the three stateful
+streaming shapes over a 10x feed (benchdata/sf10 events: 10M rows,
+30 days, 150k users — build with `python tools/make_sf1.py 100 sf10`)
+split into N time-range files with strictly increasing mtimes, so the
+file source (oldest-mtime-first, maxFilesPerTrigger=1) delivers N real
+event-time-ordered micro-batches and the 2h watermark actually ADVANCES
+between batches — the production regime where eviction does its job,
+unlike the registry's single-batch availableNow drains.
+
+Probes and what "watermark-bounded" must look like:
+  * hourly agg, UPDATE mode (production config; the registry's
+    complete-mode drain retains all state by definition): state rows =
+    open (window x event_type) groups within the watermark horizon —
+    a PLATEAU at ~(2h+1h)/1h x |event types| rows per batch, not a
+    30-day accumulation (~720 x |types|).
+  * stream-stream interval join, APPEND: state = both sides' rows
+    within watermark(+10 min window) of the per-batch max event time.
+    With 3-day batches the horizon is a tiny fraction of a batch; the
+    plateau is O(rows/2h-of-stream), independent of stream length.
+  * applyInPandasWithState sessionizer, UPDATE, NoTimeout: state rows
+    = |distinct users seen| — grows to 150k and stays (keyed state with
+    NoTimeout is bounded by key cardinality, not stream length; a
+    production deployment would add a timeout to evict idle users —
+    recorded here as the honest contrast with the watermarked shapes).
+
+Prints one JSON line per probe:
+  {"probe": ..., "batches": n, "state_rows_per_batch": [...],
+   "rows_out": n, "secs": s}
+Run from OUTSIDE the repo: `python /root/repo/tools/audit_sf10_streaming.py`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF10_DIR", "/root/repo/benchdata/sf10")
+FEED = "/tmp/sf10_stream_feed"
+N_FILES = 10
+
+
+def build_feed(spark) -> None:
+    """Split sf10 events into N_FILES contiguous time ranges, one file
+    each, mtimes strictly increasing (the stream_variants recipe — the
+    file source orders by modification time)."""
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(FEED):
+        shutil.rmtree(FEED)
+    os.makedirs(FEED)
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo) / N_FILES
+    for i in range(N_FILES):
+        a = lo + i * span
+        b = hi if i == N_FILES - 1 else lo + (i + 1) * span
+        cond = (F.col("ts") >= F.lit(a)) & (
+            F.col("ts") <= F.lit(b) if i == N_FILES - 1
+            else F.col("ts") < F.lit(b))
+        part = ev.filter(cond).coalesce(1)
+        tmp = f"{FEED}/_part{i}"
+        part.write.mode("overwrite").parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = f"{FEED}/events_{i:02d}.parquet"
+        shutil.move(os.path.join(tmp, src), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (i * 1000, i * 1000))
+
+
+def read_feed_stream(spark):
+    from pyspark.sql import functions as F
+
+    from rel_db_to_graph_spark.streaming.events import EVENTS_SCHEMA
+
+    return (spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "events_*.parquet")
+            .parquet(FEED)
+            .withColumn("event_time", F.col("ts")))
+
+
+def drain(stream_df, name: str, mode: str) -> dict:
+    t0 = time.time()
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    secs = time.time() - t0
+    state = []
+    for p in q.recentProgress:
+        ops = p.get("stateOperators") or []
+        if ops:
+            state.append(int(ops[0].get("numRowsTotal", -1)))
+    spark = stream_df.sparkSession
+    rows = spark.table(name).count()
+    return {"probe": name, "batches": len(q.recentProgress),
+            "state_rows_per_batch": state, "rows_out": rows,
+            "secs": round(secs, 1)}
+
+
+def main() -> None:
+    from rel_db_to_graph_spark import get_spark
+    from rel_db_to_graph_spark.streaming.events import hourly_counts_stream
+    from rel_db_to_graph_spark.streaming.join import attribution_pairs_stream
+    from rel_db_to_graph_spark.streaming.stateful import (
+        running_user_sessions,
+    )
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    build_feed(spark)
+
+    # production UPDATE mode (not the registry's complete): eviction on
+    out = drain(hourly_counts_stream(read_feed_stream(spark)),
+                "agg_update", "update")
+    print(json.dumps(out), flush=True)
+
+    out = drain(attribution_pairs_stream(read_feed_stream(spark)),
+                "interval_join", "append")
+    print(json.dumps(out), flush=True)
+
+    out = drain(running_user_sessions(read_feed_stream(spark)),
+                "sessions", "update")
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
