@@ -92,6 +92,14 @@ def build_ivf_index(embeddings: DataFrame, k: int = 16, iters: int = 3,
                     vec_col: str = "embedding") -> tuple[DataFrame, list[list[float]]]:
     """Returns (assigned DF(id, _v, cluster), centroids). Deterministic."""
     e = embeddings.select(F.col(id_col), to_double(F.col(vec_col)).alias("_v"))
+    if k >= _GEMM_ASSIGN_MIN_K:
+        # large-k assignment is O(n·k·d) GEMM compute — spread it over
+        # every core before the checkpoint (parquet file-partitioning
+        # routinely yields far fewer splits than cores; measured 13
+        # partitions for the sf10 embeddings, capping the k=20k Lloyd
+        # passes at 13/32 of the box). Small-k literal-fold plans are
+        # left untouched (oracle-gated queries).
+        e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
     e = e.localCheckpoint(eager=True)     # k*iters argmin passes re-read _v
 
     init = (e.orderBy(id_col).limit(k).collect())

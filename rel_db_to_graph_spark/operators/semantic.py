@@ -206,9 +206,18 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.2,
             .withColumn("_br", F.explode(
                 F.sequence(F.lit(0), F.col("_gr") - F.lit(1))))
             .drop("_gl", "_gr"))
-    total_cells = sum(g[0] * g[1] for g in grid.values())
+    # partition count sized by total pair WORK, not cell count: the
+    # per-cluster grid floors at `salt` cells, so at large n_clusters
+    # cell count is O(k) regardless of work — sizing on it spun 16k
+    # AQE-exempt tasks for ~100-pair clusters (measured: k=20k at sf10
+    # spent minutes on task floor). Work-based sizing keeps the
+    # megacluster protection (pairs/TARGET explodes exactly when the
+    # r8 straggler case does) without the small-cluster task storm.
+    total_pairs = sum((n if max_cluster is None else min(n, max_cluster))
+                      * n for n in sizes.values())
     n_part = int(max(spark.sparkContext.defaultParallelism,
-                     min(total_cells, _MAX_GRID_CELLS * 4)))
+                     min(-(-total_pairs // _TARGET_PAIRS_PER_CELL),
+                         _MAX_GRID_CELLS * 4)))
     left = left.repartition(n_part, F.col("cluster"), F.col("_bl"),
                             F.col("_br"))
     right = (routed.select(

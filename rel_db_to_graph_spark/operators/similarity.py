@@ -176,9 +176,12 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
             .withColumn("_br", F.explode(
                 F.sequence(F.lit(0), F.col("_gr") - F.lit(1))))
             .drop("_gl", "_gr"))
-    total_cells = sum(g[0] * g[1] for g in grid.values())
+    # work-based partition sizing (see semantic.py: cell count floors
+    # at 1/bucket, so many small buckets would spin O(buckets) tasks)
+    total_pairs = sum(m * m for m in sizes.values())
     n_part = int(max(spark.sparkContext.defaultParallelism,
-                     min(total_cells, _MAX_GRID_CELLS * 4)))
+                     min(-(-total_pairs // _TARGET_PAIRS_PER_CELL),
+                         _MAX_GRID_CELLS * 4)))
     left = left.repartition(n_part, F.col("_bucket"), F.col("_bl"),
                             F.col("_br"))
     right = (routed.select(F.col("_bucket"), F.col(id_col).alias("_idb"),
