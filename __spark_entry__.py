@@ -234,15 +234,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins — 120 of the 125 registry queries, including the
+    """DuckDB twins — 120 of the 124 registry queries, including the
     seeded/sampled ops (md5-draw variants since round 7), the
     retraining twins (BPE, IRLS, plain-GD link_pred_train,
-    gat_stack_train_q and its round-9 SAMPLED mini-batch sibling) and
-    the forward-replay twin (hetero_forward_q). The five absent keys
-    are the deep trained-GNN queries (real multi-layer backprop with
-    AdamW/unquantized floats: gradient float sums are not quantized,
-    so cross-engine bit-exactness is impossible by design — the
-    quantized forward and the integer-derived accuracy history cover
-    the replayable surface) → rows-only checks plus numpy twins and
-    exactness-anchor tests."""
+    gat_stack_train_q, its sampled sibling, and — round 10 — the
+    FLAGSHIP hetero sampled trainer hetero_link_train_sampled_q) and
+    the forward-replay twin (hetero_forward_q). The four absent keys
+    are the AdamW/unquantized-float originals (hetero_forward,
+    hetero_link_train, hetero_link_train_sampled,
+    gat_stack_train_variants): gradient float sums are not quantized,
+    so cross-engine bit-exactness is impossible by design — and every
+    one of them now has a hash-checked quantized sibling at the same
+    tier → rows-only checks plus numpy twins and exactness-anchor
+    tests."""
     return dict(_oracle.ORACLES)

@@ -2,12 +2,20 @@
 
 The streaming twin of sessionization: per-user running state (event
 count, last-seen timestamp, session counter) maintained across
-micro-batches with a processing-time timeout. This is the
-`applyInPandasWithState` pattern the north-star asks for — arbitrary
-per-key state the built-in window aggregates can't express.
+micro-batches. This is the `applyInPandasWithState` pattern the
+north-star asks for — arbitrary per-key state the built-in window
+aggregates can't express.
 
 State scale: one row of state per user key, hash-partitioned — the
-state store shards with the cluster exactly like a shuffle.
+state store shards with the cluster exactly like a shuffle. With the
+default NoTimeout the state is bounded by KEY CARDINALITY (one row per
+user ever seen — fine for bounded key spaces, measured flat at 150k
+keys in the sf10 probe, BASELINE.md round 10); for unbounded key
+spaces pass ``idle_timeout_minutes`` to evict keys idle past the
+event-time watermark + timeout (round 10): a timed-out user's final
+row is emitted once more and the state row is REMOVED — a user
+reappearing later starts a fresh count, the standard
+production state/exactness trade-off, documented rather than hidden.
 """
 
 from __future__ import annotations
@@ -26,13 +34,18 @@ STATE_SCHEMA = "n_events long, n_sessions long, last_ts long"
 SESSION_GAP_US = 1800 * 1_000_000
 
 
-def _update_fn():
+def _update_fn(idle_timeout_ms: int | None = None):
     """Factory for the per-key state-update closure: the returned
     function is a closure product, so cloudpickle serializes it BY
     VALUE — a module-level function would pickle by REFERENCE to this
     module, which workers cannot import when the driver loads
     __spark_entry__.py by file path (the round-6 mapInPandas lesson,
-    re-learned here when stream_variants entered the driver gate)."""
+    re-learned here when stream_variants entered the driver gate).
+
+    ``idle_timeout_ms`` (round 10): when set, the caller runs with
+    EventTimeTimeout — a key idle past watermark + timeout is handed
+    back with ``state.hasTimedOut``; its final row is emitted and the
+    state row removed (bounded state for unbounded key spaces)."""
     def _update(key: tuple, pdfs: Iterator[pd.DataFrame],
                 state: GroupState) -> Iterable[pd.DataFrame]:
         # self-contained: runs on workers with no package on sys.path
@@ -40,6 +53,17 @@ def _update_fn():
         import pandas as pd
 
         gap_us = 1800 * 1_000_000
+
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            # eviction path: emit the key's final totals once, drop
+            # the state row (state size ← active keys, not |keys ever|)
+            n_events, n_sessions, last_ts = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [key[0]],
+                                "n_events": [n_events],
+                                "n_sessions": [n_sessions],
+                                "last_ts": [last_ts]})
+            return
 
         def ts_us(series):
             # datetime64[any-unit] -> µs ints; legacy int64-ns -> µs
@@ -69,21 +93,52 @@ def _update_fn():
             n_events += int(ts_all.size)
             last_ts = int(ts_all[-1])
         state.update((n_events, n_sessions, last_ts))
+        if idle_timeout_ms is not None and last_ts is not None:
+            # event-time timeout must sit ABOVE the current watermark
+            # (Spark rejects a timestamp at/below it — a key whose last
+            # event already lags the watermark by more than the timeout
+            # would otherwise fail the batch); clamping schedules those
+            # keys for eviction at the next watermark advance
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(last_ts // 1000 + idle_timeout_ms, wm + 1))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n_events],
                             "n_sessions": [n_sessions],
                             "last_ts": [last_ts]})
     return _update
 
 
-def running_user_sessions(events_stream: DataFrame) -> DataFrame:
-    """Per-user running (n_events, n_sessions, last_ts) across batches."""
+def running_user_sessions(events_stream: DataFrame,
+                          idle_timeout_minutes: int | None = None,
+                          watermark: str = "2 hours") -> DataFrame:
+    """Per-user running (n_events, n_sessions, last_ts) across batches.
+
+    ``idle_timeout_minutes=None`` (default, the registry/gated shape):
+    NoTimeout — exact running totals forever, state = one row per key
+    ever seen. With a value: EventTimeTimeout against ``watermark`` —
+    keys idle past watermark + timeout emit a final row and are
+    EVICTED (state = active keys only; a returning key restarts its
+    counts). The sf10 probe (BASELINE.md round 10) measures both
+    regimes."""
+    if idle_timeout_minutes is None:
+        return (
+            events_stream.groupBy("user_id")
+            .applyInPandasWithState(
+                _update_fn(),
+                outputStructType=OUTPUT_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
     return (
-        events_stream.groupBy("user_id")
+        events_stream.withWatermark("event_time", watermark)
+        .groupBy("user_id")
         .applyInPandasWithState(
-            _update_fn(),
+            _update_fn(idle_timeout_ms=idle_timeout_minutes * 60_000),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

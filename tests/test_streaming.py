@@ -305,3 +305,68 @@ def test_streaming_cdc_apply_matches_batch_merge(spark):
         assert want_new.exceptAll(got2).count() == 0
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_sessions_event_time_timeout_evicts_idle_keys(spark):
+    """Round 10: the sessionizer's EventTimeTimeout variant (bounded
+    state for unbounded key spaces). A 4-file mtime-ordered feed:
+    user 1 is active only in batch 0; as the watermark advances past
+    user 1's last event + timeout, the key TIMES OUT — its final row
+    is emitted once more and the state removed — and when user 1
+    reappears later it starts a FRESH count (the documented
+    state/exactness trade-off). User 2 stays active and accumulates
+    exactly as under NoTimeout."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from rel_db_to_graph_spark.streaming.stateful import (
+        running_user_sessions,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(hours=0, minutes=0):
+        return t0 + datetime.timedelta(hours=hours, minutes=minutes)
+
+    batches = [
+        [(1, ts()), (1, ts(minutes=1)), (2, ts())],
+        [(2, ts(hours=10))],
+        [(2, ts(hours=20))],       # wm after b1 = t0+9h > u1 timeout
+        [(1, ts(hours=21))],       # u1 returns AFTER eviction
+    ]
+    feed = tempfile.mkdtemp(prefix="sess_timeout_")
+    try:
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+            tmp = f"{feed}/_b{i}"
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            dst = f"{feed}/ev_{i:02d}.parquet"
+            shutil.move(os.path.join(tmp, src), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (i * 1000, i * 1000))
+        stream = (spark.readStream.schema("user_id long, ts timestamp")
+                  .option("maxFilesPerTrigger", 1)
+                  .option("pathGlobFilter", "ev_*.parquet")
+                  .parquet(feed)
+                  .withColumn("event_time", F.col("ts")))
+        out = running_user_sessions(stream, idle_timeout_minutes=60,
+                                    watermark="1 hour")
+        q = (out.writeStream.format("memory").queryName("sess_timeout")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+        rows = sorted(
+            spark.table("sess_timeout").collect(),
+            key=lambda r: (r.user_id, r.last_ts, r.n_events))
+        u1 = [r for r in rows if r.user_id == 1]
+        u2 = [r for r in rows if r.user_id == 2]
+        # u1: batch-0 update, the timeout emission (same totals), then
+        # the FRESH post-eviction row — counts restarted
+        assert [(r.n_events, r.n_sessions) for r in u1] == [
+            (2, 1), (2, 1), (1, 1)]
+        # u2 accumulates exactly like NoTimeout: 3 events, 3 sessions
+        assert (u2[-1].n_events, u2[-1].n_sessions) == (3, 3)
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)

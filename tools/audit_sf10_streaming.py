@@ -129,6 +129,14 @@ def main() -> None:
                 "sessions", "update")
     print(json.dumps(out), flush=True)
 
+    # round 10: the EventTimeTimeout variant — state should DROP from
+    # |keys ever| (150k) to ~|keys active within watermark+timeout of
+    # each batch's max event time| (eviction working)
+    out = drain(running_user_sessions(read_feed_stream(spark),
+                                      idle_timeout_minutes=360),
+                "sessions_timeout", "update")
+    print(json.dumps(out), flush=True)
+
 
 if __name__ == "__main__":
     main()
