@@ -114,28 +114,92 @@ def main() -> None:
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
+    want = set(sys.argv[1:])
+
+    def skip(name):
+        return want and name not in want
+
     build_feed(spark)
 
     # production UPDATE mode (not the registry's complete): eviction on
-    out = drain(hourly_counts_stream(read_feed_stream(spark)),
-                "agg_update", "update")
-    print(json.dumps(out), flush=True)
+    if not skip("agg_update"):
+        out = drain(hourly_counts_stream(read_feed_stream(spark)),
+                    "agg_update", "update")
+        print(json.dumps(out), flush=True)
 
-    out = drain(attribution_pairs_stream(read_feed_stream(spark)),
-                "interval_join", "append")
-    print(json.dumps(out), flush=True)
+    if not skip("interval_join"):
+        out = drain(attribution_pairs_stream(read_feed_stream(spark)),
+                    "interval_join", "append")
+        print(json.dumps(out), flush=True)
 
-    out = drain(running_user_sessions(read_feed_stream(spark)),
-                "sessions", "update")
-    print(json.dumps(out), flush=True)
+    if not skip("sessions"):
+        out = drain(running_user_sessions(read_feed_stream(spark)),
+                    "sessions", "update")
+        print(json.dumps(out), flush=True)
 
     # round 10: the EventTimeTimeout variant — state should DROP from
     # |keys ever| (150k) to ~|keys active within watermark+timeout of
     # each batch's max event time| (eviction working)
-    out = drain(running_user_sessions(read_feed_stream(spark),
-                                      idle_timeout_minutes=360),
-                "sessions_timeout", "update")
-    print(json.dumps(out), flush=True)
+    if not skip("sessions_timeout"):
+        out = drain(running_user_sessions(read_feed_stream(spark),
+                                          idle_timeout_minutes=360),
+                    "sessions_timeout", "update")
+        print(json.dumps(out), flush=True)
+
+    # cdc_stream (the foreachBatch snapshot-maintenance path): a
+    # 10-file sf10 change feed applied to a 13.5M-row base snapshot.
+    # There is no state STORE here — per-batch cost is the honest
+    # metric: merge_upsert re-materializes the snapshot per batch
+    # (anti-join + union + localCheckpoint), so each batch is
+    # O(snapshot), the documented foreachBatch trade-off without a
+    # lakehouse MERGE; the number to watch is that per-batch time is
+    # FLAT across batches (no lineage growth — the eager checkpoint
+    # cuts it).
+    if skip("cdc_stream"):
+        return
+    from rel_db_to_graph_spark.operators.increment import snapshot_diff
+    from rel_db_to_graph_spark.queries import _cdc_snapshots
+
+    old, new = _cdc_snapshots(spark, SF_DIR)
+    old = old.localCheckpoint(eager=True)
+    changes = (snapshot_diff(old, new, "o_orderkey")
+               .join(new, "o_orderkey", "left"))
+    cdc_feed = "/tmp/sf10_cdc_feed"
+    if os.path.isdir(cdc_feed):
+        shutil.rmtree(cdc_feed)
+    changes.repartition(N_FILES).write.parquet(cdc_feed)
+    stream = (spark.readStream.schema(changes.schema)
+              .option("maxFilesPerTrigger", 1).parquet(cdc_feed))
+    t0 = time.time()
+    batch_secs: list[float] = []
+
+    class _TimedSink:
+        def __init__(self, inner):
+            self.inner = inner
+            self._last = time.time()
+
+        def apply_batch(self, batch, batch_id):
+            self.inner.apply_batch(batch, batch_id)
+            now = time.time()
+            batch_secs.append(round(now - self._last, 1))
+            self._last = now
+
+    from rel_db_to_graph_spark.streaming.cdc import SnapshotMaintainer
+    sink = _TimedSink(SnapshotMaintainer(old, "o_orderkey"))
+    q = (stream.writeStream.foreachBatch(sink.apply_batch)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", "/tmp/sf10_cdc_ckpt_"
+                 + str(int(t0)))
+         .start())
+    q.awaitTermination()
+    snap = sink.inner.current()
+    print(json.dumps({
+        "probe": "cdc_stream", "batches": len(batch_secs),
+        "per_batch_secs": batch_secs,
+        "final_rows": snap.count(),
+        "matches_new": snap.exceptAll(new).isEmpty()
+        and new.exceptAll(snap).isEmpty(),
+        "secs": round(time.time() - t0, 1)}), flush=True)
 
 
 if __name__ == "__main__":
