@@ -43,12 +43,14 @@ def _gemm_assign_fn(bc_centroids):
     """mapInPandas argmin kernel. Factory-wrapped so the closure pickles
     BY VALUE (workers lack the repo on sys.path when the driver imports
     __spark_entry__ by file path). ``bc_centroids`` is a SparkContext
-    broadcast of the (k, d) float64 centroid matrix — at k~100k x 768 d
-    that is ~600 MB, which must travel ONCE per executor as a torrent
-    broadcast, never per-task in the closure."""
+    broadcast of the (k, d) float64 NUMPY matrix — a compact buffer
+    (~600 MB at k~100k x 768 d) that travels ONCE per executor as a
+    torrent broadcast; broadcasting a Python list-of-lists instead
+    would materialize k·d boxed floats per worker process and pay an
+    O(k·d) conversion per task (review r10)."""
     def fn(batches):
         import numpy as np
-        C = np.asarray(bc_centroids.value, dtype="float64")   # (k, d)
+        C = bc_centroids.value                                 # (k, d)
         cn = (C * C).sum(axis=1)                               # |c|^2
         for pdf in batches:
             if len(pdf) == 0:
@@ -60,8 +62,13 @@ def _gemm_assign_fn(bc_centroids):
             # d2 = |a|^2 - 2 a.C^T + |c|^2; |a|^2 is constant per row so
             # argmin needs only the last two terms. np.argmin takes the
             # FIRST minimum -> lowest cluster id, the same tie rule as
-            # the literal path's array_position(array_min) (identical
-            # centroids produce bitwise-equal distances in both kernels).
+            # the literal path's array_position(array_min). Exact-tie
+            # behavior (IDENTICAL centroids -> bitwise-equal distances)
+            # matches the literal kernel; near-ties between DISTINCT
+            # centroids are formula-dependent in the last ulp (this
+            # expansion vs the fold's sum((a-c)^2)) — deterministic for
+            # fixed data, measure-zero, and irrelevant to the small-k
+            # oracle queries, which never take this path.
             d2 = cn[None, :] - 2.0 * (a @ C.T)
             out = pdf.copy()
             out["cluster"] = d2.argmin(axis=1).astype("int32")
@@ -69,22 +76,33 @@ def _gemm_assign_fn(bc_centroids):
     return fn
 
 
-def _assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """argmin over centroids; ties -> lowest cluster id."""
+def _assign_tracked(df: DataFrame, centroids: list[list[float]]):
+    """(assigned frame, broadcast handle | None): argmin over centroids;
+    ties -> lowest cluster id. The caller of an ITERATIVE loop should
+    unpersist the returned broadcast once the frame is consumed
+    (build_ivf_index does — at large k each Lloyd pass otherwise pins
+    another centroid-matrix copy until GC, review r10)."""
     if not centroids:
         # empty input frame (ADVICE r8): no vectors -> no centroids to
         # argmin over; keep the schema contract on the empty frame
-        return df.withColumn("cluster", F.lit(0).cast("int"))
+        return df.withColumn("cluster", F.lit(0).cast("int")), None
     if len(centroids) >= _GEMM_ASSIGN_MIN_K:
+        import numpy as np
         from pyspark.sql.types import IntegerType, StructField, StructType
         bc = df.sparkSession.sparkContext.broadcast(
-            [list(map(float, c)) for c in centroids])
+            np.asarray(centroids, dtype="float64"))
         schema = StructType(list(df.schema.fields)
                             + [StructField("cluster", IntegerType())])
-        return df.mapInPandas(_gemm_assign_fn(bc), schema=schema)
+        return df.mapInPandas(_gemm_assign_fn(bc), schema=schema), bc
     dists = F.array(*[_sq_dist(F.col("_v"), c) for c in centroids])
     return df.withColumn(
-        "cluster", F.array_position(dists, F.array_min(dists)).cast("int") - 1)
+        "cluster",
+        F.array_position(dists, F.array_min(dists)).cast("int") - 1), None
+
+
+def _assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """argmin over centroids; ties -> lowest cluster id."""
+    return _assign_tracked(df, centroids)[0]
 
 
 def build_ivf_index(embeddings: DataFrame, k: int = 16, iters: int = 3,
@@ -106,13 +124,15 @@ def build_ivf_index(embeddings: DataFrame, k: int = 16, iters: int = 3,
     centroids = [list(r["_v"]) for r in init]
 
     for _ in range(iters):
-        assigned = _assign(e, centroids)
+        assigned, bc = _assign_tracked(e, centroids)
         # one groupBy: per-cluster per-dimension mean
         agg = (
             assigned.select("cluster", F.posexplode("_v").alias("pos", "x"))
             .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
             .collect()
         )
+        if bc is not None:      # this pass's matrix is consumed — free it
+            bc.unpersist()
         new = {c: dict() for c in range(len(centroids))}
         for r in agg:
             new[r.cluster][r.pos] = r.m

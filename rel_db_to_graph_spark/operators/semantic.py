@@ -67,9 +67,12 @@ def _gemm_cell_fn(threshold: float):
         import numpy as np
         import pandas as pd
         if len(lpdf) == 0 or len(rpdf) == 0:
-            return pd.DataFrame({"_idb": pd.Series([], dtype="int64")})
-        a_ids = lpdf["_ida"].to_numpy(dtype="int64")
-        b_ids = rpdf["_idb"].to_numpy(dtype="int64")
+            # dtype-preserving empty frame: the id column keeps the
+            # caller's id type (review r10 — don't narrow the generic
+            # id_col contract to int64)
+            return pd.DataFrame({"_idb": rpdf["_idb"].iloc[:0]})
+        a_ids = lpdf["_ida"].to_numpy()
+        b_ids = rpdf["_idb"].to_numpy()
         a = np.stack(lpdf["_va"].to_numpy())     # (nL, d) float64
         b = np.stack(rpdf["_vb"].to_numpy())     # (nR, d) float64
         # norms ONCE per side, then one BLAS GEMM for all pair dots —
@@ -90,7 +93,7 @@ def _gemm_cell_fn(threshold: float):
         sims = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
         mask = (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
         hit = np.unique(b_ids[mask.any(axis=0)])
-        return pd.DataFrame({"_idb": hit.astype("int64")})
+        return pd.DataFrame({"_idb": hit})
     return fn
 
 
@@ -251,7 +254,10 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.2,
             left.filter(in_gemm).drop("_gemm")
             .groupBy("cluster", "_bl", "_br")
             .cogroup(r_gemm.groupBy("_clb", "_blb", "_brb"))
-            .applyInPandas(_gemm_cell_fn(threshold), schema="_idb long")
+            .applyInPandas(
+                _gemm_cell_fn(threshold),
+                schema="_idb "
+                + embeddings.schema[id_col].dataType.simpleString())
             .select(F.col("_idb").alias(id_col))
         )
         dropped = dropped.unionByName(gemm_dropped)

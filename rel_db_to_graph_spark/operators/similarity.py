@@ -51,13 +51,15 @@ def _gemm_pair_fn(threshold: float):
     def fn(key, lpdf, rpdf):
         import numpy as np
         import pandas as pd
-        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                              "id_b": pd.Series([], dtype="int64"),
-                              "score": pd.Series([], dtype="float64")})
         if len(lpdf) == 0 or len(rpdf) == 0:
-            return empty
-        a_ids = lpdf["_ida"].to_numpy(dtype="int64")
-        b_ids = rpdf["_idb"].to_numpy(dtype="int64")
+            # dtype-preserving empty frame (the id column keeps the
+            # caller's id type — review r10: the kernel must not narrow
+            # embedding_near_dup_pairs' generic id_col contract)
+            return pd.DataFrame({"id_a": lpdf["_ida"].iloc[:0],
+                                 "id_b": rpdf["_idb"].iloc[:0],
+                                 "score": pd.Series([], dtype="float64")})
+        a_ids = lpdf["_ida"].to_numpy()
+        b_ids = rpdf["_idb"].to_numpy()
         a = np.stack(lpdf["_va"].to_numpy())     # (nL, d) float64
         b = np.stack(rpdf["_vb"].to_numpy())     # (nR, d) float64
         na = np.sqrt((a * a).sum(axis=1))
@@ -140,15 +142,21 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
     expressions. Both kernels share the HALF_UP 6-dp rounding rule, so
     results are bit-identical across routing (tests/test_extensions.py
     pins GEMM == scalar == mixed)."""
+    # materialize the bucketed frame ONCE (review r10): every pair side
+    # below re-reads it, and without the checkpoint the scan +
+    # sign_bucket would run 4-6x per call (semantic_dedup checkpoints
+    # its `assigned` for the same reason)
     e = _with_vec(embeddings, vec_col).withColumn(
-        "_bucket", sign_bucket(F.col("_v"), n_bits))
-    if max_bucket is not None:
-        bn = e.groupBy("_bucket").agg(F.count("*").alias("_bn"))
-        e = (e.join(bn, "_bucket")
-             .filter(F.col("_bn") <= max_bucket).drop("_bn"))
-
+        "_bucket", sign_bucket(F.col("_v"), n_bits)).localCheckpoint(
+        eager=True)
+    # ONE bucket-count aggregation serves both the max_bucket cap and
+    # the grid sizing: capped buckets are dropped in the DRIVER dict,
+    # so the inner route join below removes their rows — no second
+    # aggregation, no bn join
     sizes = {r["_bucket"]: r["n"] for r in
              e.groupBy("_bucket").agg(F.count("*").alias("n")).collect()}
+    if max_bucket is not None:
+        sizes = {bk: m for bk, m in sizes.items() if m <= max_bucket}
     if not sizes:
         return (e.select(F.col(id_col).alias("id_a"),
                          F.col(id_col).alias("id_b"),
@@ -209,12 +217,15 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
         r_gemm = (right.filter(in_gemm).drop("_gemm")
                   .withColumnsRenamed({"_bucket": "_bkb", "_bl": "_blb",
                                        "_br": "_brb"}))
+        # output schema follows the caller's id type (review r10)
+        id_t = embeddings.schema[id_col].dataType.simpleString()
         gemm_pairs = (
             left.filter(in_gemm).drop("_gemm")
             .groupBy("_bucket", "_bl", "_br")
             .cogroup(r_gemm.groupBy("_bkb", "_blb", "_brb"))
             .applyInPandas(_gemm_pair_fn(threshold),
-                           schema="id_a long, id_b long, score double")
+                           schema=f"id_a {id_t}, id_b {id_t}, "
+                                  "score double")
         )
         pairs = pairs.unionByName(gemm_pairs)
     return pairs

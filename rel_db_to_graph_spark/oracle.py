@@ -2175,20 +2175,15 @@ FROM events GROUP BY 1, 2
 #: hourly_variants consolidation (round 10): batch rollup + drained
 #: streaming final state as one tagged union — the streaming half
 #: carries NULL n_users (countDistinct is illegal in a streaming agg).
-HOURLY_VARIANTS = """
-SELECT 'batch' AS variant, event_type,
-       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-       count(*) AS n_events,
-       count(DISTINCT user_id) AS n_users,
-       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
-FROM events GROUP BY 2, 3
+#: Composes the ORIGINAL twins (single source of truth, review r10).
+HOURLY_VARIANTS = f"""
+SELECT 'batch' AS variant, event_type, hour, n_events, n_users,
+       sum_value
+FROM ({EVENTS_HOURLY})
 UNION ALL
-SELECT 'stream' AS variant, event_type,
-       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-       count(*) AS n_events,
-       CAST(NULL AS BIGINT) AS n_users,
-       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
-FROM events GROUP BY 2, 3
+SELECT 'stream' AS variant, event_type, hour, n_events,
+       CAST(NULL AS BIGINT) AS n_users, sum_value
+FROM ({STREAM_HOURLY})
 """
 
 EVENTS_SESSIONIZE = """

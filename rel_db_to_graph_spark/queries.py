@@ -2080,21 +2080,14 @@ def q_hourly_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming agg, so n_users is NULL there) over the same events
     table. Their final states must agree on the shared columns; the
     oracle recomputes both halves independently. Output:
-    (variant, event_type, hour, n_events, n_users, sum_value)."""
-    import uuid
-
-    from rel_db_to_graph_spark.streaming.events import (
-        hourly_counts_stream,
-        read_events_stream,
-        run_available_now,
-    )
-    batch = hourly_rollup(load_table(spark, sf_dir, "events")).select(
+    (variant, event_type, hour, n_events, n_users, sum_value).
+    Composes the ORIGINAL q_events_hourly / q_stream_hourly (single
+    source of truth — review r10: reimplementing either half here
+    would let the live logic and the consolidated slot diverge)."""
+    batch = q_events_hourly(spark, sf_dir).select(
         F.lit("batch").alias("variant"), "event_type", "hour",
         "n_events", "n_users", "sum_value")
-    name = f"hourly_variants_{uuid.uuid4().hex[:8]}"
-    run_available_now(
-        hourly_counts_stream(read_events_stream(spark, sf_dir)), name)
-    stream = spark.table(name).select(
+    stream = q_stream_hourly(spark, sf_dir).select(
         F.lit("stream").alias("variant"), "event_type", "hour",
         "n_events", F.lit(None).cast("long").alias("n_users"),
         "sum_value")
