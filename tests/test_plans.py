@@ -243,3 +243,18 @@ def test_ivfpq_index_probe_is_partition_pruned(spark):
         got = [(r.vec_id, r.adist) for r in probe.collect()
                if r.vec_id != 0][:10]
         assert got == [(r.vec_id, r.adist) for r in direct.collect()]
+
+
+def test_pair_grid_routing_joins_are_broadcast(spark):
+    """Round 10: the per-cluster/per-bucket grid routing metadata must
+    enter the plan as a BROADCAST hash join (one tiny exchange at any
+    k), never as a shuffled join — and the pair machinery must stay
+    free of cartesian shapes. Covers both adopters of the grid: the
+    semantic dedup cluster routing and the embedding near-dup bucket
+    routing."""
+    for df in (Q.q_semantic_dedup(spark, SF_ORACLE),
+               Q.q_embedding_dedup(spark, SF_ORACLE)):
+        p = plan_of(df)
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
