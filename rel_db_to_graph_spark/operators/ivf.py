@@ -4,8 +4,11 @@ partitioned scale path for similarity search.
 Index build: k-means with deterministic init (the k lowest-id vectors)
 and a fixed number of Lloyd iterations, entirely as DataFrame ops —
 assignment is an argmin over k broadcast centroid literals (k is small:
-centroids are KBs, they travel in the plan), the update step is one
-groupBy(cluster) average. Query: probe the ``nprobe`` nearest centroids,
+centroids are KBs, they travel in the plan; at k >= _GEMM_ASSIGN_MIN_K
+they travel as a SparkContext broadcast into an Arrow GEMM kernel), the
+update step is one groupBy(cluster) average (at large k materialized
+groupBy-side as ONE array row per cluster — k rows cross the driver,
+not k·d). Query: probe the ``nprobe`` nearest centroids,
 scan only those clusters — an equi-join on cluster id, so at scale the
 candidate fetch is partition-pruned (write the index bucketed/partitioned
 by cluster) instead of a full scan.
@@ -52,6 +55,13 @@ def _gemm_assign_fn(bc_centroids):
         import numpy as np
         C = bc_centroids.value                                 # (k, d)
         cn = (C * C).sum(axis=1)                               # |c|^2
+        # bound the (rows, k) distance block to ~64 MB: at the
+        # advertised web-scale k≈100k a default 10k-row Arrow batch
+        # would otherwise materialize a 10k×100k float64 intermediate
+        # (8 GB) PER TASK — chunking rows keeps peak task memory flat
+        # in k while each block is still a real GEMM. Small k gets one
+        # block per batch (identical behavior).
+        rows_per_block = max(1, 8_000_000 // max(1, C.shape[0]))
         for pdf in batches:
             if len(pdf) == 0:
                 out = pdf.copy()
@@ -69,9 +79,13 @@ def _gemm_assign_fn(bc_centroids):
             # expansion vs the fold's sum((a-c)^2)) — deterministic for
             # fixed data, measure-zero, and irrelevant to the small-k
             # oracle queries, which never take this path.
-            d2 = cn[None, :] - 2.0 * (a @ C.T)
+            cluster = np.empty(len(a), dtype="int32")
+            for s in range(0, len(a), rows_per_block):
+                blk = a[s:s + rows_per_block]
+                d2 = cn[None, :] - 2.0 * (blk @ C.T)
+                cluster[s:s + len(blk)] = d2.argmin(axis=1)
             out = pdf.copy()
-            out["cluster"] = d2.argmin(axis=1).astype("int32")
+            out["cluster"] = cluster
             yield out
     return fn
 
@@ -82,9 +96,11 @@ def _assign_tracked(df: DataFrame, centroids: list[list[float]]):
     unpersist the returned broadcast once the frame is consumed
     (build_ivf_index does — at large k each Lloyd pass otherwise pins
     another centroid-matrix copy until GC, review r10)."""
-    if not centroids:
+    if len(centroids) == 0:
         # empty input frame (ADVICE r8): no vectors -> no centroids to
-        # argmin over; keep the schema contract on the empty frame
+        # argmin over; keep the schema contract on the empty frame.
+        # (len, not truthiness: the large-k loop passes a numpy matrix,
+        # whose bool() is ambiguous)
         return df.withColumn("cluster", F.lit(0).cast("int")), None
     if len(centroids) >= _GEMM_ASSIGN_MIN_K:
         import numpy as np
@@ -105,6 +121,56 @@ def _assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
     return _assign_tracked(df, centroids)[0]
 
 
+def _lloyd_update_compact(assigned: DataFrame, M):
+    """Large-k Lloyd update: the per-cluster mean is materialized
+    GROUPBY-SIDE as one array<double> row per cluster, so only k rows
+    cross the driver boundary instead of k·d (cluster, pos, mean) rows
+    — at the advertised web-scale k≈100k × d=64 the row-per-dimension
+    collect is 6.4M driver Row objects plus an O(k·d) Python rebuild
+    loop PER ITERATION, which BASELINE.md's round-10 k-axis probe named
+    as the next constraint after the assignment GEMM. The mean values
+    are bit-identical to the row-form (the second groupBy only
+    reshapes already-computed doubles). Returns a NEW (k, d) float64
+    matrix; clusters with no members keep their previous centroid."""
+    import numpy as np
+    upd = (assigned.select("cluster", F.posexplode("_v").alias("pos", "x"))
+           .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
+           .groupBy("cluster")
+           .agg(F.transform(
+               F.array_sort(F.collect_list(F.struct("pos", "m"))),
+               lambda s: s["m"]).alias("cv"))
+           .collect())
+    out = np.array(M, dtype="float64", copy=True)   # never mutate the
+    for r in upd:                                   # broadcast's buffer
+        out[r["cluster"]] = r["cv"]
+    return out
+
+
+def nearest_centroid_ids(items: list[tuple[int, list[float]]],
+                         qv: list[float], nprobe: int) -> list[int]:
+    """The ``nprobe`` centroid ids nearest ``qv`` by squared L2, ties
+    broken toward the lower id. Small k keeps the pure-python
+    sequential fold (the exact arithmetic the small-k oracle twins
+    replay); at k >= _GEMM_ASSIGN_MIN_K one vectorized numpy pass
+    replaces what would be O(k·d) interpreter work PER PROBE QUERY
+    (~3-5 s at k=100k × d=64 — same driver-side large-k constraint
+    class as the Lloyd update collect)."""
+    if len(items) >= _GEMM_ASSIGN_MIN_K:
+        import numpy as np
+        ids = np.asarray([c for c, _ in items], dtype="int64")
+        C = np.asarray([v for _, v in items], dtype="float64")
+        diff = C - np.asarray(qv, dtype="float64")[None, :]
+        d2 = (diff * diff).sum(axis=1)
+        order = np.lexsort((ids, d2))   # sort by d2, then id — the
+        return [int(ids[i]) for i in order[:nprobe]]  # same tie rule
+
+    def sq(c):
+        return sum((a - b) * (a - b) for a, b in zip(qv, c))
+
+    return [c for c, _ in
+            sorted(items, key=lambda t: (sq(t[1]), t[0]))][:nprobe]
+
+
 def build_ivf_index(embeddings: DataFrame, k: int = 16, iters: int = 3,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> tuple[DataFrame, list[list[float]]]:
@@ -121,8 +187,25 @@ def build_ivf_index(embeddings: DataFrame, k: int = 16, iters: int = 3,
     e = e.localCheckpoint(eager=True)     # k*iters argmin passes re-read _v
 
     init = (e.orderBy(id_col).limit(k).collect())
-    centroids = [list(r["_v"]) for r in init]
 
+    if k >= _GEMM_ASSIGN_MIN_K:
+        # large-k loop: centroids live as ONE numpy matrix end to end —
+        # the update collects k array rows (not k·d scalar rows), the
+        # assignment broadcasts the matrix buffer as-is, and the
+        # list-of-lists conversion happens ONCE at return instead of
+        # per iteration. Small-k (every oracle-gated query) keeps the
+        # original row-form path below, byte-identical.
+        import numpy as np
+        centroids_m = np.asarray([list(r["_v"]) for r in init],
+                                 dtype="float64")
+        for _ in range(iters):
+            assigned, bc = _assign_tracked(e, centroids_m)
+            centroids_m = _lloyd_update_compact(assigned, centroids_m)
+            if bc is not None:  # this pass's matrix is consumed — free it
+                bc.unpersist()
+        return _assign(e, centroids_m), centroids_m.tolist()
+
+    centroids = [list(r["_v"]) for r in init]
     for _ in range(iters):
         assigned, bc = _assign_tracked(e, centroids)
         # one groupBy: per-cluster per-dimension mean
@@ -145,18 +228,42 @@ def build_ivf_index(embeddings: DataFrame, k: int = 16, iters: int = 3,
 
 def write_ivf_index(embeddings: DataFrame, path: str, k: int = 16,
                     iters: int = 3, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> list[list[float]]:
+                    vec_col: str = "embedding",
+                    partition_buckets: int | None = None) -> list[list[float]]:
     """Materialize the IVF index AS DOCUMENTED for the 100 TB path:
     vectors parquet-partitioned BY CLUSTER (so a probe query's
     ``cluster IN (...)`` filter becomes directory-level partition
     pruning — only nprobe/k of the data is even listed, let alone
     scanned) plus a centroids sidecar (k×dim doubles — driver-sized by
-    construction). Returns the centroids."""
+    construction). Returns the centroids.
+
+    ``partition_buckets`` (round 10): one Hive directory PER CLUSTER is
+    the right layout at moderate k, but at the web-scale recipe
+    (k≈100k) it is a 100k-directory listing/metastore bomb. Passing an
+    int partitions directories by ``cluster % partition_buckets``
+    instead and SORTS each file by cluster, so a probe keeps two
+    pruning tiers: directory pruning on the bucket, then parquet
+    row-group min/max pruning on the exact ``cluster IN (...)``
+    residual. The layout choice is recorded in a sidecar the probe
+    reads — callers never change."""
     assigned, centroids = build_ivf_index(embeddings, k=k, iters=iters,
                                           id_col=id_col, vec_col=vec_col)
-    (assigned.write.mode("overwrite").partitionBy("cluster")
-     .parquet(f"{path}/vectors"))
+    if partition_buckets:
+        (assigned
+         .withColumn("cbucket",
+                     F.pmod(F.col("cluster"),
+                            F.lit(partition_buckets)).cast("int"))
+         .repartition(int(partition_buckets), F.col("cbucket"))
+         .sortWithinPartitions("cluster")
+         .write.mode("overwrite").partitionBy("cbucket")
+         .parquet(f"{path}/vectors"))
+    else:
+        (assigned.write.mode("overwrite").partitionBy("cluster")
+         .parquet(f"{path}/vectors"))
     spark = embeddings.sparkSession
+    (spark.createDataFrame(
+        [(int(partition_buckets or 0),)], "partition_buckets int")
+     .coalesce(1).write.mode("overwrite").json(f"{path}/layout"))
     (spark.createDataFrame([(i, c) for i, c in enumerate(centroids)],
                            "cluster int, cv array<double>")
      .coalesce(1).write.mode("overwrite").json(f"{path}/centroids"))
@@ -168,17 +275,24 @@ def ivf_topk_from_index(spark, path: str, query_id: int, k: int = 10,
     """Probe a written IVF index: nearest ``nprobe`` centroids from the
     sidecar (driver-side, k×dim), then cosine top-k over ONLY those
     clusters — the ``cluster`` predicate prunes parquet partitions
-    (asserted by tests/test_plans.py) instead of filtering post-scan."""
+    (asserted by tests/test_plans.py) instead of filtering post-scan.
+    On a bucketed layout (write_ivf_index ``partition_buckets``) the
+    directory pruning runs on the bucket column and the exact cluster
+    predicate prunes row groups via the per-file cluster sort."""
     cents = {int(r.cluster): list(r.cv)
              for r in spark.read.json(f"{path}/centroids").collect()}
+    try:
+        nb = int(spark.read.json(f"{path}/layout")
+                 .collect()[0]["partition_buckets"])
+    except Exception:       # pre-round-10 index without a layout sidecar
+        nb = 0
     vectors = spark.read.parquet(f"{path}/vectors")
     qv = list(vectors.filter(F.col(id_col) == query_id)
               .select("_v").collect()[0]["_v"])
-
-    def sq(c):
-        return sum((a - b) * (a - b) for a, b in zip(qv, c))
-
-    probe = sorted(cents, key=lambda c: (sq(cents[c]), c))[:nprobe]
+    probe = nearest_centroid_ids(sorted(cents.items()), qv, nprobe)
+    if nb:
+        vectors = vectors.filter(
+            F.col("cbucket").isin(sorted({c % nb for c in probe})))
     qlit = F.array(*[F.lit(float(x)) for x in qv])
     return (
         vectors.filter(F.col("cluster").isin(probe))
@@ -200,11 +314,7 @@ def ivf_topk(embeddings: DataFrame, query_id: int, k: int = 10,
 
     qrow = assigned.filter(F.col(id_col) == query_id).collect()[0]
     qv = list(qrow["_v"])
-
-    def sq(c):
-        return sum((a - b) * (a - b) for a, b in zip(qv, c))
-
-    probe = sorted(range(len(centroids)), key=lambda c: (sq(centroids[c]), c))[:nprobe]
+    probe = nearest_centroid_ids(list(enumerate(centroids)), qv, nprobe)
 
     qlit = F.array(*[F.lit(float(x)) for x in qv])
     return (

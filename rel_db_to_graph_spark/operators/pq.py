@@ -196,12 +196,8 @@ def ivfpq_topk(embeddings: DataFrame, query_id: int, k: int = 10,
 
     qv = list(assigned.filter(F.col(id_col) == query_id)
               .collect()[0]["_v"])
-
-    def sq(c):
-        return sum((a - b) * (a - b) for a, b in zip(qv, c))
-
-    probe = sorted(range(len(centroids)),
-                   key=lambda c: (sq(centroids[c]), c))[:nprobe]
+    from rel_db_to_graph_spark.operators.ivf import nearest_centroid_ids
+    probe = nearest_centroid_ids(list(enumerate(centroids)), qv, nprobe)
     return (
         codes.join(assigned.select(id_col, "cluster"), id_col)
         .filter(F.col("cluster").isin(probe))
@@ -216,13 +212,21 @@ def ivfpq_topk(embeddings: DataFrame, query_id: int, k: int = 10,
 def write_ivfpq_index(embeddings: DataFrame, path: str,
                       n_clusters: int = 8, m: int = 4, n_codes: int = 8,
                       iters: int = 2, id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> list[list[list[float]]]:
+                      vec_col: str = "embedding",
+                      partition_buckets: int | None = None,
+                      ) -> list[list[list[float]]]:
     """Materialize the IVFPQ index as it would ship at 100 TB: PQ CODES
     (m small ints per vector — the 64x-compressed corpus) parquet-
     partitioned BY COARSE CLUSTER, plus driver-sized sidecars (coarse
     centroids + PQ codebooks as json). A probe then reads only
     nprobe/n_clusters of an already-64x-smaller dataset — directory
-    pruning times code compression. Returns the codebooks."""
+    pruning times code compression. Returns the codebooks.
+
+    ``partition_buckets``: same large-k layout escape as
+    ivf.write_ivf_index — directories keyed by cluster % buckets with
+    a per-file cluster sort (row-group pruning carries the exact
+    predicate), because one directory per cluster stops being a layout
+    and starts being a metastore attack around k≈100k."""
     from rel_db_to_graph_spark.operators.ivf import build_ivf_index
 
     assigned, centroids = build_ivf_index(embeddings, k=n_clusters,
@@ -231,10 +235,23 @@ def write_ivfpq_index(embeddings: DataFrame, path: str,
     books = train_pq(embeddings, m=m, k=n_codes, iters=iters,
                      id_col=id_col, vec_col=vec_col)
     codes = encode_pq(embeddings, books, id_col=id_col, vec_col=vec_col)
-    (codes.join(assigned.select(id_col, "cluster"), id_col)
-     .write.mode("overwrite").partitionBy("cluster")
-     .parquet(f"{path}/codes"))
+    coded = codes.join(assigned.select(id_col, "cluster"), id_col)
+    if partition_buckets:
+        (coded
+         .withColumn("cbucket",
+                     F.pmod(F.col("cluster"),
+                            F.lit(partition_buckets)).cast("int"))
+         .repartition(int(partition_buckets), F.col("cbucket"))
+         .sortWithinPartitions("cluster")
+         .write.mode("overwrite").partitionBy("cbucket")
+         .parquet(f"{path}/codes"))
+    else:
+        (coded.write.mode("overwrite").partitionBy("cluster")
+         .parquet(f"{path}/codes"))
     spark = embeddings.sparkSession
+    (spark.createDataFrame(
+        [(int(partition_buckets or 0),)], "partition_buckets int")
+     .coalesce(1).write.mode("overwrite").json(f"{path}/layout"))
     (spark.createDataFrame([(i, c) for i, c in enumerate(centroids)],
                            "cluster int, cv array<double>")
      .coalesce(1).write.mode("overwrite").json(f"{path}/centroids"))
@@ -263,11 +280,17 @@ def ivfpq_topk_from_index(spark, path: str, query_vec: list[float],
     for r in brows:
         books[r.s][r.code] = list(r.cv)
 
-    def sq(c):
-        return sum((a - b) * (a - b) for a, b in zip(qv, c))
-
-    probe = sorted(cents, key=lambda c: (sq(cents[c]), c))[:nprobe]
+    from rel_db_to_graph_spark.operators.ivf import nearest_centroid_ids
+    probe = nearest_centroid_ids(sorted(cents.items()), qv, nprobe)
+    try:
+        nb = int(spark.read.json(f"{path}/layout")
+                 .collect()[0]["partition_buckets"])
+    except Exception:       # pre-round-10 index without a layout sidecar
+        nb = 0
     codes = spark.read.parquet(f"{path}/codes")
+    if nb:
+        codes = codes.filter(
+            F.col("cbucket").isin(sorted({c % nb for c in probe})))
     return (codes.filter(F.col("cluster").isin(probe))
             .select(F.col(id_col),
                     F.round(adc_estimate(books, qv), 6).alias("adist"))

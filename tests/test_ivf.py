@@ -38,6 +38,56 @@ def test_ivf_recall_reasonable(spark):
     assert len(part & exact) >= 3
 
 
+def test_compact_lloyd_update_matches_row_form(spark):
+    """Round 10: the large-k Lloyd update (one array row per cluster —
+    k rows cross the driver, not k·d) must produce bit-identical means
+    to the row-per-dimension form it replaces: the second groupBy only
+    reshapes already-computed doubles, so equality is exact, not
+    approximate."""
+    import numpy as np
+
+    from rel_db_to_graph_spark.functions.vector import to_double
+    from rel_db_to_graph_spark.operators import ivf
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    e = (emb.select(F.col("vec_id"),
+                    to_double(F.col("embedding")).alias("_v"))
+         .localCheckpoint(eager=True))
+    init = [list(r["_v"]) for r in e.orderBy("vec_id").limit(8).collect()]
+    assigned = ivf._assign(e, init).localCheckpoint(eager=True)
+
+    # row form (the small-k path, inlined from build_ivf_index)
+    agg = (assigned.select("cluster", F.posexplode("_v").alias("pos", "x"))
+           .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
+           .collect())
+    new = {c: dict() for c in range(len(init))}
+    for r in agg:
+        new[r.cluster][r.pos] = r.m
+    row_form = [[new[c][p] for p in sorted(new[c])] if new[c] else init[c]
+                for c in range(len(init))]
+
+    compact = ivf._lloyd_update_compact(
+        assigned, np.asarray(init, dtype="float64"))
+    assert compact.tolist() == row_form
+
+
+def test_nearest_centroid_ids_numpy_matches_python(monkeypatch):
+    """Round 10: the vectorized probe (k >= _GEMM_ASSIGN_MIN_K) must
+    rank centroids exactly like the python fold, including the
+    duplicate-centroid tie -> lower id rule."""
+    from rel_db_to_graph_spark.operators import ivf
+
+    items = [(i, [float(i % 5), float((i * 7) % 3), 0.25 * i])
+             for i in range(40)]
+    items.append((40, list(items[3][1])))      # exact tie with id 3
+    qv = items[3][1]
+    py = ivf.nearest_centroid_ids(items, qv, 6)
+    monkeypatch.setattr(ivf, "_GEMM_ASSIGN_MIN_K", 1)
+    np_ids = ivf.nearest_centroid_ids(items, qv, 6)
+    assert py == np_ids
+    assert py[0] == 3                          # tie broke toward 3, not 40
+
+
 def test_gemm_assign_matches_literal(spark, monkeypatch):
     """Round 10: the Arrow GEMM assignment kernel (the k>=128 path that
     makes web-scale k compilable) must produce the SAME cluster ids as

@@ -83,6 +83,38 @@ def test_ivf_index_probe_is_partition_pruned(spark):
                [(r.vec_id, r.score) for r in direct.collect()]
 
 
+def test_ivf_bucketed_layout_probe_prunes_both_tiers(spark):
+    """Round 10: the large-k index layout (partition_buckets — one
+    directory per cluster%buckets instead of per cluster, because
+    k≈100k Hive directories is a listing/metastore bomb) must keep BOTH
+    pruning tiers: the bucket predicate in PartitionFilters (directory
+    pruning) and the exact cluster IN (...) in PushedFilters (row-group
+    pruning via the per-file cluster sort). Results must equal the
+    per-cluster-directory layout's."""
+    import tempfile
+
+    from rel_db_to_graph_spark.operators.ivf import (
+        ivf_topk_from_index, write_ivf_index)
+    from rel_db_to_graph_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    with tempfile.TemporaryDirectory() as d1, \
+            tempfile.TemporaryDirectory() as d2:
+        write_ivf_index(emb, d1, k=8)
+        write_ivf_index(emb, d2, k=8, partition_buckets=4)
+        plain = ivf_topk_from_index(spark, d1, query_id=0, k=10, nprobe=2)
+        probe = ivf_topk_from_index(spark, d2, query_id=0, k=10, nprobe=2)
+        p = plan_of(probe)
+        part = p[p.index("PartitionFilters"):]
+        part = part[:part.index("\n")]
+        assert "cbucket" in part and "PartitionFilters: []" not in part
+        pushed = p[p.index("PushedFilters"):]
+        pushed = pushed[:pushed.index("\n")]
+        assert "cluster" in pushed     # row-group tier keeps the exact IN
+        assert [(r.vec_id, r.score) for r in probe.collect()] == \
+               [(r.vec_id, r.score) for r in plain.collect()]
+
+
 def test_bucketed_join_is_shuffle_free(spark):
     """Co-located join: both sides bucketed+sorted on the key -> the
     SortMergeJoin has NO Exchange under it (and no per-task Sort), and

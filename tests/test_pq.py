@@ -75,3 +75,26 @@ def test_ivfpq_full_probe_equals_pq(spark):
                     iters=1).collect()
     assert [(r.vec_id, r.adist) for r in full] == [
         (r.vec_id, r.adist) for r in plain]
+
+
+def test_ivfpq_bucketed_layout_probe_equals_plain(spark):
+    """Round 10: write_ivfpq_index(partition_buckets=N) — the large-k
+    directory layout — must probe to exactly the per-cluster-directory
+    layout's rows (same codebooks, same coarse probe, same ADC)."""
+    import tempfile
+
+    from rel_db_to_graph_spark.operators.pq import (
+        ivfpq_topk_from_index, write_ivfpq_index)
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    with tempfile.TemporaryDirectory() as d1, \
+            tempfile.TemporaryDirectory() as d2:
+        write_ivfpq_index(emb, d1, n_clusters=8, m=4, n_codes=8, iters=2)
+        write_ivfpq_index(emb, d2, n_clusters=8, m=4, n_codes=8, iters=2,
+                          partition_buckets=4)
+        plain = ivfpq_topk_from_index(spark, d1, qv, k=11, nprobe=4)
+        bucketed = ivfpq_topk_from_index(spark, d2, qv, k=11, nprobe=4)
+        assert [(r.vec_id, r.adist) for r in bucketed.collect()] == \
+               [(r.vec_id, r.adist) for r in plain.collect()]
