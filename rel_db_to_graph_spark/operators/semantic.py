@@ -199,10 +199,24 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.2,
     left = routed.select(F.col(id_col).alias("_ida"), "cluster",
                          F.col("_v").alias("_va"), "_gl", "_gr", "_gemm")
     if max_cluster is not None:
+        # per-cluster id cap computed on a NARROW (cluster, id) frame,
+        # then broadcast back: ranking the wide frame directly made a
+        # boilerplate megacluster a single-task window sort of rows
+        # CARRYING the d-dim vector (d× the shuffle/sort bytes for the
+        # straggler task). The cap — the max_cluster-th smallest id, or
+        # the cluster max when it is small — selects exactly the same
+        # rows (ids are unique), the narrow sort moves ~16 bytes/row,
+        # and the wide frame only pays a broadcast hash join. The
+        # oracle-gated mode (max_cluster=None) never enters here.
         from pyspark.sql import Window
         w = Window.partitionBy("cluster").orderBy("_ida")
-        left = (left.withColumn("_rk", F.row_number().over(w))
-                .filter(F.col("_rk") <= max_cluster).drop("_rk"))
+        caps = F.broadcast(
+            left.select("cluster", "_ida")
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_cluster)
+            .groupBy("cluster").agg(F.max("_ida").alias("_cap")))
+        left = (left.join(caps, "cluster")
+                .filter(F.col("_ida") <= F.col("_cap")).drop("_cap"))
     left = (left
             .withColumn("_bl", F.pmod(F.xxhash64("_ida"), F.col("_gl"))
                         .cast("int"))

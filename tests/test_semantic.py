@@ -146,3 +146,41 @@ def test_web_scale_k_routing_compiles_and_runs(spark):
     # lowest id per cluster always survives
     for members in by_cluster.values():
         assert min(members, key=lambda r: r.vec_id).kept
+
+
+def test_max_cluster_cap_exact_partner_set(spark):
+    """Round 10: the capped mode's narrow-window id cap (broadcast
+    (cluster, _cap) join — the wide-row row_number filter it replaced
+    sorted full vectors through one task per megacluster) must select
+    EXACTLY the max_cluster lowest-id comparison partners. Reference
+    semantics recomputed in numpy on the same deterministic
+    assignment."""
+    import numpy as np
+
+    from rel_db_to_graph_spark.operators.ivf import build_ivf_index
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    m = 5
+    assigned, _ = build_ivf_index(emb, k=4, iters=2)
+    by_cluster: dict[int, list] = {}
+    for r in assigned.collect():
+        by_cluster.setdefault(r.cluster, []).append(
+            (r.vec_id, np.asarray(r._v, dtype="float64")))
+    expected_drop = set()
+    for mem in by_cluster.values():
+        mem.sort(key=lambda t: t[0])
+        partners = mem[:m]
+        for vid, v in mem:
+            for pid, pv in partners:
+                if pid >= vid:
+                    break
+                raw = float(pv @ v) / float(
+                    np.linalg.norm(pv) * np.linalg.norm(v))
+                cos = np.sign(raw) * np.floor(abs(raw) * 1e6 + 0.5) / 1e6
+                if cos >= 0.2:
+                    expected_drop.add(vid)
+                    break
+    got_drop = {r.vec_id
+                for r in _flags(spark, max_cluster=m)
+                .filter("NOT kept").collect()}
+    assert got_drop == expected_drop
