@@ -18,6 +18,7 @@ scale the same closure rewrites a parquet/table snapshot per batch
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from rel_db_to_graph_spark.operators.increment import merge_upsert
 
@@ -75,3 +76,86 @@ def run_cdc_stream(changes_stream: DataFrame, base: DataFrame,
             import shutil
             shutil.rmtree(checkpoint_dir, ignore_errors=True)
     return sink
+
+
+class PartitionedSnapshotMaintainer:
+    """foreachBatch sink maintaining the snapshot AS A PARQUET TABLE
+    partitioned by a key-hash bucket, rewriting ONLY the buckets a
+    batch touches — the lakehouse-free MERGE shape the in-memory
+    maintainer's docstring argues for, implemented and measured
+    (BASELINE.md round-10).
+
+    Layout: ``path/_pbucket=<pmod(xxhash64(pk), n_buckets)>/...``.
+    Per batch:
+      1. the batch's touched buckets come from one distinct over the
+         (bounded, batch-sized) change keys — a ≤ n_buckets driver list;
+      2. ONLY those buckets are read back (directory pruning on the
+         partition column), merge_upsert'd with the batch, and
+         materialized (eager localCheckpoint — the write below
+         overwrites the very files the read depends on);
+      3. dynamic partition overwrite rewrites exactly the touched
+         directories; a touched bucket whose rows were ALL deleted is
+         removed explicitly (dynamic overwrite cannot write an empty
+         partition).
+
+    Per-batch cost is O(touched_buckets × snapshot/n_buckets + batch)
+    instead of the in-memory maintainer's O(snapshot); a replayed batch
+    is idempotent (merge_upsert is, and rewriting a bucket with the
+    same content is a no-op semantically). Size ``n_buckets`` so one
+    bucket's data fits an executor comfortably — at 100 TB with
+    n_buckets=16k a bucket is ~6 GB and a batch touching 1% of keys
+    rewrites ~1% of directories."""
+
+    def __init__(self, spark, base: DataFrame, path: str, pk: str,
+                 op_col: str = "op", n_buckets: int = 64):
+        self._spark = spark
+        self._path = path
+        self._pk = pk
+        self._op = op_col
+        self._nb = int(n_buckets)
+        (base.withColumn("_pbucket", self._bucket(F.col(pk)))
+         .write.mode("overwrite").partitionBy("_pbucket")
+         .parquet(path))
+
+    def _bucket(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self._nb)).cast("int")
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        # the batch is consumed twice (bucket list + merge) — pin it
+        batch = batch.localCheckpoint(eager=True)
+        touched = [int(r["_pb"]) for r in
+                   batch.select(self._bucket(F.col(self._pk))
+                                .alias("_pb")).distinct().collect()]
+        if not touched:
+            return
+        snap = self._spark.read.parquet(self._path)
+        sub = (snap.filter(F.col("_pbucket").isin(touched))
+               .drop("_pbucket"))
+        merged = (merge_upsert(sub, batch, self._pk, self._op)
+                  .withColumn("_pbucket", self._bucket(F.col(self._pk)))
+                  .localCheckpoint(eager=True))
+        present = {int(r["_pbucket"]) for r in
+                   merged.select("_pbucket").distinct().collect()}
+        conf = self._spark.conf
+        old_mode = conf.get("spark.sql.sources.partitionOverwriteMode",
+                            "static")
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (merged.write.mode("overwrite").partitionBy("_pbucket")
+             .parquet(self._path))
+        finally:
+            conf.set("spark.sql.sources.partitionOverwriteMode",
+                     old_mode)
+        # fully-deleted buckets leave no rows to overwrite with —
+        # drop their directories via the Hadoop FS API (works on any
+        # supported storage, not just local paths)
+        for b in set(touched) - present:
+            jvm = self._spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(
+                f"{self._path}/_pbucket={b}")
+            fs = p.getFileSystem(
+                self._spark._jsc.hadoopConfiguration())
+            fs.delete(p, True)
+
+    def current(self) -> DataFrame:
+        return self._spark.read.parquet(self._path).drop("_pbucket")

@@ -370,3 +370,58 @@ def test_sessions_event_time_timeout_evicts_idle_keys(spark):
         assert (u2[-1].n_events, u2[-1].n_sessions) == (3, 3)
     finally:
         shutil.rmtree(feed, ignore_errors=True)
+
+
+def test_partitioned_snapshot_maintainer_matches_in_memory(spark):
+    """Round 10: the bucket-partitioned CDC maintainer (rewrites ONLY
+    touched directories per batch) must end bit-equal to the in-memory
+    merge_upsert maintainer over the same batch sequence — including a
+    batch that deletes EVERY row of one bucket, where dynamic partition
+    overwrite cannot write an empty partition and the directory must be
+    removed explicitly."""
+    import os
+    import shutil
+    import tempfile
+
+    from rel_db_to_graph_spark.streaming.cdc import (
+        PartitionedSnapshotMaintainer,
+        SnapshotMaintainer,
+    )
+
+    base = (load_table(spark, SF_SMOKE, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .localCheckpoint(eager=True))
+    nb = 4
+    bucket = F.pmod(F.xxhash64("o_orderkey"), F.lit(nb)).cast("int")
+    path = tempfile.mkdtemp(prefix="cdc_part_") + "/snap"
+    try:
+        mem = SnapshotMaintainer(base, "o_orderkey")
+        part = PartitionedSnapshotMaintainer(spark, base, path,
+                                             "o_orderkey", n_buckets=nb)
+        # batch 1: updates across buckets + two inserts
+        b1 = (base.filter(F.col("o_orderkey") % 7 == 0)
+              .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+              .withColumn("op", F.lit("U"))
+              .unionByName(spark.createDataFrame(
+                  [(10**9 + 1, 1, 42.0, "I"), (10**9 + 2, 2, 43.0, "I")],
+                  base.schema.simpleString()[7:-1].replace(":", " ")
+                  + ", op string"))
+              .localCheckpoint(eager=True))
+        mem.apply_batch(b1, 0)
+        part.apply_batch(b1, 0)
+        # batch 2: delete EVERY current key of bucket 0
+        b2 = (mem.current().filter(bucket == 0)
+              .withColumn("op", F.lit("D")).localCheckpoint(eager=True))
+        assert b2.count() > 0          # the edge case is actually hit
+        mem.apply_batch(b2, 1)
+        part.apply_batch(b2, 1)
+
+        got = part.current()
+        want = mem.current()
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+        assert not os.path.exists(f"{path}/_pbucket=0")
+        # untouched-bucket directories survived both batches
+        assert os.path.exists(f"{path}/_pbucket=3")
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)

@@ -146,6 +146,77 @@ def main() -> None:
                     "sessions_timeout", "update")
         print(json.dumps(out), flush=True)
 
+    # cdc_partitioned (round 10): the bucket-partitioned maintainer vs
+    # the in-memory one. Two feeds, honestly: (a) key-CLUSTERED batches
+    # (repartitionByRange on the bucket — the backfill/upsert-by-range
+    # regime) where each batch touches ~1/N of the buckets and per-batch
+    # cost must track the touched fraction, not the snapshot; (b) fully
+    # SHUFFLED batches (every batch touches every bucket) — the worst
+    # case, expected to LOSE to the in-memory maintainer (it rewrites
+    # all directories to parquet instead of checkpointing to memory).
+    if not skip("cdc_partitioned"):
+        from pyspark.sql import functions as F
+
+        from rel_db_to_graph_spark.operators.increment import snapshot_diff
+        from rel_db_to_graph_spark.queries import _cdc_snapshots
+        from rel_db_to_graph_spark.streaming.cdc import (
+            PartitionedSnapshotMaintainer,
+        )
+
+        nb = 64
+        old, new = _cdc_snapshots(spark, SF_DIR)
+        old = old.localCheckpoint(eager=True)
+        new = new.localCheckpoint(eager=True)
+        changes = (snapshot_diff(old, new, "o_orderkey")
+                   .join(new, "o_orderkey", "left")
+                   .localCheckpoint(eager=True))
+        bcol = F.pmod(F.xxhash64("o_orderkey"), F.lit(nb)).cast("int")
+        for tag, feed_df in (
+                ("clustered",
+                 changes.withColumn("_fb", bcol)
+                 .repartitionByRange(N_FILES, "_fb").drop("_fb")),
+                ("shuffled", changes.repartition(N_FILES))):
+            feed = f"/tmp/sf10_cdcp_feed_{tag}"
+            if os.path.isdir(feed):
+                shutil.rmtree(feed)
+            feed_df.write.parquet(feed)
+            stream = (spark.readStream.schema(changes.schema)
+                      .option("maxFilesPerTrigger", 1).parquet(feed))
+            snap_path = f"/tmp/sf10_cdcp_snap_{tag}"
+            if os.path.isdir(snap_path):
+                shutil.rmtree(snap_path)
+            sink = PartitionedSnapshotMaintainer(
+                spark, old, snap_path, "o_orderkey", n_buckets=nb)
+            batch_secs: list[float] = []
+            touched_per_batch: list[int] = []
+
+            def timed(batch, batch_id, _s=sink, _bs=batch_secs,
+                      _tb=touched_per_batch):
+                _tb.append(batch.select(
+                    F.pmod(F.xxhash64("o_orderkey"), F.lit(nb))
+                    .cast("int").alias("b")).distinct().count())
+                t = time.time()
+                _s.apply_batch(batch, batch_id)
+                _bs.append(round(time.time() - t, 1))
+
+            t0 = time.time()
+            q = (stream.writeStream.foreachBatch(timed)
+                 .trigger(availableNow=True)
+                 .option("checkpointLocation",
+                         f"/tmp/sf10_cdcp_ckpt_{tag}_{int(t0)}")
+                 .start())
+            q.awaitTermination()
+            snap = sink.current()
+            print(json.dumps({
+                "probe": f"cdc_partitioned_{tag}", "n_buckets": nb,
+                "batches": len(batch_secs),
+                "touched_buckets_per_batch": touched_per_batch,
+                "per_batch_secs": batch_secs,
+                "final_rows": snap.count(),
+                "matches_new": snap.exceptAll(new).isEmpty()
+                and new.exceptAll(snap).isEmpty(),
+                "secs": round(time.time() - t0, 1)}), flush=True)
+
     # cdc_stream (the foreachBatch snapshot-maintenance path): a
     # 10-file sf10 change feed applied to a 13.5M-row base snapshot.
     # There is no state STORE here — per-batch cost is the honest
