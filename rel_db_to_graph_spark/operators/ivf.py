@@ -203,7 +203,16 @@ def build_ivf_index(embeddings: DataFrame, k: int = 16, iters: int = 3,
             centroids_m = _lloyd_update_compact(assigned, centroids_m)
             if bc is not None:  # this pass's matrix is consumed — free it
                 bc.unpersist()
-        return _assign(e, centroids_m), centroids_m.tolist()
+        # final pass: materialize BEFORE unpersisting the matrix the
+        # lazy plan would still need — returning the lazy frame leaked
+        # one pinned (k, d) broadcast per build (review r10). Large-k
+        # callers therefore get an eagerly-checkpointed frame and must
+        # NOT re-checkpoint it (each caller guards on the threshold).
+        final, bc = _assign_tracked(e, centroids_m)
+        final = final.localCheckpoint(eager=True)
+        if bc is not None:
+            bc.unpersist()
+        return final, centroids_m.tolist()
 
     centroids = [list(r["_v"]) for r in init]
     for _ in range(iters):
@@ -224,6 +233,58 @@ def build_ivf_index(embeddings: DataFrame, k: int = 16, iters: int = 3,
             for c in range(len(centroids))
         ]
     return _assign(e, centroids), centroids
+
+
+def write_index_partitioned(df: DataFrame, path: str, sub: str,
+                            partition_buckets: int | None) -> None:
+    """The ONE on-disk layout contract for written vector indexes (IVF
+    vectors and IVFPQ codes share it — two drifting copies would let
+    one family's probe prune the other's layout wrongly, review r10):
+    per-cluster Hive directories by default; with ``partition_buckets``
+    set, cluster % buckets directories with a per-file cluster sort
+    (directory pruning on the bucket, parquet row-group min/max pruning
+    on the exact cluster predicate). Writes the layout sidecar the
+    probes read. With buckets, file size ≈ data / buckets — pick the
+    bucket count so files land in the GB range at your data size."""
+    if partition_buckets:
+        (df.withColumn("cbucket",
+                       F.pmod(F.col("cluster"),
+                              F.lit(partition_buckets)).cast("int"))
+         .repartition(int(partition_buckets), F.col("cbucket"))
+         .sortWithinPartitions("cluster")
+         .write.mode("overwrite").partitionBy("cbucket")
+         .parquet(f"{path}/{sub}"))
+    else:
+        (df.write.mode("overwrite").partitionBy("cluster")
+         .parquet(f"{path}/{sub}"))
+    (df.sparkSession.createDataFrame(
+        [(int(partition_buckets or 0),)], "partition_buckets int")
+     .coalesce(1).write.mode("overwrite").json(f"{path}/layout"))
+
+
+def read_index_layout(spark, path: str) -> int:
+    """``partition_buckets`` recorded by write_index_partitioned;
+    0 means per-cluster directories. Only a MISSING sidecar (an index
+    written before the layout existed) degrades to 0 — any other IO
+    error propagates, because silently skipping the bucket-pruning tier
+    turns a 2.5 s probe into a full listing/scan with no signal
+    (review r10)."""
+    from pyspark.errors import AnalysisException
+    try:
+        return int(spark.read.json(f"{path}/layout")
+                   .collect()[0]["partition_buckets"])
+    except AnalysisException:
+        return 0
+
+
+def apply_index_bucket_pruning(df: DataFrame, nb: int,
+                               probe: list[int]) -> DataFrame:
+    """Directory-pruning predicate for a bucketed index read: keep only
+    the cbucket directories the probed clusters can live in."""
+    if not nb:
+        return df
+    return df.filter(
+        F.col("cbucket").isin(sorted({c % nb for c in probe})))
 
 
 def write_ivf_index(embeddings: DataFrame, path: str, k: int = 16,
@@ -248,22 +309,8 @@ def write_ivf_index(embeddings: DataFrame, path: str, k: int = 16,
     reads — callers never change."""
     assigned, centroids = build_ivf_index(embeddings, k=k, iters=iters,
                                           id_col=id_col, vec_col=vec_col)
-    if partition_buckets:
-        (assigned
-         .withColumn("cbucket",
-                     F.pmod(F.col("cluster"),
-                            F.lit(partition_buckets)).cast("int"))
-         .repartition(int(partition_buckets), F.col("cbucket"))
-         .sortWithinPartitions("cluster")
-         .write.mode("overwrite").partitionBy("cbucket")
-         .parquet(f"{path}/vectors"))
-    else:
-        (assigned.write.mode("overwrite").partitionBy("cluster")
-         .parquet(f"{path}/vectors"))
+    write_index_partitioned(assigned, path, "vectors", partition_buckets)
     spark = embeddings.sparkSession
-    (spark.createDataFrame(
-        [(int(partition_buckets or 0),)], "partition_buckets int")
-     .coalesce(1).write.mode("overwrite").json(f"{path}/layout"))
     (spark.createDataFrame([(i, c) for i, c in enumerate(centroids)],
                            "cluster int, cv array<double>")
      .coalesce(1).write.mode("overwrite").json(f"{path}/centroids"))
@@ -281,18 +328,12 @@ def ivf_topk_from_index(spark, path: str, query_id: int, k: int = 10,
     predicate prunes row groups via the per-file cluster sort."""
     cents = {int(r.cluster): list(r.cv)
              for r in spark.read.json(f"{path}/centroids").collect()}
-    try:
-        nb = int(spark.read.json(f"{path}/layout")
-                 .collect()[0]["partition_buckets"])
-    except Exception:       # pre-round-10 index without a layout sidecar
-        nb = 0
+    nb = read_index_layout(spark, path)
     vectors = spark.read.parquet(f"{path}/vectors")
     qv = list(vectors.filter(F.col(id_col) == query_id)
               .select("_v").collect()[0]["_v"])
     probe = nearest_centroid_ids(sorted(cents.items()), qv, nprobe)
-    if nb:
-        vectors = vectors.filter(
-            F.col("cbucket").isin(sorted({c % nb for c in probe})))
+    vectors = apply_index_bucket_pruning(vectors, nb, probe)
     qlit = F.array(*[F.lit(float(x)) for x in qv])
     return (
         vectors.filter(F.col("cluster").isin(probe))
@@ -310,7 +351,8 @@ def ivf_topk(embeddings: DataFrame, query_id: int, k: int = 10,
     """Top-k by cosine among the ``nprobe`` clusters nearest the query."""
     assigned, centroids = build_ivf_index(embeddings, k=n_clusters,
                                           id_col=id_col, vec_col=vec_col)
-    assigned = assigned.localCheckpoint(eager=True)
+    if n_clusters < _GEMM_ASSIGN_MIN_K:   # large-k build: already
+        assigned = assigned.localCheckpoint(eager=True)  # checkpointed
 
     qrow = assigned.filter(F.col(id_col) == query_id).collect()[0]
     qv = list(qrow["_v"])

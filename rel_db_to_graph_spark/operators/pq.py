@@ -189,7 +189,9 @@ def ivfpq_topk(embeddings: DataFrame, query_id: int, k: int = 10,
     assigned, centroids = build_ivf_index(embeddings, k=n_clusters,
                                           iters=iters, id_col=id_col,
                                           vec_col=vec_col)
-    assigned = assigned.localCheckpoint(eager=True)
+    from rel_db_to_graph_spark.operators import ivf as _ivf
+    if n_clusters < _ivf._GEMM_ASSIGN_MIN_K:   # large-k build: already
+        assigned = assigned.localCheckpoint(eager=True)  # checkpointed
     books = train_pq(embeddings, m=m, k=n_codes, iters=iters,
                      id_col=id_col, vec_col=vec_col)
     codes = encode_pq(embeddings, books, id_col=id_col, vec_col=vec_col)
@@ -235,23 +237,10 @@ def write_ivfpq_index(embeddings: DataFrame, path: str,
     books = train_pq(embeddings, m=m, k=n_codes, iters=iters,
                      id_col=id_col, vec_col=vec_col)
     codes = encode_pq(embeddings, books, id_col=id_col, vec_col=vec_col)
+    from rel_db_to_graph_spark.operators.ivf import write_index_partitioned
     coded = codes.join(assigned.select(id_col, "cluster"), id_col)
-    if partition_buckets:
-        (coded
-         .withColumn("cbucket",
-                     F.pmod(F.col("cluster"),
-                            F.lit(partition_buckets)).cast("int"))
-         .repartition(int(partition_buckets), F.col("cbucket"))
-         .sortWithinPartitions("cluster")
-         .write.mode("overwrite").partitionBy("cbucket")
-         .parquet(f"{path}/codes"))
-    else:
-        (coded.write.mode("overwrite").partitionBy("cluster")
-         .parquet(f"{path}/codes"))
+    write_index_partitioned(coded, path, "codes", partition_buckets)
     spark = embeddings.sparkSession
-    (spark.createDataFrame(
-        [(int(partition_buckets or 0),)], "partition_buckets int")
-     .coalesce(1).write.mode("overwrite").json(f"{path}/layout"))
     (spark.createDataFrame([(i, c) for i, c in enumerate(centroids)],
                            "cluster int, cv array<double>")
      .coalesce(1).write.mode("overwrite").json(f"{path}/centroids"))
@@ -280,17 +269,13 @@ def ivfpq_topk_from_index(spark, path: str, query_vec: list[float],
     for r in brows:
         books[r.s][r.code] = list(r.cv)
 
-    from rel_db_to_graph_spark.operators.ivf import nearest_centroid_ids
+    from rel_db_to_graph_spark.operators.ivf import (
+        apply_index_bucket_pruning, nearest_centroid_ids,
+        read_index_layout)
     probe = nearest_centroid_ids(sorted(cents.items()), qv, nprobe)
-    try:
-        nb = int(spark.read.json(f"{path}/layout")
-                 .collect()[0]["partition_buckets"])
-    except Exception:       # pre-round-10 index without a layout sidecar
-        nb = 0
-    codes = spark.read.parquet(f"{path}/codes")
-    if nb:
-        codes = codes.filter(
-            F.col("cbucket").isin(sorted({c % nb for c in probe})))
+    nb = read_index_layout(spark, path)
+    codes = apply_index_bucket_pruning(
+        spark.read.parquet(f"{path}/codes"), nb, probe)
     return (codes.filter(F.col("cluster").isin(probe))
             .select(F.col(id_col),
                     F.round(adc_estimate(books, qv), 6).alias("adist"))

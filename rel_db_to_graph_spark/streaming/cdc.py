@@ -108,17 +108,31 @@ class PartitionedSnapshotMaintainer:
 
     def __init__(self, spark, base: DataFrame, path: str, pk: str,
                  op_col: str = "op", n_buckets: int = 64):
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
         self._spark = spark
         self._path = path
         self._pk = pk
         self._op = op_col
         self._nb = int(n_buckets)
+        # the declared read schema (base columns + the partition
+        # column) makes every read below inference-free: an EMPTY
+        # snapshot — empty base at init, or a feed that deletes every
+        # remaining row — leaves the path with no data files, and
+        # schema inference would raise where an empty frame is the
+        # correct answer (review r10)
+        self._schema = StructType(
+            list(base.schema.fields)
+            + [StructField("_pbucket", IntegerType())])
         (base.withColumn("_pbucket", self._bucket(F.col(pk)))
          .write.mode("overwrite").partitionBy("_pbucket")
          .parquet(path))
 
     def _bucket(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self._nb)).cast("int")
+
+    def _read(self) -> DataFrame:
+        return self._spark.read.schema(self._schema).parquet(self._path)
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         # the batch is consumed twice (bucket list + merge) — pin it
@@ -128,24 +142,19 @@ class PartitionedSnapshotMaintainer:
                                 .alias("_pb")).distinct().collect()]
         if not touched:
             return
-        snap = self._spark.read.parquet(self._path)
-        sub = (snap.filter(F.col("_pbucket").isin(touched))
+        sub = (self._read().filter(F.col("_pbucket").isin(touched))
                .drop("_pbucket"))
         merged = (merge_upsert(sub, batch, self._pk, self._op)
                   .withColumn("_pbucket", self._bucket(F.col(self._pk)))
                   .localCheckpoint(eager=True))
         present = {int(r["_pbucket"]) for r in
                    merged.select("_pbucket").distinct().collect()}
-        conf = self._spark.conf
-        old_mode = conf.get("spark.sql.sources.partitionOverwriteMode",
-                            "static")
-        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (merged.write.mode("overwrite").partitionBy("_pbucket")
-             .parquet(self._path))
-        finally:
-            conf.set("spark.sql.sources.partitionOverwriteMode",
-                     old_mode)
+        # writer-scoped option, NOT the session conf: a session-global
+        # set/restore races with any concurrent partitioned overwrite
+        # in the same session (review r10)
+        (merged.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_pbucket").parquet(self._path))
         # fully-deleted buckets leave no rows to overwrite with —
         # drop their directories via the Hadoop FS API (works on any
         # supported storage, not just local paths)
@@ -158,4 +167,4 @@ class PartitionedSnapshotMaintainer:
             fs.delete(p, True)
 
     def current(self) -> DataFrame:
-        return self._spark.read.parquet(self._path).drop("_pbucket")
+        return self._read().drop("_pbucket")
