@@ -16,7 +16,11 @@ Measures, for the sf10 embeddings (200k vectors) at a given k:
     is accepted here — the read paths share nothing but the parquet)
   * probe result equality between the layouts
 
-Usage: python tools/audit_index_layout.py [k] [buckets] [sf1|sf10]
+Usage: python tools/audit_index_layout.py [k] [buckets] [sf1|sf10|sf10d]
+           [per-cluster|bucketed|both]
+
+(the 4th arg limits which layouts run — at k≈100k the per-cluster
+write is itself the pathology under discussion and can be skipped)
 """
 
 from __future__ import annotations
@@ -34,7 +38,8 @@ from rel_db_to_graph_spark.operators.ivf import (  # noqa: E402
 from rel_db_to_graph_spark.sources.catalog import load_table  # noqa: E402
 
 DIRS = {"sf1": "/root/repo/benchdata/sf1",
-        "sf10": "/root/repo/benchdata/sf10"}
+        "sf10": "/root/repo/benchdata/sf10",
+        "sf10d": "/root/repo/benchdata/sf10d"}
 
 
 def fs_stats(root: str) -> tuple[int, int]:
@@ -49,6 +54,7 @@ def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     buckets = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     sf = sys.argv[3] if len(sys.argv) > 3 else "sf10"
+    which = sys.argv[4] if len(sys.argv) > 4 else "both"
     spark = get_spark(app_name="audit_index_layout")
     spark.sparkContext.setLogLevel("ERROR")
     emb = load_table(spark, DIRS[sf], "embeddings")
@@ -56,7 +62,10 @@ def main() -> None:
     shutil.rmtree(base, ignore_errors=True)
 
     results = {}
-    for tag, nb in (("per-cluster", None), ("bucketed", buckets)):
+    layouts = [("per-cluster", None), ("bucketed", buckets)]
+    if which != "both":
+        layouts = [(t, nb) for t, nb in layouts if t == which]
+    for tag, nb in layouts:
         path = f"{base}/{tag}"
         t0 = time.time()
         write_ivf_index(emb, path, k=k, iters=2, partition_buckets=nb)
@@ -70,8 +79,10 @@ def main() -> None:
         results[tag] = rows
         print(f"{tag:12s} k={k}: write {w:6.1f}s  dirs {ndirs:6d}  "
               f"files {nfiles:6d}  probe {p:5.1f}s", flush=True)
-    print(f"probe results equal: {results['per-cluster'] == results['bucketed']}",
-          flush=True)
+    if len(results) == 2:
+        print("probe results equal: "
+              f"{results['per-cluster'] == results['bucketed']}",
+              flush=True)
     shutil.rmtree(base, ignore_errors=True)
 
 
