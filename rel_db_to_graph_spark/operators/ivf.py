@@ -174,7 +174,14 @@ def nearest_centroid_ids(items: list[tuple[int, list[float]]],
 def build_ivf_index(embeddings: DataFrame, k: int = 16, iters: int = 3,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> tuple[DataFrame, list[list[float]]]:
-    """Returns (assigned DF(id, _v, cluster), centroids). Deterministic."""
+    """Returns (assigned DF(id, _v, cluster), centroids). Deterministic.
+
+    The assigned frame comes back eagerly localCheckpointed in BOTH
+    k-regimes — callers must not re-checkpoint it and never need to
+    re-derive the internal _GEMM_ASSIGN_MIN_K threshold to know whether
+    it is safe to consume twice (ADVICE r10). The checkpoint values are
+    identical to the lazy small-k frame (materialization, not
+    arithmetic), so every small-k oracle hash is unaffected."""
     e = embeddings.select(F.col(id_col), to_double(F.col(vec_col)).alias("_v"))
     if k >= _GEMM_ASSIGN_MIN_K:
         # large-k assignment is O(n·k·d) GEMM compute — spread it over
@@ -232,7 +239,7 @@ def build_ivf_index(embeddings: DataFrame, k: int = 16, iters: int = 3,
             [new[c][p] for p in sorted(new[c])] if new[c] else centroids[c]
             for c in range(len(centroids))
         ]
-    return _assign(e, centroids), centroids
+    return _assign(e, centroids).localCheckpoint(eager=True), centroids
 
 
 def write_index_partitioned(df: DataFrame, path: str, sub: str,
@@ -257,13 +264,19 @@ def write_index_partitioned(df: DataFrame, path: str, sub: str,
     else:
         (df.write.mode("overwrite").partitionBy("cluster")
          .parquet(f"{path}/{sub}"))
+    # sidecar is scoped PER FAMILY ({sub}_layout): an IVF index
+    # (sub="vectors") and an IVFPQ index (sub="codes") written to the
+    # same root with different partition_buckets would otherwise
+    # clobber a shared sidecar and send the other family's probe after
+    # a nonexistent cbucket column (ADVICE r10)
     (df.sparkSession.createDataFrame(
         [(int(partition_buckets or 0),)], "partition_buckets int")
-     .coalesce(1).write.mode("overwrite").json(f"{path}/layout"))
+     .coalesce(1).write.mode("overwrite").json(f"{path}/{sub}_layout"))
 
 
-def read_index_layout(spark, path: str) -> int:
-    """``partition_buckets`` recorded by write_index_partitioned;
+def read_index_layout(spark, path: str, sub: str) -> int:
+    """``partition_buckets`` recorded by write_index_partitioned for
+    the ``sub`` family ("vectors" for IVF, "codes" for IVFPQ);
     0 means per-cluster directories. Only a MISSING sidecar (an index
     written before the layout existed) degrades to 0 — any other IO
     error propagates, because silently skipping the bucket-pruning tier
@@ -271,7 +284,7 @@ def read_index_layout(spark, path: str) -> int:
     (review r10)."""
     from pyspark.errors import AnalysisException
     try:
-        return int(spark.read.json(f"{path}/layout")
+        return int(spark.read.json(f"{path}/{sub}_layout")
                    .collect()[0]["partition_buckets"])
     except AnalysisException:
         return 0
@@ -328,7 +341,7 @@ def ivf_topk_from_index(spark, path: str, query_id: int, k: int = 10,
     predicate prunes row groups via the per-file cluster sort."""
     cents = {int(r.cluster): list(r.cv)
              for r in spark.read.json(f"{path}/centroids").collect()}
-    nb = read_index_layout(spark, path)
+    nb = read_index_layout(spark, path, "vectors")
     vectors = spark.read.parquet(f"{path}/vectors")
     qv = list(vectors.filter(F.col(id_col) == query_id)
               .select("_v").collect()[0]["_v"])
@@ -351,8 +364,6 @@ def ivf_topk(embeddings: DataFrame, query_id: int, k: int = 10,
     """Top-k by cosine among the ``nprobe`` clusters nearest the query."""
     assigned, centroids = build_ivf_index(embeddings, k=n_clusters,
                                           id_col=id_col, vec_col=vec_col)
-    if n_clusters < _GEMM_ASSIGN_MIN_K:   # large-k build: already
-        assigned = assigned.localCheckpoint(eager=True)  # checkpointed
 
     qrow = assigned.filter(F.col(id_col) == query_id).collect()[0]
     qv = list(qrow["_v"])

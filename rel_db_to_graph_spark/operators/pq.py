@@ -186,12 +186,10 @@ def ivfpq_topk(embeddings: DataFrame, query_id: int, k: int = 10,
     and the whole composition stays oracle-checkable."""
     from rel_db_to_graph_spark.operators.ivf import build_ivf_index
 
+    # eagerly checkpointed by the build in both k-regimes (ADVICE r10)
     assigned, centroids = build_ivf_index(embeddings, k=n_clusters,
                                           iters=iters, id_col=id_col,
                                           vec_col=vec_col)
-    from rel_db_to_graph_spark.operators import ivf as _ivf
-    if n_clusters < _ivf._GEMM_ASSIGN_MIN_K:   # large-k build: already
-        assigned = assigned.localCheckpoint(eager=True)  # checkpointed
     books = train_pq(embeddings, m=m, k=n_codes, iters=iters,
                      id_col=id_col, vec_col=vec_col)
     codes = encode_pq(embeddings, books, id_col=id_col, vec_col=vec_col)
@@ -273,7 +271,7 @@ def ivfpq_topk_from_index(spark, path: str, query_vec: list[float],
         apply_index_bucket_pruning, nearest_centroid_ids,
         read_index_layout)
     probe = nearest_centroid_ids(sorted(cents.items()), qv, nprobe)
-    nb = read_index_layout(spark, path)
+    nb = read_index_layout(spark, path, "codes")
     codes = apply_index_bucket_pruning(
         spark.read.parquet(f"{path}/codes"), nb, probe)
     return (codes.filter(F.col("cluster").isin(probe))

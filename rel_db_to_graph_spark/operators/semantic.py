@@ -150,14 +150,10 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.2,
     scalar join (cheaper to launch, exercised side by side — both
     paths run inside the oracle-gated registry query).
     """
+    # the build returns an eagerly-checkpointed frame in both k-regimes
+    # (ADVICE r10) — safe to consume repeatedly below, never re-pin
     assigned, _ = build_ivf_index(embeddings, k=n_clusters, iters=iters,
                                   id_col=id_col, vec_col=vec_col)
-    from rel_db_to_graph_spark.operators import ivf as _ivf
-    if n_clusters < _ivf._GEMM_ASSIGN_MIN_K:
-        # large-k builds already return an eagerly-checkpointed frame
-        # (so the final centroid broadcast could be freed inside
-        # build_ivf_index); re-checkpointing would store the data twice
-        assigned = assigned.localCheckpoint(eager=True)
 
     # per-cluster grid dimensions from one tiny (n_clusters-row) collect
     sizes = {r["cluster"]: r["n"] for r in

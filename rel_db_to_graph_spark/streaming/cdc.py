@@ -104,10 +104,22 @@ class PartitionedSnapshotMaintainer:
     same content is a no-op semantically). Size ``n_buckets`` so one
     bucket's data fits an executor comfortably — at 100 TB with
     n_buckets=16k a bucket is ~6 GB and a batch touching 1% of keys
-    rewrites ~1% of directories."""
+    rewrites ~1% of directories.
+
+    Resume contract (ADVICE r10): construction ATTACHES to an existing
+    snapshot at ``path`` instead of resetting it to ``base`` — a query
+    resumed with a persistent ``checkpointLocation`` skips committed
+    batches, so re-initializing the snapshot from base would silently
+    lose every update those batches applied. The base write happens
+    only when ``path`` holds no snapshot yet (or with an explicit
+    ``overwrite=True`` for a deliberate rebuild, which must pair with a
+    FRESH checkpoint directory). ``base`` still declares the read
+    schema in both modes, so attach works even when the surviving
+    snapshot is empty (zero data files)."""
 
     def __init__(self, spark, base: DataFrame, path: str, pk: str,
-                 op_col: str = "op", n_buckets: int = 64):
+                 op_col: str = "op", n_buckets: int = 64,
+                 overwrite: bool = False):
         from pyspark.sql.types import IntegerType, StructField, StructType
 
         self._spark = spark
@@ -124,9 +136,19 @@ class PartitionedSnapshotMaintainer:
         self._schema = StructType(
             list(base.schema.fields)
             + [StructField("_pbucket", IntegerType())])
-        (base.withColumn("_pbucket", self._bucket(F.col(pk)))
-         .write.mode("overwrite").partitionBy("_pbucket")
-         .parquet(path))
+        if overwrite or not self._snapshot_exists():
+            (base.withColumn("_pbucket", self._bucket(F.col(pk)))
+             .write.mode("overwrite").partitionBy("_pbucket")
+             .parquet(path))
+
+    def _snapshot_exists(self) -> bool:
+        # the write above always leaves a _SUCCESS marker at the root;
+        # its presence is the attach signal (a bare directory without
+        # it — e.g. a half-finished first write — is re-initialized)
+        jvm = self._spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{self._path}/_SUCCESS")
+        fs = p.getFileSystem(self._spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
 
     def _bucket(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self._nb)).cast("int")
@@ -137,9 +159,23 @@ class PartitionedSnapshotMaintainer:
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         # the batch is consumed twice (bucket list + merge) — pin it
         batch = batch.localCheckpoint(eager=True)
-        touched = [int(r["_pb"]) for r in
-                   batch.select(self._bucket(F.col(self._pk))
-                                .alias("_pb")).distinct().collect()]
+        # one pass yields both the touched-bucket list AND a NULL-pk
+        # flag: upsert/delete semantics on a NULL key are undefined
+        # (merge_upsert's equi-anti-join never matches NULL, so a NULL
+        # "update" would silently accumulate as duplicate rows) — fail
+        # loudly up front (ADVICE r10). Note xxhash64(NULL) hashes to
+        # the seed, so the NULL key would otherwise vanish into a
+        # perfectly valid-looking bucket.
+        agg = (batch.select(self._bucket(F.col(self._pk)).alias("_pb"),
+                            F.col(self._pk).isNull().alias("_null"))
+               .groupBy("_pb").agg(F.max("_null").alias("_null"))
+               .collect())
+        if any(r["_null"] for r in agg):
+            raise ValueError(
+                f"CDC batch {batch_id} contains NULL values in primary "
+                f"key column {self._pk!r}; CDC rows must carry a "
+                "non-null key")
+        touched = [int(r["_pb"]) for r in agg]
         if not touched:
             return
         sub = (self._read().filter(F.col("_pbucket").isin(touched))

@@ -98,3 +98,38 @@ def test_ivfpq_bucketed_layout_probe_equals_plain(spark):
         bucketed = ivfpq_topk_from_index(spark, d2, qv, k=11, nprobe=4)
         assert [(r.vec_id, r.adist) for r in bucketed.collect()] == \
                [(r.vec_id, r.adist) for r in plain.collect()]
+
+
+def test_shared_root_sidecars_do_not_clobber(spark):
+    """ADVICE r10: an IVF index (sub="vectors") and an IVFPQ index
+    (sub="codes") written to the SAME root with DIFFERENT
+    partition_buckets keep independent layout sidecars — each family's
+    probe reads its own bucket count and still answers correctly."""
+    import tempfile
+
+    from rel_db_to_graph_spark.operators.ivf import (
+        ivf_topk_from_index, read_index_layout, write_ivf_index)
+    from rel_db_to_graph_spark.operators.pq import (
+        ivfpq_topk_from_index, write_ivfpq_index)
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    with tempfile.TemporaryDirectory() as d, \
+            tempfile.TemporaryDirectory() as ref:
+        # same root: bucketed IVF + per-cluster IVFPQ (written second,
+        # so a shared sidecar would have been clobbered to 0)
+        write_ivf_index(emb, d, k=8, iters=2, partition_buckets=4)
+        write_ivfpq_index(emb, d, n_clusters=8, m=4, n_codes=8, iters=2)
+        assert read_index_layout(spark, d, "vectors") == 4
+        assert read_index_layout(spark, d, "codes") == 0
+        write_ivf_index(emb, ref, k=8, iters=2, partition_buckets=4)
+        want = ivf_topk_from_index(spark, ref, query_id=0, k=10,
+                                   nprobe=4).collect()
+        got = ivf_topk_from_index(spark, d, query_id=0, k=10,
+                                  nprobe=4).collect()
+        assert [(r.vec_id, r.score) for r in got] == \
+               [(r.vec_id, r.score) for r in want]
+        # and the co-located IVFPQ probe still answers
+        assert ivfpq_topk_from_index(spark, d, qv, k=5,
+                                     nprobe=4).count() == 5

@@ -425,3 +425,65 @@ def test_partitioned_snapshot_maintainer_matches_in_memory(spark):
         assert os.path.exists(f"{path}/_pbucket=3")
     finally:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+def test_partitioned_snapshot_maintainer_attaches_on_resume(spark):
+    """ADVICE r10 (medium): re-constructing the maintainer over an
+    EXISTING snapshot path must ATTACH (keep the applied updates), not
+    reset the snapshot to base — the resume-after-failure pattern skips
+    committed batches, so a reset would silently lose their updates.
+    ``overwrite=True`` restores the old deliberate-rebuild behavior."""
+    import shutil
+    import tempfile
+
+    from rel_db_to_graph_spark.streaming.cdc import (
+        PartitionedSnapshotMaintainer,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k long, v double")
+    path = tempfile.mkdtemp(prefix="cdc_attach_") + "/snap"
+    try:
+        m1 = PartitionedSnapshotMaintainer(spark, base, path, "k",
+                                           n_buckets=4)
+        b = spark.createDataFrame([(2, 99.0, "U"), (3, 30.0, "I")],
+                                  "k long, v double, op string")
+        m1.apply_batch(b, 0)
+        # simulated restart: committed batch 0 will NOT be replayed
+        m2 = PartitionedSnapshotMaintainer(spark, base, path, "k",
+                                           n_buckets=4)
+        got = {(r.k, r.v) for r in m2.current().collect()}
+        assert got == {(1, 10.0), (2, 99.0), (3, 30.0)}
+        # explicit rebuild resets to base (pairs with a fresh checkpoint)
+        m3 = PartitionedSnapshotMaintainer(spark, base, path, "k",
+                                           n_buckets=4, overwrite=True)
+        got = {(r.k, r.v) for r in m3.current().collect()}
+        assert got == {(1, 10.0), (2, 20.0)}
+    finally:
+        shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_partitioned_snapshot_maintainer_rejects_null_pk(spark):
+    """ADVICE r10: a NULL primary key in a CDC batch must raise a clear
+    error instead of a TypeError on the NULL bucket (and never land in
+    a stray __HIVE_DEFAULT_PARTITION__ directory)."""
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from rel_db_to_graph_spark.streaming.cdc import (
+        PartitionedSnapshotMaintainer,
+    )
+
+    base = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    path = tempfile.mkdtemp(prefix="cdc_nullpk_") + "/snap"
+    try:
+        m = PartitionedSnapshotMaintainer(spark, base, path, "k",
+                                          n_buckets=4)
+        bad = spark.createDataFrame([(None, 5.0, "I"), (2, 6.0, "I")],
+                                    "k long, v double, op string")
+        with pytest.raises(ValueError, match="NULL.*primary"):
+            m.apply_batch(bad, 0)
+    finally:
+        shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
