@@ -581,7 +581,14 @@ def q_hetero_link_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of |E|), full-neighborhood validation. max_batches=2
     bounds driver runtime; each epoch then sees a different
     content-addressed subset (still valid SGD). Returns the epoch
-    history; train BCE must decrease."""
+    history; train BCE must decrease.
+
+    Runs the PRODUCTION engine split (round 11): distributed sampling /
+    membership / closure cuts + the local step engine for the
+    sequential optimizer chain (ml/local_step.py — the stage-count
+    answer to the ~6 s/step driver floor; engine agreement pinned by
+    tests/test_local_step.py). The hash-gated md5/quantized sibling
+    below keeps the DataFrame engine for byte-stability."""
     from rel_db_to_graph_spark.ml.gat_train import train_hetero_gat_sampled
     from rel_db_to_graph_spark.ml.hetero import node_features_normalized
 
@@ -606,7 +613,8 @@ def q_hetero_link_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = train_hetero_gat_sampled(
         sub_edges, feats, labeled, src_type="orders", dst_type="customer",
         hidden=2, fanouts=[15], batch_size=512, max_batches=2,
-        epochs=2, lr=0.05, seed=42, edge_tables=tables)
+        epochs=2, lr=0.05, seed=42, edge_tables=tables,
+        step_engine="local")
     return spark.createDataFrame(
         [(h["epoch"], float(h["train_loss"]), int(h["train_n"]),
           float(h["val_acc"]))
