@@ -57,7 +57,10 @@ from pyspark.sql import functions as F
 
 from rel_db_to_graph_spark.functions.vector import dot, sigmoid
 from rel_db_to_graph_spark.ml.gnn import linear_layer
-from rel_db_to_graph_spark.ml.local_step import hetero_epoch_local
+from rel_db_to_graph_spark.ml.local_step import (
+    hetero_epoch_local,
+    stack_epoch_local,
+)
 from rel_db_to_graph_spark.ml.train import AdamW, TrainResult
 from rel_db_to_graph_spark.operators.split import hash_split
 
@@ -1772,7 +1775,8 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
                             quantize: bool = False,
                             split_draw: str = "xxhash64",
                             batch_draw: str = "xxhash64",
-                            sample_draw: str = "xxhash64") -> TrainResult:
+                            sample_draw: str = "xxhash64",
+                            step_engine: str = "dataframe") -> TrainResult:
     """Sampled mini-batch training of the FULL-DEPTH homogeneous GATv2
     stack — per-layer fanouts through k message-passing layers, the
     complete `[num_neighbors] * num_layers` LinkNeighborLoader shape
@@ -1800,7 +1804,13 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
     neighbor draws, every quantized forward, and the per-batch GD
     steps, putting the sampled training loop itself under the hash
     gate (q_gat_stack_train_sampled_q). md5 draws require non-null
-    src/dst (the null-dropped edge frames guarantee it)."""
+    src/dst (the null-dropped edge frames guarantee it).
+
+    ``step_engine='local'``: same round-11 engine split as
+    train_hetero_gat_sampled — distributed sampling/membership/closure
+    cuts, one chunked collect per epoch (depth-2 prefetch), sequential
+    step chain in ml/local_step.py::stack_epoch_local, size-guarded
+    local validation. Hash-gated queries keep the DataFrame engine."""
     from rel_db_to_graph_spark.operators.sampling import (
         sample_incoming,
         sample_incoming_store_multi,
@@ -1877,9 +1887,68 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
                 examples.sparkSession, edge_table,
                 {bi: fr[bi] for bi in tags}, fanouts,
                 {bi: bseeds[bi] for bi in tags}, draw=sample_draw))
+        if step_engine == "local":
+            # closure fetch is parameter-independent — run it here so
+            # later epochs' fetches hide behind earlier epochs' work
+            return _epoch_closures_local(epoch, out)
         return out
 
-    pool = fut = None
+    def _batch_closure_frame(bi: int, epoch: int, samp_by_bi) -> DataFrame:
+        """One batch's homogeneous closure as the tagged (kind, src,
+        dst, node_id, emb) union — the in-loop construction factored so
+        the local engine can fetch a whole epoch in one job (kind='x'
+        rows carry the examples, label riding in node_id)."""
+        batch = train.filter(_member(epoch) == bi)
+        seeds = (batch.select(F.col("src").alias("node_id"))
+                 .unionAll(batch.select(F.col("dst").alias("node_id")))
+                 .distinct())
+        if samp_by_bi is not None:
+            samp = samp_by_bi[bi]
+        else:
+            samp = sample_incoming(
+                edges, seeds, fanouts,
+                seed=seed + 7919 * epoch + 104729 * bi,
+                draw=sample_draw).localCheckpoint(eager=False)
+        ids = (seeds
+               .unionAll(samp.select(F.col("src").alias("node_id")))
+               .unionAll(samp.select(F.col("dst").alias("node_id")))
+               ).distinct()
+        return (samp.select("src", "dst").distinct()
+                .select(F.lit("e").alias("kind"), "src", "dst",
+                        F.lit(None).cast("bigint").alias("node_id"),
+                        F.lit(None).cast("array<double>").alias("emb"))
+                .unionByName(
+                    feats.join(ids, "node_id")
+                    .select(F.lit("f").alias("kind"),
+                            F.lit(None).cast("bigint").alias("src"),
+                            F.lit(None).cast("bigint").alias("dst"),
+                            "node_id", "emb"))
+                .unionByName(batch.select(
+                    F.lit("x").alias("kind"), "src", "dst",
+                    F.col("label").cast("bigint").alias("node_id"),
+                    F.lit(None).cast("array<double>").alias("emb"))))
+
+    def _epoch_closures_local(epoch: int, samp_by_bi) -> dict:
+        """Fetch every batch's bounded closure for one epoch in chunked
+        collect jobs — see train_hetero_gat_sampled."""
+        from rel_db_to_graph_spark.ml.local_step import (
+            parse_stack_closure_rows,
+        )
+        out: dict = {}
+        for lo in range(0, steps, _FUSE_BATCHES):
+            u = None
+            for bi in range(lo, min(lo + _FUSE_BATCHES, steps)):
+                part = _batch_closure_frame(bi, epoch, samp_by_bi
+                                            ).withColumn("_bi", F.lit(bi))
+                u = part if u is None else u.unionByName(part)
+            rows_by_bi: dict = {}
+            for r in u.collect():
+                rows_by_bi.setdefault(int(r["_bi"]), []).append(r)
+            for bi, rows in rows_by_bi.items():
+                out[bi] = parse_stack_closure_rows(rows)
+        return out
+
+    pool, futs = None, {}
     _scope = ExitStack()
     if edge_table is not None:
         # epoch 0's sampling overlaps the val-closure build below;
@@ -1890,8 +1959,10 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
         )
         _scope.enter_context(
             _forced_bucketed_scan(examples.sparkSession))
-        pool = ThreadPoolExecutor(max_workers=1)
-        fut = pool.submit(_prefetch, 0)
+        # depth 2 in local mode — see train_hetero_gat_sampled
+        depth = min(2 if step_engine == "local" else 1, epochs)
+        pool = ThreadPoolExecutor(max_workers=max(depth, 1))
+        futs = {e: pool.submit(_prefetch, e) for e in range(depth)}
 
     # One-time val dependency closure — k hops of FULL in-neighborhoods
     # ([-1] per layer) of the val endpoints; per-epoch validation then
@@ -1911,6 +1982,30 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
                 .unionAll(vsamp.select(F.col("dst").alias("node_id")))
                 ).distinct()
         val_fcut = feats.join(vids, "node_id").localCheckpoint(eager=True)
+    val_local = None
+    if step_engine == "local" and n_val:
+        # fetch the parameter-independent val closure ONCE (size-
+        # guarded) so every epoch's val forward is local — see
+        # train_hetero_gat_sampled._collect_val_closure
+        from rel_db_to_graph_spark.ml.local_step import (
+            parse_stack_closure_rows,
+        )
+        arr_null = F.lit(None).cast("array<double>")
+        long_null = F.lit(None).cast("bigint")
+        u = (val_sub.select(F.lit("e").alias("kind"), "src", "dst",
+                            long_null.alias("node_id"),
+                            arr_null.alias("emb"))
+             .unionByName(val_fcut.select(
+                 F.lit("f").alias("kind"), long_null.alias("src"),
+                 long_null.alias("dst"), "node_id", "emb"))
+             .unionByName(val.select(
+                 F.lit("x").alias("kind"), "src", "dst",
+                 F.col("label").cast("bigint").alias("node_id"),
+                 arr_null.alias("emb"))))
+        vrows = u.limit(5_000_001).collect()
+        if len(vrows) <= 5_000_000:
+            val_local = parse_stack_closure_rows(vrows)
+        t0 = _tr("val closure collect (local)", t0)
 
     def flat(ps, bias):
         out = []
@@ -1939,53 +2034,79 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
         for epoch in range(epochs):
             losses, ns = [], []
             samp_by_bi = None
-            if fut is not None:
+            local_closures = None
+            if pool is not None:
                 # this epoch's closures were drawn on the background
                 # thread while the previous epoch's steps ran; kick off
                 # the next epoch's draw before the first gradient —
-                # see train_hetero_gat_sampled
-                samp_by_bi = fut.result()
-                fut = (pool.submit(_prefetch, epoch + 1)
-                       if epoch + 1 < epochs else None)
+                # see train_hetero_gat_sampled. In local mode the
+                # prefetch already returns the COLLECTED closures.
+                pre = futs.pop(epoch).result()
+                nxt = epoch + depth
+                if nxt < epochs:
+                    futs[nxt] = pool.submit(_prefetch, nxt)
                 t0 = _tr(f"e{epoch} prefetch join", t0)
-            for bi in range(steps):
-                # lazy checkpoints throughout (round-8 step diet): with the
-                # stats fused into the gradient-sync collect, a step runs
-                # ONE epoch job — batch/samp/closure materialize inside it
-                # instead of each paying a dedicated driver job of
-                # scheduling floor
-                batch = train.filter(
-                    _member(epoch) == bi).localCheckpoint(eager=False)
-                seeds = (batch.select(F.col("src").alias("node_id"))
-                         .unionAll(batch.select(F.col("dst").alias("node_id")))
-                         .distinct())
-                batch_seed = seed + 7919 * epoch + 104729 * bi
-                if samp_by_bi is not None:
-                    samp = samp_by_bi[bi]
+                if step_engine == "local":
+                    local_closures = pre
                 else:
-                    samp = sample_incoming(
-                        edges, seeds, fanouts, seed=batch_seed,
-                        draw=sample_draw).localCheckpoint(eager=False)
-                ids = (seeds
-                       .unionAll(samp.select(F.col("src").alias("node_id")))
-                       .unionAll(samp.select(F.col("dst").alias("node_id")))
-                       ).distinct()
-                allc = (samp.select("src", "dst").distinct()
-                        .select(F.lit("e").alias("kind"), "src", "dst",
-                                F.lit(None).cast("bigint").alias("node_id"),
-                                F.lit(None).cast("array<double>").alias("emb"))
-                        .unionByName(
-                            feats.join(ids, "node_id")
-                            .select(F.lit("f").alias("kind"),
-                                    F.lit(None).cast("bigint").alias("src"),
-                                    F.lit(None).cast("bigint").alias("dst"),
-                                    "node_id", "emb"))
-                        .localCheckpoint(eager=False))
-                sub = allc.filter(F.col("kind") == "e").select("src", "dst")
-                fcut = allc.filter(F.col("kind") == "f").select("node_id",
-                                                                "emb")
-                stats = _stack_epoch(sub, fcut, batch, params, b,
-                                     quantize=quantize)
+                    samp_by_bi = pre
+            if step_engine == "local" and local_closures is None:
+                local_closures = _epoch_closures_local(epoch, None)
+                t0 = _tr(f"e{epoch} local closure collect", t0)
+            for bi in range(steps):
+                if local_closures is not None:
+                    if bi not in local_closures:
+                        continue
+                    stats = stack_epoch_local(*local_closures[bi],
+                                              params, b,
+                                              quantize=quantize)
+                else:
+                    # lazy checkpoints throughout (round-8 step diet):
+                    # with the stats fused into the gradient-sync
+                    # collect, a step runs ONE epoch job —
+                    # batch/samp/closure materialize inside it instead
+                    # of each paying a dedicated driver job of
+                    # scheduling floor
+                    batch = train.filter(
+                        _member(epoch) == bi).localCheckpoint(eager=False)
+                    seeds = (batch.select(F.col("src").alias("node_id"))
+                             .unionAll(batch.select(
+                                 F.col("dst").alias("node_id")))
+                             .distinct())
+                    batch_seed = seed + 7919 * epoch + 104729 * bi
+                    if samp_by_bi is not None:
+                        samp = samp_by_bi[bi]
+                    else:
+                        samp = sample_incoming(
+                            edges, seeds, fanouts, seed=batch_seed,
+                            draw=sample_draw).localCheckpoint(eager=False)
+                    ids = (seeds
+                           .unionAll(samp.select(
+                               F.col("src").alias("node_id")))
+                           .unionAll(samp.select(
+                               F.col("dst").alias("node_id")))
+                           ).distinct()
+                    allc = (samp.select("src", "dst").distinct()
+                            .select(F.lit("e").alias("kind"), "src", "dst",
+                                    F.lit(None).cast("bigint")
+                                    .alias("node_id"),
+                                    F.lit(None).cast("array<double>")
+                                    .alias("emb"))
+                            .unionByName(
+                                feats.join(ids, "node_id")
+                                .select(F.lit("f").alias("kind"),
+                                        F.lit(None).cast("bigint")
+                                        .alias("src"),
+                                        F.lit(None).cast("bigint")
+                                        .alias("dst"),
+                                        "node_id", "emb"))
+                            .localCheckpoint(eager=False))
+                    sub = allc.filter(F.col("kind") == "e").select(
+                        "src", "dst")
+                    fcut = allc.filter(F.col("kind") == "f").select(
+                        "node_id", "emb")
+                    stats = _stack_epoch(sub, fcut, batch, params, b,
+                                         quantize=quantize)
                 if stats["n"] == 0:
                     continue
                 gflat = flat([(g[0], g[1], np.array(g[2]))
@@ -1999,8 +2120,13 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
                 losses.append(stats["loss"] * stats["n"])
                 ns.append(stats["n"])
             n_seen = sum(ns)
-            vstats = _stack_epoch(val_sub, val_fcut, val, params, b,
-                                  with_grads=False, quantize=quantize)
+            if val_local is not None:
+                vstats = stack_epoch_local(*val_local, params, b,
+                                           with_grads=False,
+                                           quantize=quantize)
+            else:
+                vstats = _stack_epoch(val_sub, val_fcut, val, params, b,
+                                      with_grads=False, quantize=quantize)
             result.history.append({
                 "epoch": epoch,
                 "train_loss": (sum(losses) / n_seen) if n_seen else 0.0,

@@ -273,3 +273,162 @@ def parse_closure_rows(rows, edge_types, types) -> tuple[dict, dict, tuple]:
                 np.asarray(xd, dtype=np.int64),
                 np.asarray(xl, dtype=np.float64))
     return edges, feats, examples
+
+
+def stack_epoch_local(edges: tuple, feats: tuple, examples: tuple,
+                      params: list, b: float, with_grads: bool = True,
+                      quantize: bool = False) -> dict:
+    """One epoch of the k-layer homogeneous GATv2 stack
+    (gat_train._stack_epoch) on a COLLECTED closure — the stack
+    trainer's side of the local step engine.
+
+    ``edges``: (src, dst) int64 arrays (deduplicated; every layer
+    message-passes over the same closure edges). ``feats``:
+    (ids int64, X float64 (n, d)). ``examples``: (src, dst, labels).
+    ``params``: [(Wl, Wr, a), ...] outermost-first. Layer semantics
+    mirror gat_train._forward_layer: h_l = act(Σ α·s) for nodes with
+    in-edges, ZERO (not act(0)) otherwise; act = sigmoid, 6-dp HALF_UP
+    + decimal sums in ``quantize`` mode. Returns the _stack_epoch stats
+    dict ({loss, acc, n, gb[, grads as [(gWl, gWr, [ga])...]]})."""
+    ids, X = feats
+    X = np.asarray(X, dtype=np.float64)
+    if X.size == 0:            # empty closure: keep the input width
+        X = np.zeros((0, params[0][0].shape[1]))
+    n_nodes = len(ids)
+    pos = {int(i): k for k, i in enumerate(ids)}
+    act6 = (lambda z: _round6(_sig(z))) if quantize else _sig
+
+    e_src, e_dst = edges
+    keep = np.array([s in pos and d in pos
+                     for s, d in zip(e_src, e_dst)], dtype=bool)
+    e_src = np.asarray(e_src, dtype=np.int64)[keep]
+    e_dst = np.asarray(e_dst, dtype=np.int64)[keep]
+    si = np.array([pos[int(v)] for v in e_src], dtype=np.int64)
+    di = np.array([pos[int(v)] for v in e_dst], dtype=np.int64)
+    order = np.argsort(di, kind="stable")
+    si, di = si[order], di[order]
+    starts = _group_starts(di)
+    gidx = np.repeat(np.arange(len(starts)),
+                     np.diff(np.append(starts, len(di))))
+    dst_rows = di[starts]
+
+    hdim = params[-1][0].shape[0]
+    embs = [X]                  # embs[l] feeds layer l
+    layers = []                 # (S, q, r, alpha, m, H) per layer
+    for (Wl, Wr, a) in params:
+        h = Wl.shape[0]
+        H_in = embs[-1]
+        S = H_in @ Wl.T
+        T = H_in @ Wr.T
+        M = np.zeros((n_nodes, h))       # per-node _m (zeros if no in)
+        H = np.zeros((n_nodes, h))       # per-node _h
+        if len(si):
+            q = S[si] + T[di]
+            r = np.where(q > 0, q, _LEAKY * q)
+            e = r @ np.asarray(a, dtype=np.float64)
+            mx = np.maximum.reduceat(e, starts)
+            w = np.exp(e - mx[gidx])
+            if quantize:
+                w = _round6(w)
+                z = _dec_sum_reduceat(w, starts)
+            else:
+                z = np.add.reduceat(w, starts)
+            alpha = w / z[gidx]
+            ax = alpha[:, None] * S[si]
+            if quantize:
+                ax = _round6(ax)
+                m = np.stack([_dec_sum_reduceat(ax[:, i], starts)
+                              for i in range(h)], axis=1)
+            else:
+                m = np.add.reduceat(ax, starts, axis=0)
+            M[dst_rows] = m
+            H[dst_rows] = act6(m)
+        else:
+            q = np.zeros((0, h))
+            r = np.zeros((0, h))
+            alpha = np.zeros(0)
+        layers.append((S, q, r, alpha, M, H))
+        embs.append(H)
+
+    # ---- decoder over the examples ----
+    ex_src, ex_dst, y = examples
+    n = len(y)
+    if n == 0:
+        return {"loss": 0.0, "acc": 0.0, "n": 0, "gb": 0.0}
+    y = np.asarray(y, dtype=np.float64)
+    su = np.array([pos.get(int(v), -1) for v in ex_src], dtype=np.int64)
+    dv = np.array([pos.get(int(v), -1) for v in ex_dst], dtype=np.int64)
+    msk_u, msk_v = su >= 0, dv >= 0
+    top = embs[-1]
+    hu = np.zeros((n, hdim))
+    hv = np.zeros((n, hdim))
+    hu[msk_u] = top[su[msk_u]]
+    hv[msk_v] = top[dv[msk_v]]
+    z = np.clip((hu * hv).sum(axis=1) + float(b), -30.0, 30.0)
+    p = _sig(z)
+    err = p - y
+    loss = float(-(y * np.log(p) + (1 - y) * np.log(1 - p)).sum())
+    correct = int(((p > 0.5).astype(np.int64) == y.astype(np.int64)).sum())
+    stats = {"loss": loss / n, "acc": correct / n, "n": n,
+             "gb": float(err.sum()) / n}
+    if not with_grads:
+        return stats
+
+    # ---- backward: symmetric decoder, then chain down the stack ----
+    G = np.zeros((n_nodes, hdim))
+    np.add.at(G, su[msk_u], (err[:, None] * hv)[msk_u])
+    np.add.at(G, dv[msk_v], (err[:, None] * hu)[msk_v])
+
+    grads: list = [None] * len(params)
+    for li in range(len(params) - 1, -1, -1):
+        Wl, Wr, a = params[li]
+        h = Wl.shape[0]
+        S, q, r, alpha, M, H = layers[li]
+        emb_in = embs[li]
+        gm = G * H * (1.0 - H)           # sigmoid chain; zeros stay 0
+        DS = np.zeros((n_nodes, h))
+        DT = np.zeros((n_nodes, h))
+        ga = np.zeros(h)
+        if len(si):
+            c = (gm * M).sum(axis=1)     # per-node Σ gm·m (0 off-dst)
+            gm_e = gm[di]
+            ge = alpha * ((gm_e * S[si]).sum(axis=1) - c[di])
+            dq = ge[:, None] * np.asarray(a)[None, :] * np.where(
+                q > 0, 1.0, _LEAKY)
+            ga = (ge[:, None] * r).sum(axis=0)
+            np.add.at(DS, si, alpha[:, None] * gm_e + dq)
+            np.add.at(DT, di, dq)
+        grads[li] = (DS.T @ emb_in / n, DT.T @ emb_in / n,
+                     [float(v) for v in ga / n])
+        if li > 0:
+            G = DS @ Wl + DT @ Wr
+    stats["grads"] = grads
+    return stats
+
+
+def parse_stack_closure_rows(rows) -> tuple[tuple, tuple, tuple]:
+    """Split one batch's collected homogeneous closure rows (kind ∈
+    {e, f, x}; labels ride in node_id on 'x' rows) into the numpy
+    structures stack_epoch_local consumes."""
+    es, ed = [], []
+    fid, fx = [], []
+    xs, xd, xl = [], [], []
+    for r in rows:
+        k = r["kind"]
+        if k == "e":
+            es.append(r["src"])
+            ed.append(r["dst"])
+        elif k == "f":
+            fid.append(r["node_id"])
+            fx.append(list(r["emb"]))
+        else:
+            xs.append(r["src"])
+            xd.append(r["dst"])
+            xl.append(float(r["node_id"]))
+    edges = (np.asarray(es, dtype=np.int64), np.asarray(ed, dtype=np.int64))
+    feats = (np.asarray(fid, dtype=np.int64),
+             np.asarray(fx, dtype=np.float64) if fx else np.zeros((0, 1)))
+    examples = (np.asarray(xs, dtype=np.int64),
+                np.asarray(xd, dtype=np.int64),
+                np.asarray(xl, dtype=np.float64))
+    return edges, feats, examples

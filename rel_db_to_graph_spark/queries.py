@@ -716,7 +716,10 @@ def q_gat_stack_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer→nation message graph and labels as q_gat_stack_train;
     fanouts [15, 15], content-addressed batches, max_batches=2 bounds
     driver runtime. Returns the epoch history; train BCE must
-    decrease."""
+    decrease. Runs the round-11 PRODUCTION engine split
+    (step_engine='local': distributed sampling + local step chain —
+    see q_hetero_link_train_sampled); the hash-gated quantized sibling
+    keeps the DataFrame engine."""
     from rel_db_to_graph_spark.ml.gat_train import train_gat_stack_sampled
 
     edges, feats, ex = _ring_stride_fixture(spark, sf_dir)
@@ -730,7 +733,8 @@ def q_gat_stack_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   fanouts=[15, 15], batch_size=512,
                                   max_batches=2, epochs=2, lr=0.05,
                                   seed=42,
-                                  edge_table="q_gat_stack_sampled_edges")
+                                  edge_table="q_gat_stack_sampled_edges",
+                                  step_engine="local")
     return spark.createDataFrame(
         [(h["epoch"], float(h["train_loss"]), int(h["train_n"]),
           float(h["val_acc"]))

@@ -224,3 +224,137 @@ def test_trainer_local_engine_agrees_store_path(spark):
     for ha, hb in zip(direct.history, stored.history):
         assert ha == hb, (ha, hb)
     assert direct.weights == stored.weights
+
+
+# ---------------- homogeneous stack engine ----------------
+
+S_EDGES = [(0, 10), (1, 10), (1, 11), (2, 11), (0, 12), (10, 1), (11, 0),
+           (12, 2)]
+S_FEATS = {0: [1.0, 0.2], 1: [0.3, -0.5], 2: [-0.7, 0.9],
+           10: [0.5, 0.5], 11: [1.0, 0.0], 12: [-0.2, 0.8]}
+S_EX = [(0, 10, 1), (1, 10, 0), (1, 11, 1), (2, 11, 0), (0, 12, 1),
+        (2, 999, 0)]
+
+
+def _stack_params(layers=2, hidden=2, d_in=2, seed=13):
+    rng = np.random.default_rng(seed)
+    out, dim = [], d_in
+    for _ in range(layers):
+        out.append((rng.normal(0, 0.5, (hidden, dim)),
+                    rng.normal(0, 0.5, (hidden, dim)),
+                    rng.normal(0, 0.5, hidden)))
+        dim = hidden
+    return out
+
+
+def _np_stack_inputs():
+    edges = (np.array([s for s, _ in S_EDGES], dtype=np.int64),
+             np.array([d for _, d in S_EDGES], dtype=np.int64))
+    feats = (np.array(sorted(S_FEATS), dtype=np.int64),
+             np.array([S_FEATS[i] for i in sorted(S_FEATS)]))
+    ex = (np.array([e[0] for e in S_EX], dtype=np.int64),
+          np.array([e[1] for e in S_EX], dtype=np.int64),
+          np.array([float(e[2]) for e in S_EX]))
+    return edges, feats, ex
+
+
+def _spark_stack_inputs(spark):
+    return (spark.createDataFrame(S_EDGES, "src long, dst long"),
+            spark.createDataFrame(list(S_FEATS.items()),
+                                  "node_id long, emb array<double>"),
+            spark.createDataFrame(S_EX, "src long, dst long, label int"))
+
+
+def _assert_stack_stats_close(got, want, n_layers):
+    assert got["n"] == want["n"]
+    assert np.isclose(got["loss"], want["loss"], rtol=1e-9)
+    assert np.isclose(got["gb"], want["gb"], rtol=1e-9)
+    assert got["acc"] == want["acc"]
+    if "grads" in want:
+        for li in range(n_layers):
+            for k in range(3):
+                assert np.allclose(
+                    np.asarray(got["grads"][li][k]),
+                    np.asarray(want["grads"][li][k]),
+                    rtol=1e-7, atol=1e-12), (li, k)
+
+
+def test_stack_local_epoch_matches_dataframe(spark):
+    from rel_db_to_graph_spark.ml.gat_train import _stack_epoch
+    from rel_db_to_graph_spark.ml.local_step import stack_epoch_local
+
+    params, b = _stack_params(), 0.1
+    want = _stack_epoch(*_spark_stack_inputs(spark), params, b)
+    got = stack_epoch_local(*_np_stack_inputs(), params, b)
+    _assert_stack_stats_close(got, want, len(params))
+
+
+def test_stack_local_epoch_matches_dataframe_quantized(spark):
+    from rel_db_to_graph_spark.ml.gat_train import _stack_epoch
+    from rel_db_to_graph_spark.ml.local_step import stack_epoch_local
+
+    params, b = _stack_params(seed=29), -0.2
+    want = _stack_epoch(*_spark_stack_inputs(spark), params, b,
+                        quantize=True)
+    got = stack_epoch_local(*_np_stack_inputs(), params, b,
+                            quantize=True)
+    _assert_stack_stats_close(got, want, len(params))
+
+
+def test_stack_local_epoch_forward_only(spark):
+    from rel_db_to_graph_spark.ml.gat_train import _stack_epoch
+    from rel_db_to_graph_spark.ml.local_step import stack_epoch_local
+
+    params, b = _stack_params(seed=31), 0.4
+    want = _stack_epoch(*_spark_stack_inputs(spark), params, b,
+                        with_grads=False)
+    got = stack_epoch_local(*_np_stack_inputs(), params, b,
+                            with_grads=False)
+    _assert_stack_stats_close(got, want, len(params))
+    assert "grads" not in got
+
+
+def _toy_homo(spark):
+    rng = np.random.default_rng(1)
+    n = 14
+    xs = [(i, [float(rng.normal()), float(rng.normal())]) for i in range(n)]
+    edges = [(i, (i + 1) % n) for i in range(n)] + \
+            [(i, (i + 3) % n) for i in range(n)]
+    examples = [(i, j, int((i + j) % 2 == 0))
+                for i in range(n) for j in range(n) if i != j]
+    return (spark.createDataFrame(edges, "src long, dst long"),
+            spark.createDataFrame(xs, "node_id long, emb array<double>"),
+            spark.createDataFrame(examples, "src long, dst long, label int"))
+
+
+def test_stack_trainer_local_engine_agrees(spark):
+    from rel_db_to_graph_spark.ml.gat_train import train_gat_stack_sampled
+
+    e_df, f_df, ex = _toy_homo(spark)
+    kw = dict(hidden=2, layers=2, fanouts=[2, 2], batch_size=64,
+              epochs=2, lr=0.1, seed=3)
+    df_res = train_gat_stack_sampled(e_df, f_df, ex, **kw)
+    lc_res = train_gat_stack_sampled(e_df, f_df, ex,
+                                     step_engine="local", **kw)
+    _histories_agree(df_res.history, lc_res.history)
+    assert np.allclose(df_res.weights, lc_res.weights,
+                       rtol=1e-6, atol=1e-10)
+
+
+def test_stack_trainer_local_engine_agrees_store_quantized(spark):
+    from rel_db_to_graph_spark.ml.gat_train import train_gat_stack_sampled
+    from rel_db_to_graph_spark.sources.bucketed import write_edge_table
+
+    e_df, f_df, ex = _toy_homo(spark)
+    write_edge_table(e_df, "t_local_stack_engine", num_buckets=4)
+    table = "t_local_stack_engine"
+    kw = dict(hidden=2, layers=2, fanouts=[2, 2], batch_size=64,
+              epochs=2, lr=0.5, seed=3, optimizer="sgd", quantize=True,
+              split_draw="md5", batch_draw="md5", sample_draw="md5")
+    df_res = train_gat_stack_sampled(e_df, f_df, ex, edge_table=table,
+                                     **kw)
+    lc_res = train_gat_stack_sampled(e_df, f_df, ex, edge_table=table,
+                                     step_engine="local", **kw)
+    _histories_agree(df_res.history, lc_res.history)
+    assert np.allclose(df_res.weights, lc_res.weights,
+                       rtol=1e-6, atol=1e-10)
