@@ -2258,10 +2258,18 @@ FUNNEL_VARIANTS = (
     "n_click_after_view AS stage2_n, n_purchase_after_click AS stage3_n "
     f"FROM ({FUNNEL_ORDERED})")
 
-#: q_cdc_stream's maintained snapshot must equal the NEW snapshot —
-#: the same fully-independent twin as merge_upsert: the stream is just
-#: the delivery mechanism, the final state contract is identical.
-CDC_STREAM = MERGE_UPSERT
+#: q_cdc_stream's maintained snapshots must BOTH equal the NEW snapshot
+#: — the same fully-independent twin as merge_upsert, once per
+#: maintainer flavor: the stream is just the delivery mechanism and the
+#: storage layout (in-memory frame vs bucket-partitioned parquet with
+#: touched-bucket rewrites) is just the persistence mechanism; the
+#: final state contract is identical and layout-independent.
+CDC_STREAM = (
+    "SELECT 'memory' AS variant, o_orderkey, o_custkey, o_orderstatus, "
+    f"o_totalprice FROM ({MERGE_UPSERT}) "
+    "UNION ALL "
+    "SELECT 'partitioned' AS variant, o_orderkey, o_custkey, "
+    f"o_orderstatus, o_totalprice FROM ({MERGE_UPSERT})")
 
 #: Twin of queries.py::q_stream_variants — both streaming shapes
 #: recomputed as independent BATCH queries over the raw events table:

@@ -41,28 +41,28 @@ class SnapshotMaintainer:
         return self._snap
 
 
-def run_cdc_stream(changes_stream: DataFrame, base: DataFrame,
-                   pk: str, query_name: str = "cdc_apply",
-                   op_col: str = "op",
-                   checkpoint_dir: str | None = None) -> SnapshotMaintainer:
-    """Drain ``changes_stream`` (availableNow) into a SnapshotMaintainer
-    and return it once every pending micro-batch is applied.
+def drain_available_now(changes_stream: DataFrame, apply_batch,
+                        query_name: str,
+                        checkpoint_dir: str | None = None) -> None:
+    """availableNow-drain ``changes_stream`` through a foreachBatch
+    callable — the shared runner for every CDC sink flavor.
 
     ``checkpoint_dir`` defaults to a FRESH temp directory per call: a
     fixed reusable path would make a second invocation with the same
     ``query_name`` (new process, fresh base/stream) find committed
     offsets and silently skip every already-numbered batch (ADVICE r6).
     Pass an explicit directory only for genuine resume-after-failure,
-    where skipping committed batches is exactly the contract."""
+    where skipping committed batches is exactly the contract (and the
+    sink must then ATTACH to its existing state — see
+    PartitionedSnapshotMaintainer)."""
     auto_ckpt = checkpoint_dir is None
     if auto_ckpt:
         import tempfile
         checkpoint_dir = tempfile.mkdtemp(
             prefix=f"spark_cdc_ckpt_{query_name}_")
-    sink = SnapshotMaintainer(base, pk, op_col)
     try:
         q = (changes_stream.writeStream
-             .foreachBatch(sink.apply_batch)
+             .foreachBatch(apply_batch)
              .queryName(query_name)
              .option("checkpointLocation", checkpoint_dir)
              .trigger(availableNow=True)
@@ -75,6 +75,17 @@ def run_cdc_stream(changes_stream: DataFrame, base: DataFrame,
             # supplied dir stays for genuine resume-after-failure
             import shutil
             shutil.rmtree(checkpoint_dir, ignore_errors=True)
+
+
+def run_cdc_stream(changes_stream: DataFrame, base: DataFrame,
+                   pk: str, query_name: str = "cdc_apply",
+                   op_col: str = "op",
+                   checkpoint_dir: str | None = None) -> SnapshotMaintainer:
+    """Drain ``changes_stream`` (availableNow) into a SnapshotMaintainer
+    and return it once every pending micro-batch is applied."""
+    sink = SnapshotMaintainer(base, pk, op_col)
+    drain_available_now(changes_stream, sink.apply_batch, query_name,
+                        checkpoint_dir)
     return sink
 
 
