@@ -102,7 +102,8 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.2,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    max_cluster: int | None = 2000,
                    salt: int = 16,
-                   gemm_min_pairs: int = _GEMM_MIN_PAIRS) -> DataFrame:
+                   gemm_min_pairs: int = _GEMM_MIN_PAIRS,
+                   kmeans_sample: int | None = None) -> DataFrame:
     """(vec_id, cluster, kept) for every input vector.
 
     ``kept`` is false iff a lower-id vector in the same k-means cluster
@@ -151,9 +152,13 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.2,
     paths run inside the oracle-gated registry query).
     """
     # the build returns an eagerly-checkpointed frame in both k-regimes
-    # (ADVICE r10) — safe to consume repeatedly below, never re-pin
+    # (ADVICE r10) — safe to consume repeatedly below, never re-pin.
+    # ``kmeans_sample`` is the advertised web-scale recipe's n-axis:
+    # Lloyd trains on a content-addressed sample, the full corpus is
+    # assigned in one GEMM map pass (round 11; no-op at small k)
     assigned, _ = build_ivf_index(embeddings, k=n_clusters, iters=iters,
-                                  id_col=id_col, vec_col=vec_col)
+                                  id_col=id_col, vec_col=vec_col,
+                                  train_sample=kmeans_sample)
 
     # per-cluster grid dimensions from one tiny (n_clusters-row) collect
     sizes = {r["cluster"]: r["n"] for r in

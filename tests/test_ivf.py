@@ -112,3 +112,57 @@ def test_gemm_assign_matches_literal(spark, monkeypatch):
     gemm = sorted((r.vec_id, r.cluster)
                   for r in ivf._assign(e, init).collect())
     assert lit == gemm
+
+
+def test_sampled_centroid_training_matches_full_partition(spark, monkeypatch):
+    """Round 11 (the n-axis of the web-scale recipe): Lloyd trained on
+    a content-addressed SAMPLE + one full-corpus GEMM assignment must
+    induce the SAME partition of the data as full-corpus training on
+    well-separated clusters — cluster numbering may differ (different
+    deterministic inits), the grouping may not."""
+    import numpy as np
+
+    from rel_db_to_graph_spark.operators import ivf
+
+    monkeypatch.setattr(ivf, "_GEMM_ASSIGN_MIN_K", 1)
+    rng = np.random.default_rng(7)
+    k, per = 6, 200
+    centers = rng.normal(0, 50.0, size=(k, 4))     # far apart
+    rows = []
+    for ci in range(k):
+        for j in range(per):
+            v = centers[ci] + rng.normal(0, 0.5, size=4)
+            # interleave ids across centers so the deterministic
+            # lowest-id init seeds every true cluster in both runs
+            rows.append((j * k + ci, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    full, _ = ivf.build_ivf_index(emb, k=k, iters=4)
+    samp, _ = ivf.build_ivf_index(emb, k=k, iters=4, train_sample=300)
+
+    fa = {r["vec_id"]: r["cluster"] for r in full.collect()}
+    sa = {r["vec_id"]: r["cluster"] for r in samp.collect()}
+    assert set(fa) == set(sa)
+    # the induced partitions must be identical up to relabeling
+    mapping: dict = {}
+    for vid, fc in fa.items():
+        sc = sa[vid]
+        assert mapping.setdefault(fc, sc) == sc, (
+            f"vector {vid}: full cluster {fc} split across sampled "
+            f"clusters {mapping[fc]} and {sc}")
+    assert len(set(mapping.values())) == len(mapping)   # bijective
+
+
+def test_sampled_training_small_k_and_small_n_are_byte_identical(spark):
+    """train_sample is ignored at small k (oracle-gated paths) and
+    falls back to full training when the corpus fits the sample — both
+    must return byte-identical assignments and centroids."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base, cb = build_ivf_index(emb, k=8, iters=2)
+    # small k: the knob must not change anything
+    samp, cs = build_ivf_index(emb, k=8, iters=2, train_sample=50)
+    assert cb == cs
+    assert [(r.vec_id, r.cluster) for r in
+            base.orderBy("vec_id").collect()] == \
+           [(r.vec_id, r.cluster) for r in
+            samp.orderBy("vec_id").collect()]
