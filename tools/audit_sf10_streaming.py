@@ -137,6 +137,19 @@ def main() -> None:
                     "sessions", "update")
         print(json.dumps(out), flush=True)
 
+    # round 11: the built-in F.session_window production sessionizer —
+    # same feed, session-level output, JVM-side merge/state/eviction.
+    # The throughput contrast with the applyInPandasWithState row above
+    # is the VERDICT r10 missing-#2 measurement (per-key Python
+    # dispatch vs whole-stage JVM).
+    if not skip("sessions_builtin"):
+        from rel_db_to_graph_spark.streaming.stateful import (
+            session_windows_stream,
+        )
+        out = drain(session_windows_stream(read_feed_stream(spark)),
+                    "sessions_builtin", "append")
+        print(json.dumps(out), flush=True)
+
     # round 10: the EventTimeTimeout variant — state should DROP from
     # |keys ever| (150k) to ~|keys active within watermark+timeout of
     # each batch's max event time| (eviction working)
