@@ -75,9 +75,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "node_strength": Q.q_node_strength,
     "assortativity": Q.q_assortativity,
     "centrality_audit": Q.q_centrality_audit,
-    "snapshot_diff": Q.q_snapshot_diff,
+    "cdc_batch_variants": Q.q_cdc_batch_variants,
     "profile_orders": Q.q_profile_orders,
-    "merge_upsert": Q.q_merge_upsert,
     "quality_lr_score": Q.q_quality_lr_score,
     "quality_lr_train": Q.q_quality_lr_train,
     "corpus_mix_temp": Q.q_corpus_mix_temp,

@@ -2258,6 +2258,20 @@ FUNNEL_VARIANTS = (
     "n_click_after_view AS stage2_n, n_purchase_after_click AS stage3_n "
     f"FROM ({FUNNEL_ORDERED})")
 
+#: tagged union of the two batch-CDC twins (q_cdc_batch_variants — the
+#: round-11 capacity consolidation): the diff twin derives the change
+#: set semantically, the merge twin IS the new snapshot
+CDC_BATCH_VARIANTS = (
+    "SELECT 'diff' AS variant, o_orderkey, op, "
+    "CAST(NULL AS BIGINT) AS o_custkey, "
+    "CAST(NULL AS VARCHAR) AS o_orderstatus, "
+    "CAST(NULL AS DOUBLE) AS o_totalprice "
+    f"FROM ({SNAPSHOT_DIFF}) "
+    "UNION ALL "
+    "SELECT 'merge' AS variant, o_orderkey, "
+    "CAST(NULL AS VARCHAR) AS op, o_custkey, o_orderstatus, "
+    f"o_totalprice FROM ({MERGE_UPSERT})")
+
 #: q_cdc_stream's maintained snapshots must BOTH equal the NEW snapshot
 #: — the same fully-independent twin as merge_upsert, once per
 #: maintainer flavor: the stream is just the delivery mechanism and the
@@ -4190,9 +4204,8 @@ ORACLES: dict[str, str] = {
     "dup_spans": DUP_SPANS,
     "lm_nll": DOC_NLL,
     "dsir_select": DSIR_SELECT,
-    "snapshot_diff": SNAPSHOT_DIFF,
+    "cdc_batch_variants": CDC_BATCH_VARIANTS,
     "profile_orders": PROFILE_ORDERS,
-    "merge_upsert": MERGE_UPSERT,
     "doc_chunks": DOC_CHUNKS,
     "repetition": REPETITION,
     "corpus_mix": CORPUS_MIX,

@@ -1183,6 +1183,25 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "o_totalprice")
 
 
+def q_cdc_batch_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two batch-CDC operators consolidated into ONE registry slot
+    (round 11 capacity, VERDICT r10 next-step #6 — the twins compose):
+    variant 'diff' = snapshot_diff's (key, op) change set, variant
+    'merge' = the merge_upsert-applied snapshot; columns the other
+    variant doesn't produce ride as typed NULLs. Everything each
+    original row checked is still checked under one hash."""
+    diff = q_snapshot_diff(spark, sf_dir).select(
+        F.lit("diff").alias("variant"), "o_orderkey", "op",
+        F.lit(None).cast("long").alias("o_custkey"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"))
+    merged = q_merge_upsert(spark, sf_dir).select(
+        F.lit("merge").alias("variant"), "o_orderkey",
+        F.lit(None).cast("string").alias("op"),
+        "o_custkey", "o_orderstatus", "o_totalprice")
+    return diff.unionByName(merged)
+
+
 def q_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC apply under the driver gate (VERDICT r7 item 8 —
     the first driver-visible row that exercises streaming/ itself): the
