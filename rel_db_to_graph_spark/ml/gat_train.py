@@ -71,14 +71,21 @@ _LEAKY = 0.2
 #: is measured, not guessed. Off by default — zero cost in production.
 _TRACE = os.environ.get("SPARK_GRAFT_TRACE", "") == "1"
 
-#: fused-sampling chunk width: the multi-batch store sampler unions one
-#: sample branch per (batch, edge type) into a single job, so its plan
-#: size grows linearly in batches-per-call — unbounded fusion would hit
-#: Catalyst analysis cost long before the data does. Per-epoch
-#: prefetches draw in chunks of this many batches (each chunk = one
-#: fused job per hop); 16 amortizes the scheduling floor ~16x while
-#: keeping the plan bounded.
+#: fused-sampling chunk width IN PLAN BRANCHES, not batches: the
+#: multi-batch samplers union one sample branch per (batch, edge type)
+#: into a single job, and Catalyst analysis cost grows SUPERLINEARLY in
+#: branch count — measured on the hetero trainer (4 edge types) at 20
+#: batches/epoch, sf1: chunking 16 batches/job costs 271 s of prefetch,
+#: 8 → 182 s, 4 → 109 s, 2 → 97 s (BASELINE.md round 11). Each trainer
+#: therefore divides this budget by its edge-type count (the hetero
+#: trainer fuses 16/4 = 4 batches per job; the single-edge-type stack
+#: trainer keeps 16), which amortizes the per-job scheduling floor
+#: without tipping into the analysis blow-up.
 _FUSE_BATCHES = 16
+
+
+def _fuse_width(n_edge_types: int) -> int:
+    return max(1, _FUSE_BATCHES // max(1, n_edge_types))
 
 
 def _tr(label: str, t0: float) -> float:
@@ -1219,7 +1226,8 @@ def train_gat_link(edges: DataFrame, src_feats: DataFrame,
 
 
 def _batch_closure(samp: DataFrame, seeds: dict, edge_types: list,
-                   feats: dict, eager: bool = True) -> tuple[dict, dict]:
+                   feats: dict, eager: bool = True,
+                   broadcast_ids: bool = False) -> tuple[dict, dict]:
     """(sampled per-type message edges, per-type feature restriction)
     for one mini-batch: edges grouped back by edge type, and feats cut
     to the dependency closure (seeds ∪ every endpoint of a sampled
@@ -1245,7 +1253,8 @@ def _batch_closure(samp: DataFrame, seeds: dict, edge_types: list,
     (the once-per-run validation closure: one materialization, 2×epochs
     readers)."""
     samp = samp.localCheckpoint(eager=eager)  # one sampling pass, k readers
-    allc = _closure_union(samp, seeds, edge_types, feats)
+    allc = _closure_union(samp, seeds, edge_types, feats,
+                          broadcast_ids=broadcast_ids)
     allc = allc.localCheckpoint(eager=eager)
     sub = {et: allc.filter((F.col("kind") == "e")
                            & (F.col("tag") == "|".join(et)))
@@ -1256,12 +1265,22 @@ def _batch_closure(samp: DataFrame, seeds: dict, edge_types: list,
 
 
 def _closure_union(samp: DataFrame, seeds: dict, edge_types: list,
-                   feats: dict) -> DataFrame:
+                   feats: dict, broadcast_ids: bool = False) -> DataFrame:
     """The tagged union frame behind _batch_closure — (kind, tag, src,
     dst, node_id, emb) rows holding one batch's per-type sampled edges
     (kind='e', deduplicated) and closure-cut features (kind='f').
     Shared by the DataFrame step path (which splits it back into
-    per-type frames) and the local step engine (which collects it)."""
+    per-type frames) and the local step engine (which collects it).
+
+    ``broadcast_ids=True`` forces the feature-cut join's id side into a
+    broadcast hash join — correct whenever the closure is BATCH-bounded
+    (O(batch × fanout^layers) ids by the sampling contract): without
+    the hint, a multi-batch union plan shuffles the FULL feature frame
+    once per batch branch (measured: 20 fused batch closures at sf1 ran
+    a 1,136-task exchange storm, ~15 s/batch — slower than the per-step
+    jobs the local engine replaced). Leave False for UNBOUNDED closures
+    (the full-neighborhood validation cut), which must stay a real
+    shuffle join at scale."""
     arr_null = F.lit(None).cast("array<double>")
     long_null = F.lit(None).cast("bigint")
     parts = []
@@ -1285,7 +1304,10 @@ def _closure_union(samp: DataFrame, seeds: dict, edge_types: list,
         ids = idp[0]
         for p in idp[1:]:
             ids = ids.unionAll(p)
-        parts.append(feats[t].join(ids.distinct(), "node_id")
+        idset = ids.distinct()
+        if broadcast_ids:
+            idset = F.broadcast(idset)
+        parts.append(feats[t].join(idset, "node_id")
                      .select(F.lit("f").alias("kind"),
                              F.lit(t).alias("tag"),
                              long_null.alias("src"),
@@ -1464,8 +1486,9 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
         bseeds = {bi: seed + 7919 * epoch + 104729 * bi
                   for bi in range(steps)}
         out: dict = {}
-        for lo in range(0, steps, _FUSE_BATCHES):
-            tags = range(lo, min(lo + _FUSE_BATCHES, steps))
+        fuse = _fuse_width(len(edge_types))
+        for lo in range(0, steps, fuse):
+            tags = range(lo, min(lo + fuse, steps))
             out.update(sample_incoming_hetero_store_multi(
                 examples.sparkSession, edge_tables,
                 {bi: fr[bi] for bi in tags}, fanouts,
@@ -1481,16 +1504,17 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
         """Round 11 (local step engine): fetch EVERY batch's sampled
         closure + examples for one epoch in chunked collect jobs —
         kind='x' rows carry the batch examples with the label riding in
-        node_id. Chunked at _FUSE_BATCHES unions per job to bound
-        Catalyst analysis, like the fused sampler. Each closure is
-        O(batch × fanout^layers) rows by the sampling bound, so the
-        epoch fetch is driver-sized by construction."""
+        node_id. Chunked at the branch-normalized fuse width per job
+        to bound Catalyst analysis, like the fused sampler. Each
+        closure is O(batch × fanout^layers) rows by the sampling
+        bound, so the epoch fetch is driver-sized by construction."""
         from rel_db_to_graph_spark.ml.local_step import parse_closure_rows
         xnull = F.lit(None).cast("array<double>")
         out: dict = {}
-        for lo in range(0, steps, _FUSE_BATCHES):
+        fuse = _fuse_width(len(edge_types))
+        for lo in range(0, steps, fuse):
             u = None
-            for bi in range(lo, min(lo + _FUSE_BATCHES, steps)):
+            for bi in range(lo, min(lo + fuse, steps)):
                 batch = train.filter(_member(epoch) == bi)
                 seeds = {src_type: batch.select(
                     F.col("src").alias("node_id"))}
@@ -1505,7 +1529,8 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
                         seed=seed + 7919 * epoch + 104729 * bi,
                         draw=sample_draw)
                 allc = _closure_union(samp.localCheckpoint(eager=False),
-                                      seeds, edge_types, feats)
+                                      seeds, edge_types, feats,
+                                      broadcast_ids=True)
                 xrows = batch.select(
                     F.lit("x").alias("kind"), F.lit("").alias("tag"),
                     "src", "dst",
@@ -1611,7 +1636,11 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
                                                edge_types, feats)
     t0 = _tr("val closure", t0)
     val_local = None
-    if step_engine == "local" and n_val:
+    if step_engine == "local" and n_val and epochs >= 2:
+        # the collect pays off once it replaces ≥2 DataFrame val
+        # forwards (measured at sf1 uncapped: collect ~36 s vs ~16 s
+        # per distributed forward); single-epoch runs keep the
+        # distributed path
         val_local = _collect_val_closure(val_sub, val_fcut, val)
         t0 = _tr("val closure collect (local)", t0)
 
@@ -1711,7 +1740,8 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
                     # backward, stats — executes as ONE driver job (the
                     # fused collect)
                     sub, fcut = _batch_closure(samp, seeds, edge_types,
-                                               feats, eager=False)
+                                               feats, eager=False,
+                                               broadcast_ids=True)
                     stats = _hetero_epoch(sub, fcut, batch, params, b,
                                           src_type, dst_type,
                                           quantize=quantize)
@@ -1918,7 +1948,9 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
                         F.lit(None).cast("bigint").alias("node_id"),
                         F.lit(None).cast("array<double>").alias("emb"))
                 .unionByName(
-                    feats.join(ids, "node_id")
+                    # batch-bounded id set -> force the broadcast join
+                    # (see _closure_union's broadcast_ids note)
+                    feats.join(F.broadcast(ids), "node_id")
                     .select(F.lit("f").alias("kind"),
                             F.lit(None).cast("bigint").alias("src"),
                             F.lit(None).cast("bigint").alias("dst"),
@@ -2093,7 +2125,8 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
                                     F.lit(None).cast("array<double>")
                                     .alias("emb"))
                             .unionByName(
-                                feats.join(ids, "node_id")
+                                # batch-bounded ids -> broadcast join
+                                feats.join(F.broadcast(ids), "node_id")
                                 .select(F.lit("f").alias("kind"),
                                         F.lit(None).cast("bigint")
                                         .alias("src"),
