@@ -2015,10 +2015,14 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
                 ).distinct()
         val_fcut = feats.join(vids, "node_id").localCheckpoint(eager=True)
     val_local = None
-    if step_engine == "local" and n_val:
+    if step_engine == "local" and n_val and epochs >= 2:
         # fetch the parameter-independent val closure ONCE (size-
         # guarded) so every epoch's val forward is local — see
-        # train_hetero_gat_sampled._collect_val_closure
+        # train_hetero_gat_sampled._collect_val_closure. Same
+        # epochs >= 2 amortization guard as the hetero trainer: the
+        # collect pays off only once it replaces at least two
+        # DataFrame val forwards (measured ~36 s collect vs ~16 s per
+        # distributed forward at sf1 — ADVICE r11)
         from rel_db_to_graph_spark.ml.local_step import (
             parse_stack_closure_rows,
         )

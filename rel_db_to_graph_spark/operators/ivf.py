@@ -175,7 +175,9 @@ def build_ivf_index(embeddings: DataFrame, k: int = 16, iters: int = 3,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     train_sample: int | None = None,
-                    seed: int = 42) -> tuple[DataFrame, list[list[float]]]:
+                    seed: int = 42,
+                    corpus_n: int | None = None,
+                    ) -> tuple[DataFrame, list[list[float]]]:
     """Returns (assigned DF(id, _v, cluster), centroids). Deterministic.
 
     The assigned frame comes back eagerly localCheckpointed in BOTH
@@ -212,7 +214,9 @@ def build_ivf_index(embeddings: DataFrame, k: int = 16, iters: int = 3,
 
     tr = e
     if k >= _GEMM_ASSIGN_MIN_K and train_sample:
-        n = e.count()
+        # callers that already know the corpus exceeds the sample pass
+        # corpus_n and skip this count job (ADVICE r11)
+        n = int(corpus_n) if corpus_n is not None else e.count()
         if n > int(train_sample):
             rate_ppm = max(1, int(1_000_000 * train_sample / n))
             cand = (e.filter(F.pmod(F.xxhash64(F.col(id_col),
@@ -316,14 +320,26 @@ def write_index_partitioned(df: DataFrame, path: str, sub: str,
 def read_index_layout(spark, path: str, sub: str) -> int:
     """``partition_buckets`` recorded by write_index_partitioned for
     the ``sub`` family ("vectors" for IVF, "codes" for IVFPQ);
-    0 means per-cluster directories. Only a MISSING sidecar (an index
-    written before the layout existed) degrades to 0 — any other IO
-    error propagates, because silently skipping the bucket-pruning tier
+    0 means per-cluster directories. A missing ``{sub}_layout`` first
+    falls back to the legacy shared ``{path}/layout`` sidecar
+    (pre-rename indexes, ADVICE r11); only when BOTH are absent (an
+    index written before any layout existed) does the read degrade to
+    0 — any other IO error propagates, because silently skipping the bucket-pruning tier
     turns a 2.5 s probe into a full listing/scan with no signal
     (review r10)."""
     from pyspark.errors import AnalysisException
     try:
         return int(spark.read.json(f"{path}/{sub}_layout")
+                   .collect()[0]["partition_buckets"])
+    except AnalysisException:
+        pass
+    # LEGACY fallback (ADVICE r11): indexes written before round 11's
+    # per-family rename carry a shared {path}/layout sidecar. Without
+    # this read, a bucketed legacy index would return 0 and silently
+    # lose its directory-pruning tier (correct results via the cluster
+    # filter, but the probe regresses to a full listing).
+    try:
+        return int(spark.read.json(f"{path}/layout")
                    .collect()[0]["partition_buckets"])
     except AnalysisException:
         return 0
@@ -343,7 +359,9 @@ def write_ivf_index(embeddings: DataFrame, path: str, k: int = 16,
                     iters: int = 3, id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     partition_buckets: int | None = None,
-                    train_sample: int | None = None) -> list[list[float]]:
+                    train_sample: int | None = None,
+                    seed: int = 42,
+                    corpus_n: int | None = None) -> list[list[float]]:
     """Materialize the IVF index AS DOCUMENTED for the 100 TB path:
     vectors parquet-partitioned BY CLUSTER (so a probe query's
     ``cluster IN (...)`` filter becomes directory-level partition
@@ -362,7 +380,8 @@ def write_ivf_index(embeddings: DataFrame, path: str, k: int = 16,
     reads — callers never change."""
     assigned, centroids = build_ivf_index(embeddings, k=k, iters=iters,
                                           id_col=id_col, vec_col=vec_col,
-                                          train_sample=train_sample)
+                                          train_sample=train_sample,
+                                          seed=seed, corpus_n=corpus_n)
     write_index_partitioned(assigned, path, "vectors", partition_buckets)
     spark = embeddings.sparkSession
     (spark.createDataFrame([(i, c) for i, c in enumerate(centroids)],

@@ -103,7 +103,9 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.2,
                    max_cluster: int | None = 2000,
                    salt: int = 16,
                    gemm_min_pairs: int = _GEMM_MIN_PAIRS,
-                   kmeans_sample: int | None = None) -> DataFrame:
+                   kmeans_sample: int | None = None,
+                   kmeans_sample_seed: int = 42,
+                   corpus_n: int | None = None) -> DataFrame:
     """(vec_id, cluster, kept) for every input vector.
 
     ``kept`` is false iff a lower-id vector in the same k-means cluster
@@ -156,9 +158,14 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.2,
     # ``kmeans_sample`` is the advertised web-scale recipe's n-axis:
     # Lloyd trains on a content-addressed sample, the full corpus is
     # assigned in one GEMM map pass (round 11; no-op at small k)
+    # seed + known-n are plumbed through so callers can vary the
+    # content-addressed sample draw and skip the corpus count when the
+    # size is already known (ADVICE r11)
     assigned, _ = build_ivf_index(embeddings, k=n_clusters, iters=iters,
                                   id_col=id_col, vec_col=vec_col,
-                                  train_sample=kmeans_sample)
+                                  train_sample=kmeans_sample,
+                                  seed=kmeans_sample_seed,
+                                  corpus_n=corpus_n)
 
     # per-cluster grid dimensions from one tiny (n_clusters-row) collect
     sizes = {r["cluster"]: r["n"] for r in

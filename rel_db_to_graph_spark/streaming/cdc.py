@@ -151,15 +151,52 @@ class PartitionedSnapshotMaintainer:
             (base.withColumn("_pbucket", self._bucket(F.col(pk)))
              .write.mode("overwrite").partitionBy("_pbucket")
              .parquet(path))
+            self._write_sentinel()
+
+    _SENTINEL = "_CDC_SNAPSHOT_READY"
+
+    def _fs_path(self, suffix: str = ""):
+        jvm = self._spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{self._path}/{suffix}" if suffix else self._path)
+        fs = p.getFileSystem(self._spark._jsc.hadoopConfiguration())
+        return fs, p
+
+    def _write_sentinel(self) -> None:
+        # maintainer-owned attach marker, written AFTER the base write
+        # commits — independent of the Hadoop committer's _SUCCESS
+        # markers, which object-store deployments commonly disable
+        # (mapreduce.fileoutputcommitter.marksuccessfuljobs=false).
+        # Relying on _SUCCESS there would make _snapshot_exists()
+        # return False on resume and silently reset a live snapshot
+        # to base while the persistent checkpoint skips committed
+        # batches (ADVICE r11).
+        fs, p = self._fs_path(self._SENTINEL)
+        out = fs.create(p, True)
+        out.close()
 
     def _snapshot_exists(self) -> bool:
-        # the write above always leaves a _SUCCESS marker at the root;
-        # its presence is the attach signal (a bare directory without
-        # it — e.g. a half-finished first write — is re-initialized)
+        # attach signals, in order: the maintainer-owned sentinel
+        # (authoritative), then two legacy fallbacks for snapshots
+        # written before the sentinel existed — committed _pbucket=*
+        # partition directories, or the committer's _SUCCESS marker.
+        # A bare directory with none of these (e.g. a half-finished
+        # first write) is re-initialized from base.
+        fs, root = self._fs_path()
         jvm = self._spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(f"{self._path}/_SUCCESS")
-        fs = p.getFileSystem(self._spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(p))
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(
+                f"{self._path}/{self._SENTINEL}")):
+            return True
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(
+                f"{self._path}/_SUCCESS")):
+            return True
+        if not fs.exists(root):
+            return False
+        for st in fs.listStatus(root):
+            if (st.isDirectory()
+                    and st.getPath().getName().startswith("_pbucket=")):
+                return True
+        return False
 
     def _bucket(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self._nb)).cast("int")

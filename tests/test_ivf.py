@@ -166,3 +166,47 @@ def test_sampled_training_small_k_and_small_n_are_byte_identical(spark):
             base.orderBy("vec_id").collect()] == \
            [(r.vec_id, r.cluster) for r in
             samp.orderBy("vec_id").collect()]
+
+
+def test_read_index_layout_legacy_fallback(spark, tmp_path):
+    """ADVICE r11: an index written before the per-family sidecar
+    rename carries a shared {path}/layout file — read_index_layout must
+    fall back to it instead of silently degrading partition_buckets to
+    0 (which drops the directory-pruning tier of a bucketed index)."""
+    from rel_db_to_graph_spark.operators.ivf import read_index_layout
+
+    root = str(tmp_path / "legacy_idx")
+    # legacy shared sidecar only — no {sub}_layout
+    (spark.createDataFrame([(7,)], "partition_buckets int")
+     .coalesce(1).write.mode("overwrite").json(f"{root}/layout"))
+    assert read_index_layout(spark, root, "vectors") == 7
+    assert read_index_layout(spark, root, "codes") == 7
+    # a per-family sidecar, once present, wins over the legacy one
+    (spark.createDataFrame([(3,)], "partition_buckets int")
+     .coalesce(1).write.mode("overwrite").json(f"{root}/vectors_layout"))
+    assert read_index_layout(spark, root, "vectors") == 3
+    assert read_index_layout(spark, root, "codes") == 7
+    # nothing at all: degrade to 0 (pre-layout index)
+    assert read_index_layout(spark, str(tmp_path / "nothing"), "vectors") == 0
+
+
+def test_build_ivf_index_seed_and_corpus_n_plumbed(spark, monkeypatch):
+    """ADVICE r11: the content-addressed sample draw must honor the
+    seed exposed through the public wrappers, and a caller-supplied
+    corpus_n must skip the extra count job while producing the same
+    draw."""
+    import rel_db_to_graph_spark.operators.ivf as ivf_mod
+
+    monkeypatch.setattr(ivf_mod, "_GEMM_ASSIGN_MIN_K", 4)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    a1, c1 = ivf_mod.build_ivf_index(emb, k=4, iters=1, train_sample=30,
+                                     seed=1)
+    a2, c2 = ivf_mod.build_ivf_index(emb, k=4, iters=1, train_sample=30,
+                                     seed=1, corpus_n=n)
+    assert c1 == c2            # known-n shortcut: identical training
+    a3, c3 = ivf_mod.build_ivf_index(emb, k=4, iters=1, train_sample=30,
+                                     seed=2)
+    # different seed -> different content-addressed sample; the Lloyd
+    # means over a different subset differ on this data
+    assert c3 != c1

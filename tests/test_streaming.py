@@ -463,6 +463,52 @@ def test_partitioned_snapshot_maintainer_attaches_on_resume(spark):
         shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
 
 
+def test_partitioned_snapshot_maintainer_attach_without_success(spark):
+    """ADVICE r11 (medium): the attach signal must NOT depend on the
+    Hadoop committer's _SUCCESS marker — object-store deployments
+    commonly disable it (marksuccessfuljobs=false), and a resume that
+    misreads "no _SUCCESS" as "no snapshot" silently resets a live
+    snapshot to base while the persistent checkpoint skips committed
+    batches. The maintainer now writes its own sentinel; legacy
+    snapshots (pre-sentinel) attach via their _pbucket directories."""
+    import os
+    import shutil
+    import tempfile
+
+    from rel_db_to_graph_spark.streaming.cdc import (
+        PartitionedSnapshotMaintainer,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k long, v double")
+    path = tempfile.mkdtemp(prefix="cdc_nosucc_") + "/snap"
+    try:
+        m1 = PartitionedSnapshotMaintainer(spark, base, path, "k",
+                                           n_buckets=4)
+        b = spark.createDataFrame([(2, 99.0, "U"), (3, 30.0, "I")],
+                                  "k long, v double, op string")
+        m1.apply_batch(b, 0)
+        # simulate disabled success markers: strip every _SUCCESS
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f == "_SUCCESS":
+                    os.unlink(os.path.join(root, f))
+        m2 = PartitionedSnapshotMaintainer(spark, base, path, "k",
+                                           n_buckets=4)
+        got = {(r.k, r.v) for r in m2.current().collect()}
+        assert got == {(1, 10.0), (2, 99.0), (3, 30.0)}
+        # legacy snapshot (pre-sentinel, markers disabled): sentinel
+        # gone too — the _pbucket=* directories are the last signal
+        os.unlink(os.path.join(
+            path, PartitionedSnapshotMaintainer._SENTINEL))
+        m3 = PartitionedSnapshotMaintainer(spark, base, path, "k",
+                                           n_buckets=4)
+        got = {(r.k, r.v) for r in m3.current().collect()}
+        assert got == {(1, 10.0), (2, 99.0), (3, 30.0)}
+    finally:
+        shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
+
+
 def test_partitioned_snapshot_maintainer_rejects_null_pk(spark):
     """ADVICE r10: a NULL primary key in a CDC batch must raise a clear
     error instead of a TypeError on the NULL bucket (and never land in
@@ -505,11 +551,7 @@ def test_session_windows_stream_matches_batch_twin(spark):
     )
 
     mins = [0, 10, 20, 80, 110, 200]          # u1: sessions at 0, 80, 200
-    rows = ([(1, f"2024-01-01 10:{0:02d}:00")]  # placeholder replaced below
-            )
-    rows = []
-    for m in mins:
-        rows.append((1, m))
+    rows = [(1, m) for m in mins]
     for m in (5, 35, 65):                      # u2: exactly 30-min gaps —
         rows.append((2, m))                    # ONE merged session (>)
     feed = tempfile.mkdtemp(prefix="sessw_feed_")
@@ -570,22 +612,26 @@ def test_session_windows_stream_matches_batch_twin(spark):
         want = sorted(
             (r.user_id, r.session_start, r.session_end, r.n_events)
             for r in batch.collect())
-        # append mode emits only sessions the final watermark passed;
-        # with availableNow the terminal watermark covers all but
-        # possibly the last open session per user — compare the closed
-        # prefix and assert nothing unexpected appeared
+        # append mode emits a session iff the FINAL watermark passed
+        # its end: watermark = max event time - 10 min delay, session
+        # emitted iff session_end < watermark. Assert the exact rule in
+        # BOTH directions (a wrongly-withheld session ending just
+        # before max_ts now fails — ADVICE r11 tightened this from the
+        # earlier could-still-be-open approximation).
         assert got, "no sessions emitted"
         assert set(got).issubset(set(want)), (got, want)
-        closed = [s for s in want
-                  if s not in got]
-        # every unmatched batch session must be one that could still be
-        # open at end-of-stream (its end is within watermark of max ts)
-        max_ts = df.agg(F.max("ts")).first()[0]
         import datetime
-        for (_u, _st, end, _n) in closed:
-            assert (end + datetime.timedelta(minutes=10)
-                    > max_ts + datetime.timedelta(seconds=1800)) or \
-                   (end > max_ts), (
-                f"session {(_u, _st, end, _n)} should have been emitted")
+        max_ts = df.agg(F.max("ts")).first()[0]
+        final_wm = max_ts - datetime.timedelta(minutes=10)
+        for s in want:
+            (_u, _st, end, _n) = s
+            if end < final_wm:
+                assert s in got, (
+                    f"session {s} closed before the final watermark "
+                    f"{final_wm} but was not emitted")
+            else:
+                assert s not in got, (
+                    f"session {s} ends at/after the final watermark "
+                    f"{final_wm} and must be withheld in append mode")
     finally:
         shutil.rmtree(feed, ignore_errors=True)
