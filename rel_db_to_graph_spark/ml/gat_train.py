@@ -1480,9 +1480,11 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
                   "_bi", F.lit(dst_type).alias("_t"),
                   F.col("dst").alias("node_id")))
               .distinct())
+        tp = time.time()
         fr: dict = {bi: {} for bi in range(steps)}
         for r in su.collect():
             fr[int(r["_bi"])].setdefault(r["_t"], []).append(r["node_id"])
+        tp = _tr(f"e{epoch} prefetch: membership collect", tp)
         bseeds = {bi: seed + 7919 * epoch + 104729 * bi
                   for bi in range(steps)}
         out: dict = {}
@@ -1493,11 +1495,14 @@ def train_hetero_gat_sampled(graph_edges: dict, feats: dict,
                 examples.sparkSession, edge_tables,
                 {bi: fr[bi] for bi in tags}, fanouts,
                 {bi: bseeds[bi] for bi in tags}, draw=sample_draw))
+        tp = _tr(f"e{epoch} prefetch: store sampler", tp)
         if step_engine == "local":
             # the closure fetch is parameter-independent too — run it
             # on this background thread so epoch e+1's collect hides
             # behind epoch e's (local) steps and val forward
-            return _epoch_closures_local(epoch, out)
+            res = _epoch_closures_local(epoch, out)
+            _tr(f"e{epoch} prefetch: closure fetch", tp)
+            return res
         return out
 
     def _epoch_closures_local(epoch: int, samp_by_bi) -> dict:
@@ -1905,9 +1910,11 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
               .unionByName(tagged.select(
                   "_bi", F.col("dst").alias("node_id")))
               .distinct())
+        tp = time.time()
         fr: dict = {bi: [] for bi in range(steps)}
         for r in su.collect():
             fr[int(r["_bi"])].append(r["node_id"])
+        tp = _tr(f"e{epoch} prefetch: membership collect", tp)
         bseeds = {bi: seed + 7919 * epoch + 104729 * bi
                   for bi in range(steps)}
         out: dict = {}
@@ -1917,10 +1924,13 @@ def train_gat_stack_sampled(edges: DataFrame, feats: DataFrame,
                 examples.sparkSession, edge_table,
                 {bi: fr[bi] for bi in tags}, fanouts,
                 {bi: bseeds[bi] for bi in tags}, draw=sample_draw))
+        tp = _tr(f"e{epoch} prefetch: store sampler", tp)
         if step_engine == "local":
             # closure fetch is parameter-independent — run it here so
             # later epochs' fetches hide behind earlier epochs' work
-            return _epoch_closures_local(epoch, out)
+            res = _epoch_closures_local(epoch, out)
+            _tr(f"e{epoch} prefetch: closure fetch", tp)
+            return res
         return out
 
     def _batch_closure_frame(bi: int, epoch: int, samp_by_bi) -> DataFrame:

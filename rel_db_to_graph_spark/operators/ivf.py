@@ -19,10 +19,25 @@ Everything is deterministic: same data -> same centroids -> same answer
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rel_db_to_graph_spark.functions.vector import cosine, to_double
+
+#: phase tracer for the n-axis scale audits (SPARK_GRAFT_TRACE=1 —
+#: same switch as ml/gat_train.py): prints per-phase wall clock of the
+#: large-k build so audit numbers carry attribution, not one total
+_TRACE = os.environ.get("SPARK_GRAFT_TRACE", "") == "1"
+
+
+def _tr(label: str, t0: float) -> float:
+    now = time.time()
+    if _TRACE:
+        print(f"    [trace] {label}: {now - t0:.2f}s", flush=True)
+    return now
 
 
 #: assignment kernel switch: below this k the argmin is a literal
@@ -210,7 +225,9 @@ def build_ivf_index(embeddings: DataFrame, k: int = 16, iters: int = 3,
         # passes at 13/32 of the box). Small-k literal-fold plans are
         # left untouched (oracle-gated queries).
         e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+    tt = time.time()
     e = e.localCheckpoint(eager=True)     # k*iters argmin passes re-read _v
+    tt = _tr("ivf: corpus checkpoint", tt)
 
     tr = e
     if k >= _GEMM_ASSIGN_MIN_K and train_sample:
@@ -227,6 +244,7 @@ def build_ivf_index(embeddings: DataFrame, k: int = 16, iters: int = 3,
             # below k cannot meaningfully move k centroids — fall back
             if cand.count() >= k:
                 tr = cand
+        tt = _tr("ivf: training sample", tt)
 
     # init ALWAYS comes from the full corpus (k lowest ids — a cheap
     # TakeOrderedAndProject, not a full sort): the hash sample's own
@@ -237,6 +255,7 @@ def build_ivf_index(embeddings: DataFrame, k: int = 16, iters: int = 3,
     # data they converge to the same partition (pinned by
     # tests/test_ivf.py)
     init = (e.orderBy(id_col).limit(k).collect())
+    tt = _tr("ivf: init", tt)
 
     if k >= _GEMM_ASSIGN_MIN_K:
         # large-k loop: centroids live as ONE numpy matrix end to end —
@@ -248,11 +267,12 @@ def build_ivf_index(embeddings: DataFrame, k: int = 16, iters: int = 3,
         import numpy as np
         centroids_m = np.asarray([list(r["_v"]) for r in init],
                                  dtype="float64")
-        for _ in range(iters):
+        for it in range(iters):
             assigned, bc = _assign_tracked(tr, centroids_m)
             centroids_m = _lloyd_update_compact(assigned, centroids_m)
             if bc is not None:  # this pass's matrix is consumed — free it
                 bc.unpersist()
+            tt = _tr(f"ivf: lloyd iter {it}", tt)
         # final pass: materialize BEFORE unpersisting the matrix the
         # lazy plan would still need — returning the lazy frame leaked
         # one pinned (k, d) broadcast per build (review r10). Large-k
@@ -262,6 +282,7 @@ def build_ivf_index(embeddings: DataFrame, k: int = 16, iters: int = 3,
         final = final.localCheckpoint(eager=True)
         if bc is not None:
             bc.unpersist()
+        _tr("ivf: final full-corpus assign + checkpoint", tt)
         return final, centroids_m.tolist()
 
     centroids = [list(r["_v"]) for r in init]
@@ -283,6 +304,38 @@ def build_ivf_index(embeddings: DataFrame, k: int = 16, iters: int = 3,
             for c in range(len(centroids))
         ]
     return _assign(e, centroids).localCheckpoint(eager=True), centroids
+
+
+def ivf_append(assigned: DataFrame, centroids: list[list[float]],
+               new_vectors: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign-only IVF index maintenance (round 12): place ``new_vectors``
+    into the FROZEN centroid partition of an existing index — ONE argmin
+    map pass over only the appended rows, no Lloyd re-iteration and no
+    re-shuffle of the existing corpus — and return the unioned
+    (id, _v, cluster) assignment frame.
+
+    This is the daily-ingest shape at 100 TB: a k=100k index over a
+    billion-vector corpus must absorb an append batch at O(|batch|·k·d)
+    (the same chunked-GEMM kernel the builder's final pass uses at large
+    k; the literal fold below _GEMM_ASSIGN_MIN_K, byte-identical to the
+    small-k oracle twins), not at the O(iters·n·k·d) rebuild cost.
+    Centroids drift as appends accumulate — pair with a periodic
+    ``build_ivf_index(train_sample=...)`` retrain, exactly the
+    FAISS-style add/retrain split. Ties and arithmetic match
+    ``build_ivf_index``'s assignment exactly, so an appended vector
+    lands in the same cluster a full rebuild at the same centroids
+    would give it (pinned by tests/test_ivf.py)."""
+    nv = new_vectors.select(F.col(id_col),
+                            to_double(F.col(vec_col)).alias("_v"))
+    placed, bc = _assign_tracked(nv, centroids)
+    if bc is not None:
+        # one-shot pass: the union below is the only consumer, but the
+        # broadcast must outlive the (lazy) plan — checkpoint, then free
+        placed = placed.localCheckpoint(eager=True)
+        bc.unpersist()
+    return assigned.select(id_col, "_v", "cluster").unionByName(
+        placed.select(id_col, "_v", "cluster"))
 
 
 def write_index_partitioned(df: DataFrame, path: str, sub: str,

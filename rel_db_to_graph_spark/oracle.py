@@ -1472,7 +1472,8 @@ WHERE b.vr = 1
 """
 
 
-def _kmeans_parts(k: int, iters: int) -> tuple[list[str], str]:
+def _kmeans_parts(k: int, iters: int,
+                  src: str = "e") -> tuple[list[str], str]:
     """Shared unrolled deterministic k-means (twin of
     operators/ivf.py::build_ivf_index): init = k lowest-id vectors
     (ivf.py:45), each Lloyd iteration = argmin assignment (ties to the
@@ -1480,24 +1481,34 @@ def _kmeans_parts(k: int, iters: int) -> tuple[list[str], str]:
     clusters keep the previous centroid, ivf.py:59-62), then one final
     assignment CTE ``af``. list_distance is monotone in the squared
     distance Spark folds, so every argmin agrees. Returns (CTE parts,
-    name of the final centroid CTE)."""
-    parts = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-        ("c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)"
-         " AS cluster, v AS cv"
-         f" FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k}))"),
-    ]
+    name of the final centroid CTE).
+
+    ``src`` names the training-corpus CTE (aliased ``e`` inside every
+    iteration); with the default ``e`` the generated text is unchanged
+    and the caller gets the full-embeddings corpus CTE prepended. A
+    non-default src (round 12, the ivf_append twin) trains on the
+    caller's slice — the caller supplies both ``e`` and ``src``."""
+    fe = "e" if src == "e" else f"{src} e"
+    parts = []
+    if src == "e":
+        parts.append(
+            "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+            " FROM embeddings)")
+    parts.append(
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)"
+        " AS cluster, v AS cv"
+        f" FROM (SELECT * FROM {src} ORDER BY vec_id LIMIT {k}))")
     prev = "c0"
     for i in range(iters):
         parts.append(
             f"a{i} AS (SELECT vec_id, cluster FROM ("
             "SELECT e.vec_id, c.cluster, row_number() OVER ("
             "PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cv), "
-            f"c.cluster) AS rn FROM e CROSS JOIN {prev} c) WHERE rn = 1)")
+            f"c.cluster) AS rn FROM {fe} CROSS JOIN {prev} c) WHERE rn = 1)")
         parts.append(
             f"m{i} AS (SELECT cluster, pos, avg(x) AS m FROM ("
             "SELECT a.cluster, generate_subscripts(e.v, 1) AS pos, "
-            f"unnest(e.v) AS x FROM e JOIN a{i} a USING (vec_id)) "
+            f"unnest(e.v) AS x FROM {fe} JOIN a{i} a USING (vec_id)) "
             "GROUP BY cluster, pos)")
         parts.append(
             f"cm{i} AS (SELECT cluster, list(m ORDER BY pos) AS cv "
@@ -1510,7 +1521,7 @@ def _kmeans_parts(k: int, iters: int) -> tuple[list[str], str]:
         "af AS (SELECT vec_id, cluster FROM ("
         "SELECT e.vec_id, c.cluster, row_number() OVER ("
         "PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cv), "
-        f"c.cluster) AS rn FROM e CROSS JOIN {prev} c) WHERE rn = 1)")
+        f"c.cluster) AS rn FROM {fe} CROSS JOIN {prev} c) WHERE rn = 1)")
     return parts, prev
 
 
@@ -1535,6 +1546,47 @@ ORDER BY score DESC, e.vec_id LIMIT {topk}
 
 
 ANN_IVF = _ivf_sql()
+
+
+def _ivf_append_sql(k: int = 8, iters: int = 3, nprobe: int = 4,
+                    topk: int = 10) -> str:
+    """Twin of the `ivf_append` branch of
+    queries.py::q_ann_index_variants (round 12 — assign-only index
+    maintenance, operators/ivf.py::ivf_append): k-means RETRAINED on
+    the base slice (vec_id <= (max*4)//5), the appended slice placed
+    against the FROZEN final centroids by the same argmin/tie rule,
+    then the nprobe probe + cosine top-k over the unioned
+    assignment."""
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "cutv AS (SELECT (max(vec_id) * 4) // 5 AS cut FROM e)",
+        "eb AS (SELECT e.* FROM e, cutv WHERE e.vec_id <= cut)",
+    ]
+    kparts, prev = _kmeans_parts(k, iters, src="eb")
+    parts += kparts
+    parts.append(
+        "an AS (SELECT vec_id, cluster FROM ("
+        "SELECT e.vec_id, c.cluster, row_number() OVER ("
+        "PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cv), "
+        f"c.cluster) AS rn FROM e CROSS JOIN {prev} c, cutv "
+        "WHERE e.vec_id > cut) WHERE rn = 1)")
+    parts.append("au AS (SELECT * FROM af UNION ALL SELECT * FROM an)")
+    parts.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
+    parts.append(
+        f"probe AS (SELECT c.cluster FROM {prev} c, q "
+        f"ORDER BY list_distance(q.qv, c.cv), c.cluster LIMIT {nprobe})")
+    return "WITH " + ",\n".join(parts) + f"""
+SELECT e.vec_id, round(list_dot_product(e.v, q.qv)
+       / (sqrt(list_dot_product(e.v, e.v))
+          * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+FROM au JOIN e USING (vec_id), q
+WHERE au.cluster IN (SELECT cluster FROM probe) AND e.vec_id <> 0
+ORDER BY score DESC, e.vec_id LIMIT {topk}
+"""
+
+
+ANN_IVF_APPEND = _ivf_append_sql()
 
 
 def _semantic_dedup_sql(k: int = 8, iters: int = 3,
@@ -1716,6 +1768,9 @@ UNION ALL
 SELECT 'pq' AS variant, vec_id, adist AS score FROM ({ANN_PQ}) pq_t
 UNION ALL
 SELECT 'ivfpq' AS variant, vec_id, adist AS score FROM ({ANN_IVFPQ}) ivfpq_t
+UNION ALL
+SELECT 'ivf_append' AS variant, vec_id, score
+FROM ({ANN_IVF_APPEND}) ivfa_t
 """
 
 QUALITY_LR_SCORE = _quality_lr_sql()

@@ -1911,21 +1911,55 @@ def q_ann_index_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrained-k-means DuckDB twin semantics; `score` carries the
     branch's native metric (cosine for IVF, estimated squared distance
     for the ADC tiers) — the tag disambiguates exactly as the separate
-    slots did."""
-    from rel_db_to_graph_spark.operators.ivf import ivf_topk
+    slots did.
+
+    Round 12 adds the fourth tier, `ivf_append` — assign-only index
+    MAINTENANCE (operators/ivf.py::ivf_append): the index is built on
+    the first ~80% of the id space (the existing corpus), the remaining
+    ~20% are appended with the centroids FROZEN (one argmin pass over
+    only the new rows — the O(|batch|·k·d) daily-ingest shape at
+    100 TB, vs the O(iters·n·k·d) rebuild), and the same top-k probe
+    answers over the unioned assignment. The DuckDB twin retrains
+    k-means on the base slice and replays the frozen-centroid placement
+    of the appended slice, so the hash match certifies the maintenance
+    path end to end."""
+    from rel_db_to_graph_spark.functions.vector import cosine
+    from rel_db_to_graph_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_append,
+        ivf_topk,
+        nearest_centroid_ids,
+    )
     from rel_db_to_graph_spark.operators.pq import ivfpq_topk, pq_topk
     e = load_table(spark, sf_dir, "embeddings")
 
     def tag(df: DataFrame, name: str, score_col: str) -> DataFrame:
         return df.select(F.lit(name).alias("variant"), F.col("vec_id"),
                          F.col(score_col).alias("score"))
+
+    # ivf_append branch: id-range split (appends arrive as NEW ids)
+    cut = (e.agg(F.max("vec_id").alias("m")).collect()[0]["m"] * 4) // 5
+    assigned, cents = build_ivf_index(
+        e.filter(F.col("vec_id") <= cut), k=8, iters=3)
+    au = ivf_append(assigned, cents, e.filter(F.col("vec_id") > cut))
+    qv = list(au.filter(F.col("vec_id") == 0).collect()[0]["_v"])
+    probe = nearest_centroid_ids(list(enumerate(cents)), qv, 4)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    appended = (au.filter(F.col("cluster").isin(probe))
+                .filter(F.col("vec_id") != 0)
+                .select("vec_id",
+                        F.round(cosine(F.col("_v"), qlit), 6)
+                        .alias("score"))
+                .orderBy(F.desc("score"), F.col("vec_id")).limit(10))
+
     return (tag(ivf_topk(e, query_id=0, k=10, n_clusters=8, nprobe=4),
                 "ivf", "score")
             .unionByName(tag(pq_topk(e, query_id=0, k=10, m=4, n_codes=8,
                                      iters=2), "pq", "adist"))
             .unionByName(tag(ivfpq_topk(e, query_id=0, k=10, n_clusters=8,
                                         nprobe=4, m=4, n_codes=8, iters=2),
-                             "ivfpq", "adist")))
+                             "ivfpq", "adist"))
+            .unionByName(tag(appended, "ivf_append", "score")))
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -210,3 +210,61 @@ def test_build_ivf_index_seed_and_corpus_n_plumbed(spark, monkeypatch):
     # different seed -> different content-addressed sample; the Lloyd
     # means over a different subset differ on this data
     assert c3 != c1
+
+
+def test_ivf_append_matches_frozen_rebuild(spark):
+    """Round 12 (assign-only maintenance): appending vectors with
+    frozen centroids must (a) leave every existing assignment
+    untouched, (b) place each appended vector in exactly the cluster a
+    full assignment pass at the same centroids gives it, and (c) cover
+    base ∪ appended with no duplicates."""
+    from rel_db_to_graph_spark.operators import ivf
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cut = (emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"] * 4) // 5
+    base = emb.filter(F.col("vec_id") <= cut)
+    newv = emb.filter(F.col("vec_id") > cut)
+    assigned, cents = build_ivf_index(base, k=8, iters=2)
+    au = ivf.ivf_append(assigned, cents, newv)
+
+    n_base, n_new = base.count(), newv.count()
+    assert n_new > 0
+    assert au.count() == n_base + n_new
+    assert au.select("vec_id").distinct().count() == n_base + n_new
+
+    # (a) base rows unchanged
+    before = {r.vec_id: r.cluster for r in assigned.collect()}
+    after = {r.vec_id: r.cluster
+             for r in au.filter(F.col("vec_id") <= cut).collect()}
+    assert before == after
+
+    # (b) appended placement == a full _assign pass at the same centroids
+    from rel_db_to_graph_spark.functions.vector import to_double
+    nv = newv.select(F.col("vec_id"),
+                     to_double(F.col("embedding")).alias("_v"))
+    want = {r.vec_id: r.cluster for r in ivf._assign(nv, cents).collect()}
+    got = {r.vec_id: r.cluster
+           for r in au.filter(F.col("vec_id") > cut).collect()}
+    assert want == got
+
+
+def test_ivf_append_gemm_regime(spark, monkeypatch):
+    """The appended-slice placement must survive the large-k GEMM
+    kernel swap (the 100 TB regime): force the threshold down and pin
+    placement equality against the literal-fold path."""
+    import rel_db_to_graph_spark.operators.ivf as ivf_mod
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cut = (emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"] * 4) // 5
+    base = emb.filter(F.col("vec_id") <= cut)
+    newv = emb.filter(F.col("vec_id") > cut)
+    assigned, cents = build_ivf_index(base, k=8, iters=2)
+
+    lit = {r.vec_id: r.cluster
+           for r in ivf_mod.ivf_append(assigned, cents, newv)
+           .filter(F.col("vec_id") > cut).collect()}
+    monkeypatch.setattr(ivf_mod, "_GEMM_ASSIGN_MIN_K", 4)
+    gemm = {r.vec_id: r.cluster
+            for r in ivf_mod.ivf_append(assigned, cents, newv)
+            .filter(F.col("vec_id") > cut).collect()}
+    assert lit == gemm

@@ -7,8 +7,9 @@ BASELINE.md round-8 note); warm pass at small n first. Quiet box
 (1-min load < ~3) before timing; t0 starts BEFORE the build call
 (build_ivf_index does eager work inside).
 
-Usage: python tools/audit_kmeans_sample.py full|sampled [k] [iters]
-Data:  benchdata/sf100d (tools/make_diverse_embeddings.py 1000 sf100d)
+Usage: python tools/audit_kmeans_sample.py full|sampled [k] [iters] [data]
+Data:  benchdata/sf100d (tools/make_diverse_embeddings.py 1000 sf100d);
+       round 12 n-axis decade: benchdata/sf1000d (10000 reps -> n=20M)
 """
 
 from __future__ import annotations
@@ -21,7 +22,6 @@ sys.path.insert(0, "/root/repo")
 from rel_db_to_graph_spark import get_spark  # noqa: E402
 from rel_db_to_graph_spark.operators.ivf import build_ivf_index  # noqa: E402
 
-DATA = "/root/repo/benchdata/sf100d/embeddings.parquet"
 SMOKE = "/root/testdata/sf0.1/embeddings.parquet"
 
 
@@ -29,6 +29,8 @@ def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "sampled"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    data = sys.argv[4] if len(sys.argv) > 4 else "sf100d"
+    DATA = f"/root/repo/benchdata/{data}/embeddings.parquet"
     sample = 200_000 if mode == "sampled" else None
 
     spark = get_spark(app_name=f"audit_kmeans_{mode}")
