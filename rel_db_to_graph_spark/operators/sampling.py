@@ -164,13 +164,19 @@ def sample_incoming_store_multi(spark, table: str,
     ``frontiers`` maps a batch tag -> seed node ids; ``seeds`` maps the
     same tags -> the per-batch sampling seed. Per hop: ONE bucket-pruned
     probe whose In(dst) filter is the union of every batch's frontier,
-    then one UNION of per-batch sample branches — each branch is
-    exactly the per-batch pipeline (same probe join restricted by the
-    batch's own frontier, same literal seed, same window), so the
-    drawn edges are bit-identical to per-batch calls (pinned by
-    tests/test_sampling.py) — materialized by ONE eager localCheckpoint.
-    Next frontiers for all batches come from one tagged collect.
-    Returns {tag: sampled frame}, each a RAM-resident filter."""
+    ONE join against the tagged frontier frame, and ONE window over
+    (_tag, dst) whose rank key is a per-tag CASE of exactly the
+    per-batch hash expressions (same literals, same literal TYPES —
+    xxhash64 is type-sensitive), so the drawn edges are bit-identical
+    to per-batch calls (pinned by tests/test_sampling.py) —
+    materialized by ONE eager localCheckpoint. Round 12 replaced the
+    union-of-per-batch-branches form: that form re-planned the probe
+    scan and paid one window SHUFFLE per branch (measured ~17 s/epoch
+    at sf1 — the sampled trainers' dominant exposed cost), where this
+    form pays one scan and one shuffle per hop REGARDLESS of the
+    branch count. Next frontiers for all batches come from one tagged
+    collect. Returns {tag: sampled frame}, each a RAM-resident
+    filter."""
     cur = {tag: sorted(ids) for tag, ids in frontiers.items() if ids}
     layers: dict = {tag: [] for tag in frontiers}
     last = len(fanouts) - 1
@@ -180,18 +186,36 @@ def sample_incoming_store_multi(spark, table: str,
                 break
             union_ids = sorted({i for ids in cur.values() for i in ids})
             pruned = _probe_incoming(spark, table, union_ids)
-            branches = []
-            for tag in sorted(cur):
-                fr_df = spark.createDataFrame(
-                    [(int(i),) for i in cur[tag]], "node_id bigint")
-                branches.append(
-                    sample_incoming(pruned, fr_df, [fanout], seeds[tag],
-                                    hop0=hop, draw=draw)
-                    .withColumn("_tag", F.lit(int(tag))))
-            fused = branches[0]
-            for b in branches[1:]:
-                fused = fused.unionAll(b)
-            fused = fused.localCheckpoint(eager=True)
+            tags = sorted(cur)
+            tf = spark.createDataFrame(
+                [(int(tag), int(i)) for tag in tags for i in cur[tag]],
+                "_tag int, dst bigint")
+            j = pruned.join(tf, "dst")
+            if fanout >= 0:
+                # per-tag rank key: the EXACT per-branch expression
+                # (reversed orientation — sample_incoming hashes
+                # (orig dst, orig src, seed+hop) and tie-breaks on the
+                # original src)
+                key = None
+                for tag in tags:
+                    if draw == "md5":
+                        k = F.md5(F.concat_ws(
+                            ":", F.col("dst").cast("string"),
+                            F.col("src").cast("string"),
+                            F.lit(str(seeds[tag] + hop))))
+                    else:
+                        k = F.xxhash64("dst", "src",
+                                       F.lit(seeds[tag] + hop))
+                    key = (F.when(F.col("_tag") == int(tag), k)
+                           if key is None
+                           else key.when(F.col("_tag") == int(tag), k))
+                w = Window.partitionBy("_tag", "dst").orderBy(
+                    key, F.col("src"))
+                j = (j.withColumn("_rk", F.row_number().over(w))
+                     .filter(F.col("_rk") <= fanout))
+            fused = (j.select("_tag", "src", "dst",
+                              F.lit(hop).alias("hop"))
+                     .localCheckpoint(eager=True))
             for tag in cur:
                 layers[tag].append(
                     fused.filter(F.col("_tag") == int(tag)).drop("_tag"))
@@ -219,12 +243,19 @@ def sample_incoming_hetero_store_multi(spark, tables: dict,
                                        fanouts: list[int],
                                        seeds: dict[int, int],
                                        draw: str = "xxhash64") -> dict:
-    """Hetero twin of ``sample_incoming_store_multi``: one driver job
-    per hop samples every batch's hetero in-edge closure (union of
-    per-(batch, edge-type) branches over SHARED bucket-pruned probes),
-    draws bit-identical to per-batch ``sample_incoming_hetero_store``
-    calls. ``frontiers``: tag -> {node_type: ids}. Raises the per-batch
-    path's ValueError for a tag whose seeds match no edge type."""
+    """Hetero twin of ``sample_incoming_store_multi``: per hop, ONE
+    bucket-pruned probe per edge type (shared by every batch), ONE join
+    of their tagged union against the tagged frontier frame, and ONE
+    window over (_tag, edge type, dst) whose rank key is a per-tag CASE
+    of exactly the per-(batch, edge-type) hash expressions — same
+    per-edge-type seed derivation, same literal types — so the draws
+    are bit-identical to per-batch ``sample_incoming_hetero_store``
+    calls (tests/test_sampling.py, tests/test_edge_store.py). Round 12
+    replaced the union-of-branches form, which paid one window shuffle
+    per (batch, edge type); this pays one shuffle per hop regardless of
+    the batch count. ``frontiers``: tag -> {node_type: ids}. Raises the
+    per-batch path's ValueError for a tag whose seeds match no edge
+    type."""
     cur = {tag: {t: sorted(ids) for t, ids in fr.items() if ids}
            for tag, fr in frontiers.items()}
     layers: dict = {tag: [] for tag in frontiers}
@@ -238,31 +269,66 @@ def sample_incoming_hetero_store_multi(spark, tables: dict,
                         union_ids.setdefault(et, set()).update(fr[et[2]])
             if not union_ids:
                 break
-            pruned = {et: _probe_incoming(spark, tables[et], sorted(ids))
-                      for et, ids in union_ids.items()}
-            branches = []
-            live_tags = []
-            for tag in sorted(cur):
-                fr = cur[tag]
-                live = {et: p for et, p in pruned.items()
-                        if fr.get(et[2])}
-                if not live:
-                    continue
-                live_tags.append(tag)
-                fr_dfs = {t: spark.createDataFrame(
-                    [(int(i),) for i in ids], "node_id bigint")
-                    for t, ids in fr.items() if ids}
-                branches.append(
-                    sample_incoming_hetero(live, fr_dfs, [fanout],
-                                           seeds[tag], hop0=hop,
-                                           draw=draw)
-                    .withColumn("_tag", F.lit(int(tag))))
-            if not branches:
+            live_tags = [tag for tag in sorted(cur)
+                         if any(cur[tag].get(et[2]) for et in union_ids)]
+            if not live_tags:
                 break
-            fused = branches[0]
-            for b in branches[1:]:
-                fused = fused.unionAll(b)
-            fused = fused.localCheckpoint(eager=True)
+            tf = spark.createDataFrame(
+                [(int(tag), t, int(i)) for tag in sorted(cur)
+                 for t, ids in sorted(cur[tag].items()) for i in ids],
+                "_tag int, _t string, node_id bigint")
+            parts = []
+            for et in sorted(union_ids):
+                pruned = _probe_incoming(spark, tables[et],
+                                         sorted(union_ids[et]))
+                et_tags = [tag for tag in sorted(cur)
+                           if cur[tag].get(et[2])]
+                pj = pruned.join(
+                    tf.filter((F.col("_t") == et[2]) &
+                              F.col("_tag").isin(
+                                  [int(t) for t in et_tags]))
+                    .select("_tag", F.col("node_id").alias("dst")),
+                    "dst")
+                key = F.lit(0)
+                if fanout >= 0:
+                    key = None
+                    for tag in et_tags:
+                        # the reversed-graph per-edge-type seed the
+                        # per-batch pipeline derives (the rev tuple is
+                        # (dst_table, relation, src_table))
+                        ets = _edge_type_seed(
+                            seeds[tag], (et[2], et[1], et[0]))
+                        if draw == "md5":
+                            k = F.md5(F.concat_ws(
+                                ":", F.col("dst").cast("string"),
+                                F.col("src").cast("string"),
+                                F.lit(str(ets + hop))))
+                        else:
+                            k = F.xxhash64("dst", "src",
+                                           F.lit(ets + hop))
+                        key = (F.when(F.col("_tag") == int(tag), k)
+                               if key is None
+                               else key.when(F.col("_tag") == int(tag),
+                                             k))
+                parts.append(pj.select(
+                    "_tag",
+                    F.lit(et[0]).alias("src_table"),
+                    F.lit(et[1]).alias("relation"),
+                    F.lit(et[2]).alias("dst_table"),
+                    "src", "dst", key.alias("_key")))
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionAll(p)
+            if fanout >= 0:
+                w = Window.partitionBy(
+                    "_tag", "src_table", "relation", "dst_table",
+                    "dst").orderBy(F.col("_key"), F.col("src"))
+                u = (u.withColumn("_rk", F.row_number().over(w))
+                     .filter(F.col("_rk") <= fanout))
+            fused = (u.select("_tag", "src_table", "relation",
+                              "dst_table", "src", "dst",
+                              F.lit(hop).alias("hop"))
+                     .localCheckpoint(eager=True))
             for tag in live_tags:
                 layers[tag].append(
                     fused.filter(F.col("_tag") == int(tag)).drop("_tag"))
@@ -426,12 +492,30 @@ def _forced_bucketed_scan(spark):
             spark.conf.set(key, prev)
 
 
+#: probe-form switch (round 12): an In(dst, ids) literal list costs
+#: O(|ids|) DRIVER planning (Catalyst walks every literal child per
+#: rule pass) plus O(|ids|)-ish execution — measured 4-15 s per probe
+#: at 4k-16k ids against a 1.5M-row store, where a broadcast hash join
+#: of the same frontier runs in ~0.7 s FLAT. Below the threshold the
+#: literal form keeps static bucket + row-group pruning (the reason
+#: the store exists: a SMALL frontier reads ~|frontier| row groups of
+#: a 100 TB table); above it the frontier covers most buckets anyway —
+#: pruning saves little while the literal costs grow — so the probe
+#: switches to the broadcast join. Same rows either way.
+_PROBE_IN_MAX = 1024
+
+
 def _probe_incoming(spark, table: str, dst_ids: list) -> DataFrame:
-    """Edges of ``table`` whose dst is in ``dst_ids``, as a
-    bucket+row-group-pruned scan. Callers must EXECUTE the returned
-    frame inside ``_forced_bucketed_scan`` (the conf is read at
-    planning time, not at DataFrame construction)."""
-    return spark.table(table).filter(F.col("dst").isin(dst_ids))
+    """Edges of ``table`` whose dst is in ``dst_ids`` — a
+    bucket+row-group-pruned scan for small frontiers (callers must
+    EXECUTE it inside ``_forced_bucketed_scan``; the conf is read at
+    planning time), a broadcast-joined scan past _PROBE_IN_MAX."""
+    t = spark.table(table)
+    if len(dst_ids) <= _PROBE_IN_MAX:
+        return t.filter(F.col("dst").isin(dst_ids))
+    fr = spark.createDataFrame([(int(i),) for i in dst_ids],
+                               "dst bigint")
+    return t.join(F.broadcast(fr), "dst").select(*t.columns)
 
 
 def _collect_ids(df: DataFrame, col: str) -> list:
