@@ -233,3 +233,93 @@ def cms_audit(docs: DataFrame, k: int = 20, width: int = 256,
             .select("term", "exact_n", "est_n",
                     (F.col("est_n") >= F.col("exact_n"))
                     .alias("is_upper_bound")))
+
+
+def bm25_retrieval(docs: DataFrame, probe_ids: tuple[int, ...] = (0, 7, 42),
+                   n_query_terms: int = 3, k: int = 5,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Query-by-example BM25 retrieval: for each probe document, take
+    its top-``n_query_terms`` TF-IDF keywords as the query and return
+    the ``k`` highest-BM25 corpus documents (the probe itself
+    excluded). This is the retrieval shape a training-data pipeline
+    runs for decontamination triage ("which corpus docs does this eval
+    document pull back?") and for quality-neighborhood audits — the
+    lexical complement of the embedding ANN tier.
+
+    Plan shape (the inverted-index algebra, no index structure
+    needed): ONE corpus scan builds the postings (doc_id, term, tf);
+    doc lengths and document frequencies are re-aggregations of that
+    postings frame (vocabulary- and corpus-row-sized, never wider);
+    the query table — probe postings ranked by the same
+    integer-quantized TF-IDF as tfidf_keywords — is ≤ |probes| ×
+    n_query_terms rows and BROADCASTS onto the postings, so the probe
+    is a broadcast hash semi-prune of the posting lists, not a corpus
+    shuffle. Only docs containing a query term survive to the
+    length-join and the per-query top-k window. At 100 TB the
+    tf/df/dl frames are the index statistics a deployment would
+    pre-materialize once per corpus snapshot (they are pure
+    aggregations, incrementally maintainable), and per-query work is
+    O(matching postings).
+
+    Scoring is INTEGER-EXACT (k1 = 1.2, b = 0.75 folded into a single
+    integer rational) so the ranking is bit-identical across engines —
+    same policy as tfidf_keywords' idf_milli, for the same reason
+    (libm log / float-sum order would make near-ties engine-
+    dependent). With avgdl = T/N (T total tokens, N docs):
+
+        term score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    multiplied through by 10·T and scaled ×1000:
+
+        score_milli = (idf_milli · tf · 22000 · T)
+                      div (10·T·tf + 3·T + 9·dl·N)
+
+    with idf_milli = (1000·N) div df. All-long arithmetic: the
+    numerator stays < 2^63 through sf0.1 shapes (bounded by
+    1000·N·dl_max·22000·T); at corpus scales beyond that the same
+    expression runs in decimal(38,0) — the ranking semantics are
+    unchanged. Summing per-term LONG scores is order-independent, so
+    the aggregate needs no float-sum discipline.
+    """
+    from pyspark.sql import Window
+
+    from rel_db_to_graph_spark.operators.text import normalize, tokens
+
+    terms = (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(normalize(F.col(text_col)))).alias("term"))
+        .filter(F.col("term") != ""))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tot = dl.agg(F.count("*").alias("n_docs"),
+                 F.sum("dl").alias("total_toks"))
+
+    wq = Window.partitionBy("query_doc").orderBy(
+        F.desc("tfidf"), F.asc("term"))
+    qterms = (tf.filter(F.col("doc_id").isin(*[int(p) for p in probe_ids]))
+              .withColumnRenamed("doc_id", "query_doc")
+              .join(df_, "term")
+              .crossJoin(F.broadcast(tot.select("n_docs")))
+              .withColumn("idf_milli", F.expr("(1000 * n_docs) div df"))
+              .withColumn("tfidf", F.col("tf") * F.col("idf_milli"))
+              .withColumn("qr", F.row_number().over(wq))
+              .filter(F.col("qr") <= int(n_query_terms))
+              .select("query_doc", "term", "idf_milli"))
+
+    scored = (tf.join(F.broadcast(qterms), "term")
+              .filter(F.col("doc_id") != F.col("query_doc"))
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(tot))
+              .withColumn("score_milli", F.expr(
+                  "(idf_milli * tf * 22000 * total_toks) div "
+                  "(10 * total_toks * tf + 3 * total_toks"
+                  " + 9 * dl * n_docs)"))
+              .groupBy("query_doc", "doc_id")
+              .agg(F.sum("score_milli").alias("score_milli")))
+    wk = Window.partitionBy("query_doc").orderBy(
+        F.desc("score_milli"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= int(k))
+            .select("query_doc", "rank", "doc_id", "score_milli"))

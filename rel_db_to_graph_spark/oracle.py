@@ -1033,6 +1033,46 @@ SELECT doc_id, rank, term, score FROM (
 ) WHERE rank <= 3
 """
 
+#: BM25 query-by-example twin (stats.py::bm25_retrieval): same
+#: integer-rational scoring — idf_milli = (1000·N) div df, per-term
+#: score_milli = (idf_milli·tf·22000·T) div (10·T·tf + 3·T + 9·dl·N)
+#: (k1=1.2, b=0.75 folded exact) — so the ranking is bit-identical.
+BM25_RETRIEVAL = f"""
+WITH n AS (SELECT doc_id, {_NORM_TEXT} AS norm FROM documents),
+terms AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM n),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM terms WHERE term <> '' GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
+       GROUP BY doc_id),
+d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS total_toks FROM dl),
+q AS (SELECT query_doc, term, idf_milli FROM (
+        SELECT tf.doc_id AS query_doc, tf.term,
+               (1000 * tot.n_docs) // d.df AS idf_milli,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ((1000 * tot.n_docs) // d.df) DESC,
+                            tf.term ASC) AS qr
+        FROM tf JOIN d USING (term) CROSS JOIN tot
+        WHERE tf.doc_id IN (0, 7, 42)
+      ) WHERE qr <= 3),
+s AS (SELECT q.query_doc, tf.doc_id,
+             CAST(sum((q.idf_milli * tf.tf * 22000 * tot.total_toks) //
+                      (10 * tot.total_toks * tf.tf + 3 * tot.total_toks
+                       + 9 * dl.dl * tot.n_docs)) AS BIGINT) AS score_milli
+      FROM tf JOIN q USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+      WHERE tf.doc_id <> q.query_doc
+      GROUP BY q.query_doc, tf.doc_id)
+SELECT query_doc, rank, doc_id, score_milli FROM (
+    SELECT query_doc, doc_id, score_milli,
+           CAST(row_number() OVER (
+               PARTITION BY query_doc
+               ORDER BY score_milli DESC, doc_id ASC) AS INT) AS rank
+    FROM s
+) WHERE rank <= 5
+"""
+
 SOURCE_QUOTA = f"""
 SELECT doc_id, source FROM (
     SELECT doc_id, source,
@@ -4292,6 +4332,7 @@ ORACLES: dict[str, str] = {
     "corpus_stats": CORPUS_STATS,
     "corpus_stats_approx_err": CORPUS_STATS_APPROX_ERR,
     "tfidf_keywords": TFIDF_KEYWORDS,
+    "bm25_retrieval": BM25_RETRIEVAL,
     "source_quota": SOURCE_QUOTA,
     "event_anomalies": EVENT_ANOMALIES,
     "term_topk": TERM_TOPK,

@@ -1481,6 +1481,20 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_keywords(load_table(spark, sf_dir, "documents"), k=3)
 
 
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-example BM25 retrieval (round 12): each probe doc's
+    top-3 TF-IDF keywords become the query; the 5 highest-BM25 corpus
+    docs come back per probe — the lexical decontamination-triage
+    shape next to the embedding ANN tier. Integer-rational scoring
+    (k1=1.2, b=0.75 folded exact) so the DuckDB twin's ranking is
+    bit-identical; the query table broadcasts onto the postings, so
+    the probe is a pruned posting-list join, not a corpus shuffle
+    (operators/stats.py::bm25_retrieval)."""
+    from rel_db_to_graph_spark.operators.stats import bm25_retrieval
+    return bm25_retrieval(load_table(spark, sf_dir, "documents"),
+                          probe_ids=(0, 7, 42), n_query_terms=3, k=5)
+
+
 def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source cap (≤15 docs per source, content-addressed pick) —
     the anti-boilerplate curation primitive. 15 < the ~25 docs/source

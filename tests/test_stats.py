@@ -136,3 +136,48 @@ def test_profile_table_one_scan_and_values(spark):
     plan = (profile_table(df)._jdf.queryExecution().optimizedPlan()
             .toString())
     assert plan.count("LogicalRDD") == 1
+
+
+def test_bm25_retrieval_shape_and_ranking(spark):
+    from rel_db_to_graph_spark.operators.stats import bm25_retrieval
+    rows = bm25_retrieval(_docs(spark), probe_ids=(0, 7, 42),
+                          n_query_terms=3, k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_doc, []).append(r)
+    assert set(by_q) == {0, 7, 42}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) == 5
+        # probe excluded; scores non-increasing with doc_id tie-break
+        assert all(r.doc_id != q for r in rs)
+        for a, b in zip(rs, rs[1:]):
+            assert (a.score_milli, -a.doc_id) >= (b.score_milli, -b.doc_id)
+            if a.score_milli == b.score_milli:
+                assert a.doc_id < b.doc_id
+
+
+def test_bm25_query_table_broadcasts(spark):
+    from rel_db_to_graph_spark.operators.stats import bm25_retrieval
+    p = plan_of(bm25_retrieval(_docs(spark)))
+    # the probe join must be the broadcast form — a corpus shuffle on
+    # `term` for a 9-row query table would be the wrong plan at 100 TB
+    assert "BroadcastHashJoin" in p
+
+
+def test_bm25_self_retrieval_sanity(spark):
+    # a probe's own keywords should pull back docs sharing those terms:
+    # every hit must contain at least one query term
+    from rel_db_to_graph_spark.operators.stats import bm25_retrieval
+    from rel_db_to_graph_spark.operators.stats import tfidf_keywords
+    docs = _docs(spark)
+    hits = bm25_retrieval(docs, probe_ids=(0,), n_query_terms=3,
+                          k=5).collect()
+    qterms = {r.term for r in tfidf_keywords(docs, k=3).collect()
+              if r.doc_id == 0}
+    texts = {r.doc_id: r.text for r in docs.filter(
+        F.col("doc_id").isin([h.doc_id for h in hits])).collect()}
+    for h in hits:
+        toks = set(texts[h.doc_id].lower().split())
+        assert toks & qterms, (h.doc_id, qterms)
