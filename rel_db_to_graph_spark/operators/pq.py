@@ -279,3 +279,35 @@ def ivfpq_topk_from_index(spark, path: str, query_vec: list[float],
                     F.round(adc_estimate(books, qv), 6).alias("adist"))
             .orderBy("adist", id_col)
             .limit(k))
+
+
+def ivfpq_append(codes: DataFrame, assigned: DataFrame,
+                 books: list[list[list[float]]],
+                 centroids: list[list[float]],
+                 new_vectors: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+    """Assign-only IVFPQ index maintenance (round 12 — the PQ-family
+    sibling of operators/ivf.py::ivf_append): place ``new_vectors``
+    into an existing IVFPQ index with BOTH quantizers FROZEN — the
+    coarse centroids give each appended row its cluster (one argmin
+    pass over only the new rows, via ivf_append) and the codebooks
+    give it its m-byte code (encode_pq, map-only) — and return the
+    unioned (codes, assignment) pair.
+
+    This completes the daily-ingest story for both written index
+    families: absorbing an append batch costs
+    O(|batch|·(k_coarse + m·k_codes)·d) map work instead of the
+    O(iters·n·…) rebuild, and neither the existing codes nor the
+    existing assignment are re-shuffled. Quantizer drift accumulates
+    exactly as in the IVF case — pair with a periodic retrain
+    (build_ivf_index(train_sample=...) + train_pq), the FAISS-style
+    add/retrain split. Codes and cluster placements of appended rows
+    are bit-identical to what a frozen-quantizer rebuild would give
+    them (pinned by tests/test_pq.py)."""
+    from rel_db_to_graph_spark.operators.ivf import ivf_append
+
+    all_assigned = ivf_append(assigned, centroids, new_vectors,
+                              id_col=id_col, vec_col=vec_col)
+    new_codes = encode_pq(new_vectors, books, id_col=id_col,
+                          vec_col=vec_col)
+    return codes.unionByName(new_codes), all_assigned

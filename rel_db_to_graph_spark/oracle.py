@@ -1687,8 +1687,8 @@ SELECT doc_id, {_quality_lr_p()} AS quality_p FROM t
 """
 
 
-def _pq_parts(m: int, k: int, iters: int,
-              dim: int) -> tuple[list[str], str, str]:
+def _pq_parts(m: int, k: int, iters: int, dim: int,
+              train_base: str | None = None) -> tuple[list[str], str, str]:
     """Per-subspace Lloyd k-means + ADC term CTEs (twin of
     operators/pq.py::train_pq/encode_pq/adc_estimate): init = k
     lowest-id subvectors, argmin ties to the lower code, means ROUNDED
@@ -1698,7 +1698,14 @@ def _pq_parts(m: int, k: int, iters: int,
     explicit left-associated additions in index order (matching both
     Spark's fold and Python's sum). Assumes CTEs ``e`` (vectors) and
     ``q`` (query vector) are in scope. Returns (parts, total-distance
-    expression, join chain over the per-subspace term CTEs)."""
+    expression, join chain over the per-subspace term CTEs).
+
+    ``train_base`` (round 12, the ivfpq_append twin) names a CTE of
+    base-slice rows: codebook init and Lloyd iterations then train on
+    only those subvectors while the final assignment ``s{s}af`` still
+    encodes EVERY row — exactly the frozen-codebook encode of the
+    appended slice. Default None keeps the generated text
+    byte-identical to the pre-round-12 twin."""
     dsub = dim // m
     parts: list[str] = []
     for s in range(m):
@@ -1706,22 +1713,28 @@ def _pq_parts(m: int, k: int, iters: int,
         parts.append(
             f"sub{s} AS (SELECT vec_id, list_slice(v, {lo}, {hi}) AS v "
             "FROM e)")
+        tr = f"sub{s}"
+        if train_base is not None:
+            tr = f"sub{s}b"
+            parts.append(
+                f"sub{s}b AS (SELECT * FROM sub{s} WHERE vec_id IN "
+                f"(SELECT vec_id FROM {train_base}))")
         parts.append(
             f"b{s}_0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)"
             " - 1 AS INT) AS code, v AS cv"
-            f" FROM (SELECT * FROM sub{s} ORDER BY vec_id LIMIT {k}))")
+            f" FROM (SELECT * FROM {tr} ORDER BY vec_id LIMIT {k}))")
         prev = f"b{s}_0"
         for i in range(iters):
             parts.append(
                 f"s{s}a{i} AS (SELECT vec_id, code FROM ("
                 f"SELECT t.vec_id, b.code, row_number() OVER ("
                 "PARTITION BY t.vec_id ORDER BY list_distance(t.v, b.cv), "
-                f"b.code) AS rn FROM sub{s} t CROSS JOIN {prev} b) "
+                f"b.code) AS rn FROM {tr} t CROSS JOIN {prev} b) "
                 "WHERE rn = 1)")
             parts.append(
                 f"s{s}m{i} AS (SELECT code, pos, round(avg(x), 6) AS mu "
                 "FROM (SELECT a.code, generate_subscripts(t.v, 1) AS pos, "
-                f"unnest(t.v) AS x FROM sub{s} t JOIN s{s}a{i} a "
+                f"unnest(t.v) AS x FROM {tr} t JOIN s{s}a{i} a "
                 "USING (vec_id)) GROUP BY code, pos)")
             parts.append(
                 f"s{s}cm{i} AS (SELECT code, list(mu ORDER BY pos) AS cv "
@@ -1796,6 +1809,51 @@ ORDER BY adist, vec_id LIMIT {topk}
 
 ANN_IVFPQ = _ivfpq_sql()
 
+
+def _ivfpq_append_sql(n_clusters: int = 8, nprobe: int = 4, m: int = 4,
+                      k: int = 8, iters: int = 2, dim: int = 64,
+                      topk: int = 10) -> str:
+    """Twin of the `ivfpq_append` branch of
+    queries.py::q_ann_index_variants (round 12 — assign-only
+    maintenance for the compressed index family,
+    operators/pq.py::ivfpq_append): coarse k-means AND per-subspace
+    codebooks RETRAINED on the base slice (vec_id <= (max*4)//5), the
+    appended slice coarse-placed against the FROZEN final centroids
+    (same argmin/tie rule) and encoded by the FROZEN final codebooks
+    (``_pq_parts(train_base=...)`` — training CTEs see only the base
+    subvectors, the final assignment encodes every row), then the ADC
+    probe + top-k over the unioned assignment."""
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "cutv AS (SELECT (max(vec_id) * 4) // 5 AS cut FROM e)",
+        "eb AS (SELECT e.* FROM e, cutv WHERE e.vec_id <= cut)",
+    ]
+    kparts, prev = _kmeans_parts(n_clusters, iters, src="eb")
+    parts += kparts
+    parts.append(
+        "an AS (SELECT vec_id, cluster FROM ("
+        "SELECT e.vec_id, c.cluster, row_number() OVER ("
+        "PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cv), "
+        f"c.cluster) AS rn FROM e CROSS JOIN {prev} c, cutv "
+        "WHERE e.vec_id > cut) WHERE rn = 1)")
+    parts.append("au AS (SELECT * FROM af UNION ALL SELECT * FROM an)")
+    parts.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
+    parts.append(
+        f"probe AS (SELECT c.cluster FROM {prev} c, q "
+        f"ORDER BY list_distance(q.qv, c.cv), c.cluster LIMIT {nprobe})")
+    sub, total, joins = _pq_parts(m, k, iters, dim, train_base="eb")
+    parts += sub
+    return "WITH " + ",\n".join(parts) + f"""
+SELECT vec_id, round(0.0 + {total}, 6) AS adist
+FROM {joins} JOIN au USING (vec_id)
+WHERE vec_id <> 0 AND au.cluster IN (SELECT cluster FROM probe)
+ORDER BY adist, vec_id LIMIT {topk}
+"""
+
+
+ANN_IVFPQ_APPEND = _ivfpq_append_sql()
+
 #: Twin of queries.py::q_ann_index_variants (round 9 — the former
 #: ann_ivf / ann_pq / ann_ivfpq slots consolidated): the three indexed
 #: ANN twins unioned under a variant tag; each branch keeps its own
@@ -1811,6 +1869,9 @@ SELECT 'ivfpq' AS variant, vec_id, adist AS score FROM ({ANN_IVFPQ}) ivfpq_t
 UNION ALL
 SELECT 'ivf_append' AS variant, vec_id, score
 FROM ({ANN_IVF_APPEND}) ivfa_t
+UNION ALL
+SELECT 'ivfpq_append' AS variant, vec_id, adist AS score
+FROM ({ANN_IVFPQ_APPEND}) ivfpqa_t
 """
 
 QUALITY_LR_SCORE = _quality_lr_sql()

@@ -1936,7 +1936,16 @@ def q_ann_index_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     answers over the unioned assignment. The DuckDB twin retrains
     k-means on the base slice and replays the frozen-centroid placement
     of the appended slice, so the hash match certifies the maintenance
-    path end to end."""
+    path end to end.
+
+    Round 12 also adds the fifth tier, `ivfpq_append` — the same
+    maintenance shape for the COMPRESSED index family
+    (operators/pq.py::ivfpq_append): coarse centroids AND codebooks
+    trained on the base slice, the appended slice placed+encoded with
+    both FROZEN (one argmin map pass each), then the ADC probe answers
+    over the unioned codes. The twin replays the frozen-quantizer
+    placement and encode of the appended slice, so the 100 TB
+    daily-ingest shape is hash-gated for both index families."""
     from rel_db_to_graph_spark.functions.vector import cosine
     from rel_db_to_graph_spark.operators.ivf import (
         build_ivf_index,
@@ -1944,7 +1953,14 @@ def q_ann_index_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_topk,
         nearest_centroid_ids,
     )
-    from rel_db_to_graph_spark.operators.pq import ivfpq_topk, pq_topk
+    from rel_db_to_graph_spark.operators.pq import (
+        adc_estimate,
+        encode_pq,
+        ivfpq_append,
+        ivfpq_topk,
+        pq_topk,
+        train_pq,
+    )
     e = load_table(spark, sf_dir, "embeddings")
 
     def tag(df: DataFrame, name: str, score_col: str) -> DataFrame:
@@ -1966,6 +1982,25 @@ def q_ann_index_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("score"))
                 .orderBy(F.desc("score"), F.col("vec_id")).limit(10))
 
+    # ivfpq_append branch: same id-range split, BOTH quantizers trained
+    # on the base slice (iters=2, the ivfpq tier's config), the
+    # appended slice placed+encoded frozen, ADC probe over the union
+    eb = e.filter(F.col("vec_id") <= cut)
+    assigned2, cents2 = build_ivf_index(eb, k=8, iters=2)
+    books2 = train_pq(eb, m=4, k=8, iters=2)
+    codes_b = encode_pq(eb, books2)
+    codes_u, au2 = ivfpq_append(codes_b, assigned2, books2, cents2,
+                                e.filter(F.col("vec_id") > cut))
+    probe2 = nearest_centroid_ids(list(enumerate(cents2)), qv, 4)
+    appended_pq = (codes_u
+                   .join(au2.select("vec_id", "cluster"), "vec_id")
+                   .filter(F.col("cluster").isin(probe2))
+                   .filter(F.col("vec_id") != 0)
+                   .select("vec_id",
+                           F.round(adc_estimate(books2, qv), 6)
+                           .alias("adist"))
+                   .orderBy("adist", "vec_id").limit(10))
+
     return (tag(ivf_topk(e, query_id=0, k=10, n_clusters=8, nprobe=4),
                 "ivf", "score")
             .unionByName(tag(pq_topk(e, query_id=0, k=10, m=4, n_codes=8,
@@ -1973,7 +2008,8 @@ def q_ann_index_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(tag(ivfpq_topk(e, query_id=0, k=10, n_clusters=8,
                                         nprobe=4, m=4, n_codes=8, iters=2),
                              "ivfpq", "adist"))
-            .unionByName(tag(appended, "ivf_append", "score")))
+            .unionByName(tag(appended, "ivf_append", "score"))
+            .unionByName(tag(appended_pq, "ivfpq_append", "adist")))
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

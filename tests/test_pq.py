@@ -133,3 +133,39 @@ def test_shared_root_sidecars_do_not_clobber(spark):
         # and the co-located IVFPQ probe still answers
         assert ivfpq_topk_from_index(spark, d, qv, k=5,
                                      nprobe=4).count() == 5
+
+
+def test_ivfpq_append_matches_frozen_rebuild(spark):
+    """Appended rows must get byte-identical codes AND clusters to a
+    frozen-quantizer rebuild: encode_pq/assignment over the full corpus
+    with the base-trained books/centroids equals the append path."""
+    from rel_db_to_graph_spark.operators.ivf import build_ivf_index
+    from rel_db_to_graph_spark.operators.pq import ivfpq_append
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cut = (emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"] * 4) // 5
+    eb = emb.filter(F.col("vec_id") <= cut)
+    en = emb.filter(F.col("vec_id") > cut)
+    assert en.count() > 0
+
+    assigned, cents = build_ivf_index(eb, k=4, iters=2)
+    books = train_pq(eb, m=4, k=4, iters=2)
+    codes_b = encode_pq(eb, books)
+    codes_u, au = ivfpq_append(codes_b, assigned, books, cents, en)
+
+    # frozen rebuild: same books/centroids applied to the whole corpus
+    want_codes = {r.vec_id: list(r.codes)
+                  for r in encode_pq(emb, books).collect()}
+    got_codes = {r.vec_id: list(r.codes) for r in codes_u.collect()}
+    assert got_codes == want_codes
+
+    rebuilt, _ = build_ivf_index(eb, k=4, iters=2)
+    from rel_db_to_graph_spark.operators.ivf import ivf_append
+    want_clusters = {r.vec_id: r.cluster
+                     for r in ivf_append(rebuilt, cents, emb.filter(
+                         F.col("vec_id") > cut)).collect()}
+    got_clusters = {r.vec_id: r.cluster for r in au.collect()}
+    for vid in want_clusters:
+        if vid > cut:
+            assert got_clusters[vid] == want_clusters[vid]
+    assert set(got_clusters) == set(want_codes)
