@@ -1870,6 +1870,9 @@ UNION ALL
 SELECT 'ivf_append' AS variant, vec_id, score
 FROM ({ANN_IVF_APPEND}) ivfa_t
 UNION ALL
+SELECT 'ivf_append_stream' AS variant, vec_id, score
+FROM ({ANN_IVF_APPEND}) ivfas_t
+UNION ALL
 SELECT 'ivfpq_append' AS variant, vec_id, adist AS score
 FROM ({ANN_IVFPQ_APPEND}) ivfpqa_t
 """

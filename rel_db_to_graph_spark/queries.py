@@ -1938,6 +1938,16 @@ def q_ann_index_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the appended slice, so the hash match certifies the maintenance
     path end to end.
 
+    Round 12 adds a sixth tag, `ivf_append_stream` — the CONTINUOUS
+    form of the same maintenance (streaming/vector_ingest.py): the
+    appended slice arrives as a 4-file Structured Streaming feed
+    (maxFilesPerTrigger=1), each micro-batch is placed frozen via
+    foreachBatch, and the accumulated assignment answers the identical
+    probe. The frozen placement is a deterministic per-row map, so the
+    result is BATCHING-INVARIANT — the tag hash-checks against the
+    same replay twin as the batch tag, certifying the streaming ingest
+    plumbing end to end.
+
     Round 12 also adds the fifth tier, `ivfpq_append` — the same
     maintenance shape for the COMPRESSED index family
     (operators/pq.py::ivfpq_append): coarse centroids AND codebooks
@@ -1982,6 +1992,43 @@ def q_ann_index_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("score"))
                 .orderBy(F.desc("score"), F.col("vec_id")).limit(10))
 
+    # ivf_append_stream branch: the SAME append slice drained as a
+    # 4-file stream, placed frozen per micro-batch (foreachBatch),
+    # probed identically — batching-invariance is the check
+    import os
+    import tempfile
+
+    from rel_db_to_graph_spark.streaming.vector_ingest import (
+        StreamingIndexAppender,
+    )
+
+    en_df = e.filter(F.col("vec_id") > cut)
+    with tempfile.TemporaryDirectory() as tmp:
+        feed = f"{tmp}/feed"
+        os.makedirs(feed)
+        span = en_df.agg(F.min("vec_id").alias("lo"),
+                         F.max("vec_id").alias("hi")).collect()[0]
+        step = max(1, (span["hi"] - span["lo"] + 4) // 4)
+        for i in range(4):
+            lo = span["lo"] + i * step
+            hi = span["hi"] if i == 3 else lo + step - 1
+            (en_df.filter(F.col("vec_id").between(lo, hi))
+             .coalesce(1).write.mode("append").parquet(feed))
+        appender = StreamingIndexAppender(assigned, cents)
+        q = (spark.readStream.schema(e.schema)
+             .option("maxFilesPerTrigger", 1).parquet(feed)
+             .writeStream.foreachBatch(appender.apply)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    aus = appender.assignment
+    appended_stream = (aus.filter(F.col("cluster").isin(probe))
+                       .filter(F.col("vec_id") != 0)
+                       .select("vec_id",
+                               F.round(cosine(F.col("_v"), qlit), 6)
+                               .alias("score"))
+                       .orderBy(F.desc("score"), F.col("vec_id"))
+                       .limit(10))
+
     # ivfpq_append branch: same id-range split, BOTH quantizers trained
     # on the base slice (iters=2, the ivfpq tier's config), the
     # appended slice placed+encoded frozen, ADC probe over the union
@@ -2009,6 +2056,8 @@ def q_ann_index_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         nprobe=4, m=4, n_codes=8, iters=2),
                              "ivfpq", "adist"))
             .unionByName(tag(appended, "ivf_append", "score"))
+            .unionByName(tag(appended_stream, "ivf_append_stream",
+                             "score"))
             .unionByName(tag(appended_pq, "ivfpq_append", "adist")))
 
 

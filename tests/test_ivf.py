@@ -268,3 +268,37 @@ def test_ivf_append_gemm_regime(spark, monkeypatch):
             for r in ivf_mod.ivf_append(assigned, cents, newv)
             .filter(F.col("vec_id") > cut).collect()}
     assert lit == gemm
+
+
+def test_streaming_append_is_batching_invariant(spark, tmp_path):
+    """Stream-accumulated frozen placement must equal the one-shot
+    ivf_append of the same slice, regardless of micro-batch chop."""
+    from rel_db_to_graph_spark.operators.ivf import build_ivf_index, ivf_append
+    from rel_db_to_graph_spark.sources.catalog import load_table
+    from rel_db_to_graph_spark.streaming.vector_ingest import (
+        StreamingIndexAppender,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    cut = (e.agg(F.max("vec_id").alias("m")).collect()[0]["m"] * 4) // 5
+    base = e.filter(F.col("vec_id") <= cut)
+    batch = e.filter(F.col("vec_id") > cut)
+    assigned, cents = build_ivf_index(base, k=4, iters=2)
+
+    feed = str(tmp_path / "feed")
+    # three unequal chops, one possibly empty — the appender must not care
+    for lo, hi in ((cut + 1, cut + 3), (cut + 4, cut + 200),
+                   (cut + 201, 10**9)):
+        (batch.filter(F.col("vec_id").between(lo, hi))
+         .coalesce(1).write.mode("append").parquet(feed))
+    appender = StreamingIndexAppender(assigned, cents)
+    q = (spark.readStream.schema(e.schema)
+         .option("maxFilesPerTrigger", 1).parquet(feed)
+         .writeStream.foreachBatch(appender.apply)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    want = {(r.vec_id, r.cluster)
+            for r in ivf_append(assigned, cents, batch).collect()}
+    got = {(r.vec_id, r.cluster) for r in appender.assignment.collect()}
+    assert got == want
