@@ -148,6 +148,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_anomalies": Q.q_event_anomalies,
     "tfidf_keywords": Q.q_tfidf_keywords,
     "bm25_retrieval": Q.q_bm25_retrieval,
+    "simhash_near_dup": Q.q_simhash_near_dup,
     "term_topk": Q.q_term_topk,
     "corpus_stats": Q.q_corpus_stats,
     "multimodal_meta": Q.q_multimodal_meta,

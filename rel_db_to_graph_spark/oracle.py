@@ -1315,14 +1315,18 @@ GROUP BY chunk
 _HEX = "0123456789abcdef"
 
 
-def _simhash_sql() -> str:
+def _simhash_expr() -> str:
     bits = []
     for j in range(64):
         digit = (f"(strpos('{_HEX}', substr(dg, {j // 4 + 1}, 1)) - 1)")
         bit = f"((({digit} >> {3 - j % 4}) % 2) * 2 - 1)"
         vote = f"list_sum(list_transform(digests, dg -> {bit}))"
         bits.append(f"CASE WHEN {vote} > 0 THEN '1' ELSE '0' END")
-    expr = " || ".join(bits)
+    return " || ".join(bits)
+
+
+def _simhash_sql() -> str:
+    expr = _simhash_expr()
     return f"""
 WITH n AS (SELECT doc_id, {_NORM_TEXT} AS norm FROM documents),
      d AS (SELECT doc_id, list_transform(string_split(norm, ' '), t -> md5(t)) AS digests FROM n)
@@ -1331,6 +1335,41 @@ SELECT doc_id, {expr} AS simhash FROM d
 
 
 SIMHASH = _simhash_sql()
+
+
+def _simhash_near_dup_sql(radius: int = 3, bands: int = 4) -> str:
+    """Twin of operators/dedup.py::simhash_near_dup (max_bucket=None):
+    the same signature construction (``_simhash_expr``), EXHAUSTIVE
+    banded candidates on (band, 64/bands-bit key), then the identical
+    64-term integer Hamming count filtered to <= radius. Exact by
+    pigeonhole at radius <= bands-1, so both engines must return the
+    same pair set bit-for-bit."""
+    width = 64 // bands
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band, "
+        f"substr(simhash, {i * width + 1}, {width}) AS key FROM sh"
+        for i in range(bands))
+    ham = " + ".join(
+        f"CASE WHEN substr(l_sig, {i}, 1) <> substr(r_sig, {i}, 1) "
+        "THEN 1 ELSE 0 END"
+        for i in range(1, 65))
+    return f"""
+WITH n AS (SELECT doc_id, {_NORM_TEXT} AS norm FROM documents),
+     d AS (SELECT doc_id, list_transform(string_split(norm, ' '), t -> md5(t)) AS digests FROM n),
+     sh AS (SELECT doc_id, {_simhash_expr()} AS simhash FROM d),
+     bk AS ({band_rows}),
+     cand AS (SELECT DISTINCT a.doc_id AS l_id, a.simhash AS l_sig,
+                     b.doc_id AS r_id, b.simhash AS r_sig
+              FROM bk a JOIN bk b
+                ON a.band = b.band AND a.key = b.key
+                   AND a.doc_id < b.doc_id)
+SELECT l_id, r_id, CAST(h AS INT) AS hamming
+FROM (SELECT l_id, r_id, ({ham}) AS h FROM cand)
+WHERE h <= {radius}
+"""
+
+
+SIMHASH_NEAR_DUP = _simhash_near_dup_sql()
 
 def _grams5(src: str) -> str:
     return f"""
@@ -4422,6 +4461,7 @@ ORACLES: dict[str, str] = {
     "frame_sample": FRAME_SAMPLE,
     "ann_variants": ANN_VARIANTS,
     "simhash": SIMHASH,
+    "simhash_near_dup": SIMHASH_NEAR_DUP,
     "ngram_jaccard": NGRAM_JACCARD,
     "ann_brute": ANN_BRUTE,
     "knn_classify": KNN_CLASSIFY,

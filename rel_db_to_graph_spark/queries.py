@@ -985,6 +985,18 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_table(load_table(spark, sf_dir, "documents"))
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs (round 12): Hamming radius 3 over
+    4 sixteen-bit bands — EXACT by pigeonhole at radius <= bands-1, so
+    the banding is a pruning strategy, not an approximation, at this
+    configuration. max_bucket=None because the DuckDB twin is
+    exhaustive (same rule as q_near_dup_pairs); the production cap
+    stays available on the operator (operators/dedup.py::
+    simhash_near_dup)."""
+    return D.simhash_near_dup(load_table(spark, sf_dir, "documents"),
+                              radius=3, bands=4, max_bucket=None)
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size overlapping character chunks (size 200, overlap 50) —
     the doc-splitting step before embedding/indexing; map-only explode."""

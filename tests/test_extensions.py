@@ -340,3 +340,42 @@ def test_embedding_dedup_gemm_matches_scalar(spark):
     mixed = run(20)       # sf0.001 buckets straddle this pair count
     assert scalar == all_gemm == mixed
     assert len(scalar) > 0
+
+
+def test_simhash_near_dup_banding_is_exact(spark):
+    """radius <= bands-1 makes the banded candidate set lossless: the
+    banded pairs must equal brute-force all-pairs Hamming <= radius."""
+    from itertools import combinations
+
+    from rel_db_to_graph_spark.operators.dedup import (
+        simhash_near_dup,
+        simhash_table,
+    )
+    from rel_db_to_graph_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("doc_id") < 200)
+    got = {(r.l_id, r.r_id): r.hamming
+           for r in simhash_near_dup(docs, radius=3, bands=4).collect()}
+    sigs = {r.doc_id: r.simhash for r in simhash_table(docs).collect()}
+    want = {}
+    for a, b in combinations(sorted(sigs), 2):
+        h = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+        if h <= 3:
+            want[(a, b)] = h
+    assert got == want
+
+
+def test_simhash_near_dup_bucket_cap(spark):
+    """max_bucket caps each (band, key) bucket to the lowest-id members
+    — capped output must be a subset of the exhaustive pairs."""
+    from rel_db_to_graph_spark.operators.dedup import simhash_near_dup
+    from rel_db_to_graph_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    full = {(r.l_id, r.r_id)
+            for r in simhash_near_dup(docs, radius=7, bands=8).collect()}
+    capped = {(r.l_id, r.r_id)
+              for r in simhash_near_dup(docs, radius=7, bands=8,
+                                        max_bucket=5).collect()}
+    assert capped <= full
