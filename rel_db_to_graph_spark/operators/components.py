@@ -53,15 +53,30 @@ def connected_components(edges: DataFrame, src: str = "src",
     e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
          .filter(F.col("a") != F.col("b")))
     # symmetrize once so each round is a single directed join; distinct
-    # bounds message volume to |E| when the pair generator emits dups
+    # bounds message volume to |E| when the pair generator emits dups.
+    # Optimization round 12 (guide §2.4): the static side is hash-
+    # partitioned on the per-round join key ("b") BEFORE the barrier,
+    # so every round's neighbour-min join re-shuffles only the (small)
+    # label state, never the edge list — the checkpointed RDD keeps its
+    # HashPartitioning and the join's ENSURE_REQUIREMENTS is already
+    # met on the edge side.
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
     sym = (e.unionByName(e.select(F.col("b").alias("a"),
                                   F.col("a").alias("b")))
            .distinct()
+           .repartition(n_part, F.col("b"))
            .localCheckpoint(eager=True))
 
     labels = (sym.select(F.col("a").alias("v")).distinct()
               .select("v", F.col("v").alias("comp"))
               .localCheckpoint(eager=True))
+    # labels only ever DECREASE (min-propagation of vertex ids), so the
+    # fixpoint test "no label changed" equals "sum of labels unchanged"
+    # — one exact decimal aggregate over the just-checkpointed state
+    # instead of the old join-with-previous + filter + count (one full
+    # join per round removed; optimization round 12, guide §2.4).
+    prev_sum = labels.agg(
+        F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
 
     for _ in range(max_iter):
         # (1) neighbour min
@@ -77,13 +92,12 @@ def connected_components(edges: DataFrame, src: str = "src",
                           "comp", "left")
                 .select("v", F.coalesce("_c2", "comp").alias("comp")))
         new_labels = jump.localCheckpoint(eager=True)
-        changed = (new_labels
-                   .join(labels.withColumnRenamed("comp", "_old"), "v")
-                   .filter(F.col("comp") != F.col("_old"))
-                   .limit(1).count())
+        new_sum = new_labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         f"(diameter > 2^{max_iter}? — that is not a real graph)")

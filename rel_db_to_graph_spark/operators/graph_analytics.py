@@ -106,7 +106,7 @@ def _oriented(edges: DataFrame, deg: DataFrame) -> DataFrame:
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("d_deg"))
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, materialized: bool = False) -> DataFrame:
     """(node, n_triangles) for every vertex on >= 1 triangle.
 
     Degree-ordered orientation + edge-iterator intersection (see
@@ -119,9 +119,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     The edge list is materialized ONCE up front (localCheckpoint):
     callers pass a derived projection (e.g. the co-purchase self-join)
     whose lineage would otherwise re-run for the degree pass AND both
-    sides of the orientation join.
+    sides of the orientation join. Callers whose edge frame is ALREADY
+    a materialized barrier (the shared co-purchase checkpoint) pass
+    ``materialized=True`` and skip a redundant full copy of |E| rows
+    (optimization round 12 — one whole materialization job saved).
     """
-    edges = edges.localCheckpoint(eager=True)
+    if not materialized:
+        edges = edges.localCheckpoint(eager=True)
     return _triangle_counts_on(edges, degrees(edges))
 
 
@@ -135,14 +139,22 @@ def _triangle_counts_on(edges: DataFrame, deg: DataFrame) -> DataFrame:
     bounded work and the 41M-row wedge set never materializes —
     work per node concentrates identically to the wedge join (both
     hash on the apex), but materialization drops from one row per
-    wedge to one array-intersect per edge."""
-    o = _oriented(edges, deg).localCheckpoint(eager=True)
-    adj = o.groupBy("s").agg(F.collect_list("d").alias("nbr"))
-    e = o.select(F.col("s").alias("u"), F.col("d").alias("v"))
-    j = (e.join(adj.select(F.col("s").alias("u"),
-                           F.col("nbr").alias("nu")), "u")
-         .join(adj.select(F.col("s").alias("v"),
-                          F.col("nbr").alias("nv")), "v"))
+    wedge to one array-intersect per edge.
+
+    Optimization round 12 (guide §2.4): the oriented edge list is no
+    longer materialized and then joined against the adjacency twice —
+    the ADJACENCY table is the one barrier (|V| rows, same total longs
+    as the |E|-row edge list), the (u, v, N⁺(u)) side derives from it
+    by a map-only explode, and ONE join on v attaches N⁺(v). Plan
+    shape: 2 joins + 2 barriers → 1 join + 1 barrier; each oriented
+    edge still meets exactly once, so counts are bit-identical."""
+    o = _oriented(edges, deg)
+    adj = (o.groupBy("s").agg(F.collect_list("d").alias("nbr"))
+           .localCheckpoint(eager=True))
+    pairs = adj.select(F.col("s").alias("u"), F.col("nbr").alias("nu"),
+                       F.explode("nbr").alias("v"))
+    j = pairs.join(adj.select(F.col("s").alias("v"),
+                              F.col("nbr").alias("nv")), "v")
     tri = (j.select("u", "v", F.array_intersect("nu", "nv").alias("xs"))
            .filter(F.size("xs") > 0))
     members = tri.select(F.explode(
@@ -150,13 +162,18 @@ def _triangle_counts_on(edges: DataFrame, deg: DataFrame) -> DataFrame:
     return members.groupBy("node").agg(F.count("*").alias("n_triangles"))
 
 
-def clustering_coefficient(edges: DataFrame) -> DataFrame:
+def clustering_coefficient(edges: DataFrame,
+                           materialized: bool = False) -> DataFrame:
     """(node, deg, coeff): local clustering coefficient
     2*T(v) / (deg(v) * (deg(v)-1)) for every node with deg >= 2, rounded
     to 6 dp (the cross-engine float contract used repo-wide). Nodes on
     no triangle get coeff 0.0, not a dropped row. Shares one edge
-    materialization and one degree pass with the triangle computation."""
-    edges = edges.localCheckpoint(eager=True)
+    materialization and one degree pass with the triangle computation.
+    ``materialized=True`` = the caller's edge frame is already a
+    barrier; skip the redundant copy (same contract as
+    ``triangle_counts``)."""
+    if not materialized:
+        edges = edges.localCheckpoint(eager=True)
     all_deg = degrees(edges).localCheckpoint(eager=True)
     deg = all_deg.filter(F.col("deg") >= 2)
     tri = _triangle_counts_on(edges, all_deg)
@@ -330,7 +347,8 @@ def triangle_counts_incremental(old_edges: DataFrame,
     delta_counts = (delta.select(F.explode(F.array("a", "b", "c"))
                                  .alias("node"))
                     .groupBy("node").agg(F.count("*").alias("d")))
-    base = triangle_counts(old)
+    base = triangle_counts(old, materialized=True)  # `old` is the
+    # checkpointed distinct frame built at the top of this function
     return (base.join(delta_counts, "node", "full")
             .select("node",
                     (F.coalesce(F.col("n_triangles"), F.lit(0))

@@ -43,25 +43,27 @@ def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85,
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     verts = (e.select(F.col("a").alias("v"))
              .unionByName(e.select(F.col("b").alias("v")))
-             .distinct().localCheckpoint(eager=True))
-    n = verts.count()
-    if n == 0:
-        return verts.select("v", F.lit(0.0).alias("rank"))
+             .distinct())
 
     out_deg = e.groupBy("a").agg(F.count("*").alias("_deg"))
     # edges annotated with the src out-degree, reused every iteration
     e_deg = e.join(out_deg, "a").localCheckpoint(eager=True)
-    # the dangling vertex SET is static — compute the anti-join once;
-    # each iteration then only re-aggregates its (small) rank mass via
-    # a broadcast semi-join instead of a full shuffle anti-join
-    dangling_verts = (verts.join(out_deg.withColumnRenamed("a", "v"),
-                                 "v", "left_anti")
-                      .localCheckpoint(eager=True))
-    # forcing the broadcast is only right while the set is small; a
-    # web-graph-shaped input (most pages dangling) falls back to a
-    # plain shuffle semi-join
-    if dangling_verts.count() <= 1_000_000:
-        dangling_verts = F.broadcast(dangling_verts)
+
+    # optimization round 12 (guide §2.4): the dangling-vertex SET used
+    # to be a separate checkpointed anti-join that every iteration
+    # semi-joined against ranks to re-aggregate its mass. Instead the
+    # static per-vertex dangling FLAG is computed once, rides on the
+    # rank state through every superstep (the zero-contribution row —
+    # see below — re-attaches it after each aggregation), and the
+    # dangling mass is a plain filter+sum over the state. Removes the
+    # per-iteration broadcast join, the extra checkpoint, and one
+    # whole setup count job (n and |dangling| come from ONE aggregate).
+    vstat = (verts.join(out_deg.withColumnRenamed("a", "v"), "v", "left")
+             .select("v", F.col("_deg").isNull().alias("_dang"))
+             .localCheckpoint(eager=True))
+    n = vstat.count()
+    if n == 0:
+        return vstat.select("v", F.lit(0.0).alias("rank"))
 
     # All scalar math is DOUBLE with a fixed expression shape (the
     # oracle mirrors it operation-for-operation, so IEEE gives the same
@@ -69,26 +71,41 @@ def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85,
     # makes them order/partitioning-independent.
     d = F.lit(float(damping))
     base = F.lit((1.0 - damping) / n)
-    ranks = verts.select(
-        "v", F.lit(1.0 / n).cast(_DEC).alias("rank"))
+    ranks = vstat.select(
+        "v", F.lit(1.0 / n).cast(_DEC).alias("rank"), "_dang")
+
+    # optimization round 12 (guide §2.4): the per-iteration
+    # "verts LEFT JOIN summed" (one extra shuffle + join per superstep)
+    # is replaced by unioning a static zero-contribution row per vertex
+    # into the aggregation — decimal addition is exact, so summing the
+    # extra zeros is bit-identical to the old coalesce(NULL→0) path,
+    # every vertex still appears exactly once, and the superstep drops
+    # from 3 exchanges to 2 (the zero branch reuses the checkpointed
+    # vstat partitioning). The zero rows also carry the dangling flag;
+    # contribution rows carry false, and max() re-derives the flag
+    # (exactly one zero row per vertex holds the true value).
+    zero = vstat.select("v", F.lit(0).cast(_DEC).alias("_c"), "_dang")
 
     for it in range(n_iter):
-        contrib = (e_deg.join(ranks.withColumnRenamed("v", "a"), "a")
+        contrib = (e_deg.join(ranks.withColumnRenamed("v", "a")
+                              .select("a", "rank"), "a")
                    .select(F.col("b").alias("v"),
                            (F.col("rank").cast("double") / F.col("_deg"))
-                           .cast(_DEC).alias("_c")))
-        summed = contrib.groupBy("v").agg(F.sum("_c").alias("_in"))
+                           .cast(_DEC).alias("_c"),
+                           F.lit(False).alias("_dang")))
+        summed = (contrib.unionByName(zero)
+                  .groupBy("v").agg(F.sum("_c").alias("_in"),
+                                    F.max("_dang").alias("_dang")))
         # dangling mass: rank held by vertices with no out-edges,
         # redistributed uniformly (1-row aggregate, broadcast join)
-        dangling = (ranks.join(dangling_verts, "v", "left_semi")
+        dangling = (ranks.filter(F.col("_dang"))
                     .agg(F.coalesce(F.sum("rank"), F.lit(0).cast(_DEC))
                          .alias("_dm")))
         new_rank = (base + d * (
             F.coalesce(F.col("_in").cast("double"), F.lit(0.0))
             + F.col("_dm").cast("double") / F.lit(float(n))))
-        ranks = (verts.join(summed, "v", "left")
-                 .crossJoin(F.broadcast(dangling))
-                 .select("v", new_rank.cast(_DEC).alias("rank")))
+        ranks = (summed.crossJoin(F.broadcast(dangling))
+                 .select("v", new_rank.cast(_DEC).alias("rank"), "_dang"))
         if (it + 1) % max(checkpoint_every, 1) == 0 or it == n_iter - 1:
             ranks = ranks.localCheckpoint(eager=True)
 

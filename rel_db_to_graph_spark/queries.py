@@ -2422,7 +2422,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rel_db_to_graph_spark.operators.graph_analytics import (
         triangle_counts,
     )
-    return triangle_counts(_copurchase_base(spark, sf_dir)).select(
+    return triangle_counts(_copurchase_base(spark, sf_dir),
+                           materialized=True).select(
         F.col("node").alias("l_partkey"), "n_triangles")
 
 
@@ -2432,7 +2433,8 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rel_db_to_graph_spark.operators.graph_analytics import (
         clustering_coefficient,
     )
-    return clustering_coefficient(_copurchase_base(spark, sf_dir)).select(
+    return clustering_coefficient(_copurchase_base(spark, sf_dir),
+                                  materialized=True).select(
         F.col("node").alias("l_partkey"), "deg", "coeff")
 
 
@@ -2592,7 +2594,7 @@ def q_graph_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (_copurchase_base(spark, sf_dir).filter(F.col("w") >= 2)
              .localCheckpoint(eager=True))
     deg = degrees(edges)
-    tri = triangle_counts(edges)
+    tri = triangle_counts(edges, materialized=True)
     com = label_propagation(edges, n_iter=5)
     core = k_core(edges, k=3).select("node", F.lit(True).alias("in_core"))
     return (deg.join(tri, "node", "left")
