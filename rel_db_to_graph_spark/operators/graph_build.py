@@ -129,12 +129,14 @@ def dense_ids_scalable(df: DataFrame, pk: str,
         base = base.distinct()
     bucketed = base.withColumn("_b", hash_bucket(F.col("pk"), num_buckets))
     w_rank = Window.partitionBy("_b").orderBy("pk")
-    w_bucket = Window.partitionBy("_b")
-    ranked = (bucketed
-              .withColumn("_rk", F.row_number().over(w_rank))
-              .withColumn("_n", F.count("*").over(w_bucket)))
+    ranked = bucketed.withColumn("_rk", F.row_number().over(w_rank))
+    # bucket sizes from a groupBy on the SAME shuffled subtree (the
+    # exchange is reused) instead of a second unordered count(*) window
+    # over the data-sized frame — the old form buffered every bucket
+    # twice (optimization round 12, guide §2.4). max(_rk) per bucket ==
+    # the bucket size, so the offsets are value-identical.
     w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (ranked.filter(F.col("_rk") == 1).select("_b", "_n")
+    offsets = (ranked.groupBy("_b").agg(F.max("_rk").alias("_n"))
                .select("_b",
                        F.coalesce(F.sum("_n").over(w_off), F.lit(0))
                        .alias("_off")))
@@ -166,12 +168,12 @@ def _node_frame_bucketed(df: DataFrame, table: str,
                           *[F.col(c).cast("double").alias(c) for c in feats])
                 .withColumn("_b", hash_bucket(F.col("pk"), num_buckets)))
     w_rank = Window.partitionBy("_b").orderBy("pk")
-    w_bucket = Window.partitionBy("_b")
-    ranked = (bucketed
-              .withColumn("_rk", F.row_number().over(w_rank))
-              .withColumn("_n", F.count("*").over(w_bucket)))
+    ranked = bucketed.withColumn("_rk", F.row_number().over(w_rank))
+    # bucket sizes via groupBy max(_rk) on the reused exchange instead
+    # of a second count(*) window over the wide frame (see
+    # dense_ids_scalable — optimization round 12, guide §2.4)
     w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (ranked.filter(F.col("_rk") == 1).select("_b", "_n")
+    offsets = (ranked.groupBy("_b").agg(F.max("_rk").alias("_n"))
                .select("_b",
                        F.coalesce(F.sum("_n").over(w_off), F.lit(0))
                        .alias("_off")))

@@ -146,11 +146,18 @@ def tfidf_keywords(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
         F.explode(tokens(normalize(F.col(text_col)))).alias("term"))
         .filter(F.col("term") != ""))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.countDistinct(F.col(id_col)).alias("_n"))
     from pyspark.sql import Window
+    # document frequency as a window count over the tf table instead of
+    # a groupBy + self-join (optimization round 12, guide §2.4): tf is
+    # already one row per (doc, term), so count(*) over a term window
+    # IS the distinct-doc count, at one exchange instead of two (the
+    # old plan shuffled tf by term twice — once to aggregate df, once
+    # to join it back).
+    w_df = Window.partitionBy("term")
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
-    return (tf.join(df_, "term").crossJoin(F.broadcast(n_docs))
+    return (tf.withColumn("df", F.count("*").over(w_df))
+            .crossJoin(F.broadcast(n_docs))
             .withColumn("score",
                         F.col("tf")
                         * F.expr("(1000 * _n) div df").cast("long"))
