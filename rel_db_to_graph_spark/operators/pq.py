@@ -61,15 +61,26 @@ def _assign_sub(df: DataFrame, s: int, dsub: int,
 
 
 def train_pq(embeddings: DataFrame, m: int = 4, k: int = 8, iters: int = 2,
-             id_col: str = "vec_id",
-             vec_col: str = "embedding") -> list[list[list[float]]]:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             _e: DataFrame | None = None) -> list[list[list[float]]]:
     """Per-subspace codebooks ``[m][k][dsub]``. Deterministic: init =
     the k lowest-id vectors' subvectors; ties in argmin break to the
-    lower code. Raises if the dimension is not divisible by ``m``."""
-    e = embeddings.select(
-        F.col(id_col).alias("_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"))
-    e = e.localCheckpoint(eager=True)   # m·iters argmin passes re-read _v
+    lower code. Raises if the dimension is not divisible by ``m``.
+
+    ``_e`` (optimization round 12): an already-materialized
+    ``(_id, _v double)`` frame to train on — composed callers (pq_topk,
+    ivfpq_topk) share ONE cast+checkpoint of the corpus across
+    training, encoding and the query-vector lookup instead of paying a
+    scan + cast + barrier per phase. Values are identical (the cast is
+    the same expression)."""
+    if _e is not None:
+        e = _e
+    else:
+        e = embeddings.select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col),
+                        lambda x: x.cast("double")).alias("_v"))
+        e = e.localCheckpoint(eager=True)  # m·iters argmin passes re-read _v
 
     init = e.orderBy("_id").limit(k).collect()
     dim = len(init[0]["_v"])
@@ -115,20 +126,28 @@ def train_pq(embeddings: DataFrame, m: int = 4, k: int = 8, iters: int = 2,
 
 
 def encode_pq(embeddings: DataFrame, books: list[list[list[float]]],
-              id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
-    """(id, codes array<int> of length m) — the compressed corpus.
-    Map-only; at scale this is the frame you persist instead of the
-    float vectors."""
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              _e: DataFrame | None = None) -> DataFrame:
+    """(id[, extras], codes array<int> of length m) — the compressed
+    corpus. Map-only; at scale this is the frame you persist instead of
+    the float vectors. ``_e``: pre-cast ``(id_col, _v[, extras])``
+    frame (see train_pq); any extra column (e.g. the coarse ``cluster``
+    of an IVFPQ build) rides through the encoding, which lets composed
+    callers skip a re-join on id."""
     m = len(books)
     dsub = len(books[0][0])
-    e = embeddings.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"))
+    if _e is not None:
+        e = _e
+    else:
+        e = embeddings.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col),
+                        lambda x: x.cast("double")).alias("_v"))
+    extras = [c for c in e.columns if c not in (id_col, "_v")]
     for s in range(m):
         e = _assign_sub(e, s, dsub, books[s], f"_c{s}")
     return e.select(
-        F.col(id_col),
+        F.col(id_col), *extras,
         F.array(*[F.col(f"_c{s}") for s in range(m)]).alias("codes"))
 
 
@@ -153,16 +172,20 @@ def pq_topk(embeddings: DataFrame, query_id: int, k: int = 10,
             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Top-k by ASCENDING estimated squared distance (ADC), ties to the
     lower id. Returns (id, adist rounded to 6 dp)."""
+    # one cast + one barrier shared by training, encoding and the
+    # query-vector lookup (optimization round 12 — was a scan + cast
+    # per phase)
+    base = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
+    ).localCheckpoint(eager=True)
     books = train_pq(embeddings, m=m, k=n_codes, iters=iters,
-                     id_col=id_col, vec_col=vec_col)
-    codes = encode_pq(embeddings, books, id_col=id_col, vec_col=vec_col)
+                     _e=base.select(F.col(id_col).alias("_id"), "_v"))
+    codes = encode_pq(embeddings, books, id_col=id_col, _e=base)
     dsub = len(books[0][0])
 
-    qv = list(
-        embeddings.filter(F.col(id_col) == query_id)
-        .select(F.transform(F.col(vec_col), lambda x: x.cast("double"))
-                .alias("_v"))
-        .collect()[0]["_v"])
+    qv = list(base.filter(F.col(id_col) == query_id)
+              .collect()[0]["_v"])
     assert dsub * m == len(qv)
     return (
         codes.filter(F.col(id_col) != query_id)
@@ -190,9 +213,13 @@ def ivfpq_topk(embeddings: DataFrame, query_id: int, k: int = 10,
     assigned, centroids = build_ivf_index(embeddings, k=n_clusters,
                                           iters=iters, id_col=id_col,
                                           vec_col=vec_col)
+    # PQ training/encoding reuse the IVF build's checkpointed (id, _v)
+    # frame — same cast, so the codebooks are identical; saves a second
+    # corpus scan + cast + barrier (optimization round 12)
     books = train_pq(embeddings, m=m, k=n_codes, iters=iters,
-                     id_col=id_col, vec_col=vec_col)
-    codes = encode_pq(embeddings, books, id_col=id_col, vec_col=vec_col)
+                     _e=assigned.select(F.col(id_col).alias("_id"), "_v"))
+    codes = encode_pq(embeddings, books, id_col=id_col,
+                      _e=assigned.select(id_col, "_v"))
 
     qv = list(assigned.filter(F.col(id_col) == query_id)
               .collect()[0]["_v"])
@@ -232,11 +259,16 @@ def write_ivfpq_index(embeddings: DataFrame, path: str,
     assigned, centroids = build_ivf_index(embeddings, k=n_clusters,
                                           iters=iters, id_col=id_col,
                                           vec_col=vec_col)
+    # PQ training/encoding reuse the IVF build's checkpointed (id, _v)
+    # frame (identical cast → identical codebooks); the cluster column
+    # rides along through encoding, so the old codes⋈assigned re-join
+    # on id disappears as well (optimization round 12, guide §2.4)
     books = train_pq(embeddings, m=m, k=n_codes, iters=iters,
-                     id_col=id_col, vec_col=vec_col)
-    codes = encode_pq(embeddings, books, id_col=id_col, vec_col=vec_col)
+                     _e=assigned.select(F.col(id_col).alias("_id"), "_v"))
+    codes = encode_pq(embeddings, books, id_col=id_col,
+                      _e=assigned.select(id_col, "_v", "cluster"))
     from rel_db_to_graph_spark.operators.ivf import write_index_partitioned
-    coded = codes.join(assigned.select(id_col, "cluster"), id_col)
+    coded = codes
     write_index_partitioned(coded, path, "codes", partition_buckets)
     spark = embeddings.sparkSession
     (spark.createDataFrame([(i, c) for i, c in enumerate(centroids)],

@@ -153,33 +153,35 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.sql("DROP TABLE IF EXISTS cobkt_r")
 
 
-def test_tfidf_df_table_broadcasts(spark):
-    """The vocabulary-sized df table and the 1-row N must broadcast back
-    onto the tf table — a shuffle join here would reshuffle the corpus
-    per keyword query."""
+def test_tfidf_has_no_term_keyed_join(spark):
+    """Optimization round 12: document frequency is a window count over
+    the tf table (reusing its exchange), so the plan must contain NO
+    term-keyed join at all — the old groupBy+join shape reshuffled the
+    tf table by term a second time, and its broadcast fallback
+    (VERDICT r7 item 3) stopped being reachable when the join itself
+    disappeared. Three hash exchanges max: tf aggregation, the term
+    window, the per-doc rank window."""
     p = plan_of(Q.q_tfidf_keywords(spark, SF_ORACLE))
-    assert p.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "BroadcastHashJoin" not in p          # no df equi-join left
+    assert p.count("Exchange hashpartitioning") <= 3
     # column pruning: only doc_id+text reach the documents scan
     assert "lang" not in p.split("ReadSchema")[1][:200]
 
 
-def test_tfidf_survives_broadcast_threshold_fallback(spark):
-    """VERDICT r7 item 3 (the watch-item nobody had ever observed
-    crossing its cliff): at real corpus scale the vocabulary-sized df
-    table can exceed the broadcast threshold and Spark falls back to a
-    shuffle join. Force that fallback (threshold -1) and pin BOTH that
-    the plan really degraded to SortMergeJoin (the test is vacuous
-    otherwise) AND that the keyword ranking is value-identical — the
-    integer-quantized idf makes rank order join-strategy-independent,
-    so the fallback changes cost, never answers."""
+def test_tfidf_ranking_is_join_strategy_independent(spark):
+    """Successor of the r7 broadcast-fallback pin: with the df window
+    there is no join whose strategy could flip, so disabling broadcast
+    outright (threshold -1 — the knob that used to force the
+    SortMergeJoin fallback) must leave both the no-join plan shape and
+    every keyword rank byte-identical."""
     expected = sorted(
         tuple(r) for r in Q.q_tfidf_keywords(spark, SF_ORACLE).collect())
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         df = Q.q_tfidf_keywords(spark, SF_ORACLE)
         p = plan_of(df)
-        assert "SortMergeJoin" in p, "fallback never engaged"
+        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
         got = sorted(tuple(r) for r in df.collect())
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
