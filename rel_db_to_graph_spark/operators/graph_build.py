@@ -246,6 +246,33 @@ def edges_dense(pairs: DataFrame, src_ids: DataFrame, dst_ids: DataFrame) -> Dat
     )
 
 
+def _incident_counts(incident: list[tuple[bool, bool, DataFrame]]
+                     ) -> DataFrame | None:
+    """(node_id, cnt) of forward-edge endpoint occurrences, or None when
+    no edge type touches this node type. Shared by ``degree`` and
+    ``build_graph`` so the builder can attach degrees to the node frame
+    with ONE node_id join instead of two (degree-onto-ids, then
+    ids-onto-frame — optimization round 12, guide §2.4)."""
+    counted = []
+    for is_src, is_dst, e in incident:
+        if is_src:
+            counted.append(e.select(F.col("src").alias("node_id")))
+        if is_dst:
+            counted.append(e.select(F.col("dst").alias("node_id")))
+    if not counted:
+        return None
+    ends = counted[0]
+    for c in counted[1:]:
+        ends = ends.unionAll(c)
+    # partial (map-side) aggregation is automatic in the groupBy
+    return ends.groupBy("node_id").agg(F.count("*").alias("cnt"))
+
+
+#: the G5 degree formula over a (possibly NULL) endpoint count
+def _degree_col() -> Column:
+    return F.coalesce(F.col("cnt") + 1, F.lit(1)).cast("long").alias("degree")
+
+
 def degree(node_ids: DataFrame,
            incident: list[tuple[bool, bool, DataFrame]]) -> DataFrame:
     """G5: (node_id, degree) for one node type.
@@ -255,24 +282,13 @@ def degree(node_ids: DataFrame,
     before reverse/self-loop edges, C:266). For self-referencing edge
     types pass is_dst=False (the C:224 quirk).
     """
-    counted = []
-    for is_src, is_dst, e in incident:
-        if is_src:
-            counted.append(e.select(F.col("src").alias("node_id")))
-        if is_dst:
-            counted.append(e.select(F.col("dst").alias("node_id")))
-    if not counted:
+    cnt = _incident_counts(incident)
+    if cnt is None:
         return node_ids.select("node_id", F.lit(1).cast("long").alias("degree"))
-    ends = counted[0]
-    for c in counted[1:]:
-        ends = ends.unionAll(c)
-    # partial (map-side) aggregation is automatic in the groupBy
-    cnt = ends.groupBy("node_id").agg(F.count("*").alias("cnt"))
     return (
         node_ids.select("node_id")
         .join(cnt, "node_id", "left")
-        .select("node_id",
-                F.coalesce(F.col("cnt") + 1, F.lit(1)).cast("long").alias("degree"))
+        .select("node_id", _degree_col())
     )
 
 
@@ -391,7 +407,12 @@ def build_graph(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
         edges[key] = edges_dense(pairs, ids[e["src_table"]],
                                  ids[e["dst_table"]]).persist()
 
-    # degree features (before reverse/self-loops, C:266)
+    # degree features (before reverse/self-loops, C:266). The endpoint
+    # counts attach to the node frame DIRECTLY (left join + the same
+    # coalesce(cnt+1, 1) formula): the old shape joined counts onto the
+    # id map first and that (node_id, degree) frame onto the node frame
+    # second — one redundant node_id join per node type (optimization
+    # round 12, guide §2.4; values identical, node_id is a key).
     for t in ntabs:
         incident = []
         for (s, _r, d), edf in edges.items():
@@ -401,8 +422,14 @@ def build_graph(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
                 incident.append((True, False, edf))
             elif d == t:
                 incident.append((False, True, edf))
-        deg = degree(ids[t].select("node_id"), incident)
-        nodes[t] = nodes[t].join(deg, "node_id")
+        cnt = _incident_counts(incident)
+        if cnt is None:
+            nodes[t] = nodes[t].withColumn(
+                "degree", F.lit(1).cast("long"))
+        else:
+            nodes[t] = (nodes[t].join(cnt, "node_id", "left")
+                        .withColumn("degree", _degree_col())
+                        .drop("cnt"))
 
     # reverse edges (G6)
     for key, edf in list(edges.items()):

@@ -53,15 +53,15 @@ def pack_documents(df: DataFrame, token_col: str, key_col: str,
     bucketed = base.withColumn("_b", hash_bucket(F.col("key"), num_buckets))
     w_cum = (Window.partitionBy("_b").orderBy("key")
              .rowsBetween(Window.unboundedPreceding, -1))
-    w_bucket = Window.partitionBy("_b")
-    staged = (bucketed
-              .withColumn("_cum", F.coalesce(F.sum("n_tokens").over(w_cum),
-                                             F.lit(0)))
-              .withColumn("_btot", F.sum("n_tokens").over(w_bucket))
-              .withColumn("_rk", F.row_number().over(
-                  Window.partitionBy("_b").orderBy("key"))))
+    staged = bucketed.withColumn(
+        "_cum", F.coalesce(F.sum("n_tokens").over(w_cum), F.lit(0)))
+    # bucket token totals via a groupBy on the windowed output — it is
+    # already partitioned by _b, so the aggregation adds no exchange
+    # and the old second (unordered) count window over the data-sized
+    # frame disappears (optimization round 12, guide §2.4; same shape
+    # as graph_build.dense_ids_scalable)
     w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (staged.filter(F.col("_rk") == 1).select("_b", "_btot")
+    offsets = (staged.groupBy("_b").agg(F.sum("n_tokens").alias("_btot"))
                .select("_b",
                        F.coalesce(F.sum("_btot").over(w_off), F.lit(0))
                        .alias("_off")))
