@@ -129,13 +129,35 @@ def main() -> None:
     noisy = ("graph_build", "dedup_clusters", "pagerank")
     extra = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_NOISY_EXTRA", "2")))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # deterministic per-query Spark JOB counts (statusTracker), measured
+    # on the first timed pass: at small SF most headline queries are
+    # bound by the ~0.4-0.6 s/job local scheduler floor, so low-core
+    # wall-clock ratios read ~1 regardless of how parallel the plans
+    # are (r12 verdict item 2). Job counts do not depend on the core
+    # count, so (jobs, sec/job) lets the harness consumer tell
+    # "floor-bound at this SF" apart from "does not scale". Timing
+    # methodology is unchanged — same forcers, reps and medians; the
+    # job-group label costs nothing and names each query in the UI
+    # (guide §1.5).
+    jobs: dict[str, int] = {}
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    pass_no = 0
 
     def timed_pass(names) -> None:
+        nonlocal pass_no
+        pass_no += 1
         clear_graph_cache()
         for name in names:
+            group = f"bench:{name}:p{pass_no}"
+            sc.setJobGroup(group, group)
             t0 = time.perf_counter()
             HEADLINE[name](spark, sf_dir)
             samples[name].append(time.perf_counter() - t0)
+            if name not in jobs:
+                jobs[name] = len(tracker.getJobIdsForGroup(group))
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
 
     for _ in range(reps):
         timed_pass(HEADLINE)
@@ -143,6 +165,12 @@ def main() -> None:
         timed_pass([n for n in HEADLINE if n in noisy])
     timings = {name: round(statistics.median(ts), 3)
                for name, ts in samples.items()}
+    # floor-bound marker: median wall under ~0.75 s per job means the
+    # query's wall clock is dominated by per-job scheduling latency at
+    # this SF, so a low-core rerun CANNOT show a core-ratio speedup on
+    # it (the honest reading of a ~1.0 scaling ratio)
+    floor_bound = {name: bool(timings[name] < 0.75 * max(jobs.get(name, 1), 1))
+                   for name in timings}
 
     print(json.dumps({
         "metric": "headline_queries_wall_clock",
@@ -152,6 +180,10 @@ def main() -> None:
         "sf": _sf_of(sf_dir),
         "reps": reps,
         "reps_noisy": reps + extra,
+        "master": sc.master,
+        "default_parallelism": sc.defaultParallelism,
+        "jobs": jobs,
+        "floor_bound": floor_bound,
     }))
 
 

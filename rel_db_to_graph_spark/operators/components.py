@@ -38,6 +38,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+#: estimated in-flight bytes per symmetrized edge row (two longs + row
+#: overhead) and the per-partition target (guide §2.2: shuffle
+#: partitions in the 100 MB–1 GB band) — used to size the frozen edge
+#: partitioning from the MEASURED edge count, not from the core count.
+_SYM_ROW_BYTES = 24
+_TARGET_PART_BYTES = 128 * 1024 * 1024
+
+_INTEGRAL_TYPES = (ByteType, ShortType, IntegerType, LongType)
+
+
+def _checkpointed_bytes(df: DataFrame) -> int | None:
+    """Materialized byte size of a just-``localCheckpoint(eager=True)``'d
+    frame, read from the block manager's storage registry — ZERO jobs.
+    The checkpoint's LogicalRDD wraps exactly the persisted RDD, so its
+    id keys the RDDInfo entry. Returns None when the internals shift
+    (py4j accessor path) so callers can fall back to an exact count."""
+    try:
+        rdd_id = df._jdf.queryExecution().analyzed().rdd().id()
+        jsc = df.sparkSession.sparkContext._jsc.sc()
+        for info in jsc.getRDDStorageInfo():
+            if info.id() == rdd_id:
+                return int(info.memSize() + info.diskSize())
+    except Exception:
+        return None
+    return None
 
 
 def connected_components(edges: DataFrame, src: str = "src",
@@ -49,34 +76,75 @@ def connected_components(edges: DataFrame, src: str = "src",
     Vertices with no edges don't appear — callers wanting singleton
     clusters union them in with comp = v (duplicate_clusters does not:
     a doc with no near-dup pair IS its own keeper by default).
+
+    Vertex ids may be any orderable type. INTEGRAL ids (the common
+    case) get a cheaper convergence test — see the fast/fallback split
+    below; the result is identical either way.
     """
     e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
          .filter(F.col("a") != F.col("b")))
-    # symmetrize once so each round is a single directed join; distinct
-    # bounds message volume to |E| when the pair generator emits dups.
-    # Optimization round 12 (guide §2.4): the static side is hash-
-    # partitioned on the per-round join key ("b") BEFORE the barrier,
-    # so every round's neighbour-min join re-shuffles only the (small)
-    # label state, never the edge list — the checkpointed RDD keeps its
-    # HashPartitioning and the join's ENSURE_REQUIREMENTS is already
-    # met on the edge side.
-    n_part = edges.sparkSession.sparkContext.defaultParallelism
+    # Symmetrize once so each round is a single directed join, hash-
+    # partitioned on the per-round join key ("b") BEFORE the barrier so
+    # every round's neighbour-min join re-shuffles only the (small)
+    # label state, never the edge list (optimization round 12, guide
+    # §2.4). Optimization round 13: the dedup ``distinct()`` is fused
+    # INTO that layout — rows with equal (a, b) are co-located under
+    # hash(b), so dropDuplicates needs no exchange of its own and the
+    # edge list crosses the network ONCE, not twice (the old shape
+    # shuffled by (a, b) for distinct and again by b for the layout).
+    sc = edges.sparkSession.sparkContext
+    n_floor = sc.defaultParallelism
     sym = (e.unionByName(e.select(F.col("b").alias("a"),
                                   F.col("a").alias("b")))
-           .distinct()
-           .repartition(n_part, F.col("b"))
+           .repartition(n_floor, F.col("b"))
+           .dropDuplicates(["a", "b"])
            .localCheckpoint(eager=True))
+    # Size the FROZEN edge partitioning by the data, not the core count
+    # (optimization round 13, guide §2.2 / r12 verdict item 4): the
+    # checkpointed RDD's partitioning can never be split by AQE, so at
+    # 100 TB |E|/defaultParallelism per partition would be enormous.
+    # The measured size comes from the block manager's registry for the
+    # just-materialized checkpoint (zero jobs; exact-count fallback if
+    # the accessor path breaks); the re-layout shuffle is paid ONLY
+    # when the measured edge bytes outgrow the core floor (never at
+    # test SF, always at cluster scale — exactly when it is essential).
+    sym_bytes = _checkpointed_bytes(sym)
+    if sym_bytes is None:
+        sym_bytes = sym.count() * _SYM_ROW_BYTES
+    n_data = int(sym_bytes // _TARGET_PART_BYTES) + 1
+    if n_data > n_floor:
+        sym = (sym.repartition(n_data, F.col("b"))
+               .localCheckpoint(eager=True))
 
     labels = (sym.select(F.col("a").alias("v")).distinct()
               .select("v", F.col("v").alias("comp"))
               .localCheckpoint(eager=True))
-    # labels only ever DECREASE (min-propagation of vertex ids), so the
-    # fixpoint test "no label changed" equals "sum of labels unchanged"
-    # — one exact decimal aggregate over the just-checkpointed state
-    # instead of the old join-with-previous + filter + count (one full
-    # join per round removed; optimization round 12, guide §2.4).
-    prev_sum = labels.agg(
-        F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+    # Convergence: labels only ever DECREASE (min-propagation), so "no
+    # label changed" equals "sum of labels unchanged" — one exact
+    # decimal aggregate over the just-checkpointed state instead of a
+    # join-with-previous + filter + count per round (optimization round
+    # 12, guide §2.4). The sum test is only sound when the cast to
+    # decimal(38,0) is lossless: for non-integral ids (string doc ids,
+    # floats) the cast yields NULL, every round's sum is NULL, and
+    # None == None would return after round one with unconverged labels
+    # (r12 ADVICE). Integral ids use the fast path; anything else — and
+    # any round where a sum comes back NULL (decimal overflow under
+    # non-ANSI semantics) — falls back to the exact join-based
+    # changed-row check.
+    sum_check = isinstance(labels.schema["comp"].dataType, _INTEGRAL_TYPES)
+
+    def label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+
+    def changed(new: DataFrame, old: DataFrame) -> bool:
+        return bool(
+            new.alias("n")
+            .join(old.select(F.col("v"), F.col("comp").alias("_pc")), "v")
+            .filter(F.col("comp") != F.col("_pc"))
+            .limit(1).count())
+
+    prev_sum = label_sum(labels) if sum_check else None
 
     for _ in range(max_iter):
         # (1) neighbour min
@@ -92,12 +160,18 @@ def connected_components(edges: DataFrame, src: str = "src",
                           "comp", "left")
                 .select("v", F.coalesce("_c2", "comp").alias("comp")))
         new_labels = jump.localCheckpoint(eager=True)
-        new_sum = new_labels.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+        if sum_check:
+            new_sum = label_sum(new_labels)
+            if new_sum is not None and prev_sum is not None:
+                converged = new_sum == prev_sum
+            else:          # decimal overflow -> NULL: exact fallback
+                converged = not changed(new_labels, labels)
+            prev_sum = new_sum
+        else:
+            converged = not changed(new_labels, labels)
         labels = new_labels
-        if new_sum == prev_sum:
+        if converged:
             return labels
-        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         f"(diameter > 2^{max_iter}? — that is not a real graph)")

@@ -141,22 +141,39 @@ def tfidf_keywords(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
     dependent. Monotonicity in (tf, 1/df) — all a keyword rank needs —
     is preserved; ties break by term for a total order.
     """
+    # Optimization round 13 (guide §2.3/§2.5; r12 verdict item 5): ONE
+    # corpus-sized exchange total — the exploded token stream, keyed on
+    # doc_id. Tokenization runs ONCE, below the exchange; everything
+    # downstream reuses it (AQE exchange reuse across both branches):
+    #   * the tf aggregate needs clustering by (doc_id, term) —
+    #     hash(doc_id) already provides it, so no tf exchange;
+    #   * the per-doc rank window is keyed on doc_id — same exchange;
+    #   * document frequency is a groupBy(term) of the tf table — its
+    #     OWN exchange carries VOCABULARY-sized partial counts (map-side
+    #     combine makes a stopword-grade hot term one row per partition,
+    #     not one giant buffered group), and the result broadcast-joins
+    #     back. The r12 window-df shape shuffled the FULL tf table by
+    #     term with no partial aggregation, so one hot term became a
+    #     single unsplittable WindowExec group (AQE skew handling never
+    #     applies to windows) — fine at test SF, a straggler cliff at
+    #     corpus scale.
+    # Net: 1 corpus-sized shuffle instead of the r12 shape's 3 (tf by
+    # (doc, term), by term, by doc), skew-safe at every key. df values
+    # are identical (tf is one row per (doc, term), so count-per-term
+    # over tf IS the distinct-doc count); the broadcast side is the
+    # vocabulary aggregate — millions of rows at corpus scale, the
+    # documented-safe broadcast band.
     terms = (docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(normalize(F.col(text_col)))).alias("term"))
-        .filter(F.col("term") != ""))
+        .filter(F.col("term") != "")
+        .repartition(F.col("doc_id")))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.countDistinct(F.col(id_col)).alias("_n"))
     from pyspark.sql import Window
-    # document frequency as a window count over the tf table instead of
-    # a groupBy + self-join (optimization round 12, guide §2.4): tf is
-    # already one row per (doc, term), so count(*) over a term window
-    # IS the distinct-doc count, at one exchange instead of two (the
-    # old plan shuffled tf by term twice — once to aggregate df, once
-    # to join it back).
-    w_df = Window.partitionBy("term")
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
-    return (tf.withColumn("df", F.count("*").over(w_df))
+    return (tf.join(F.broadcast(df_), "term")
             .crossJoin(F.broadcast(n_docs))
             .withColumn("score",
                         F.col("tf")
@@ -293,10 +310,16 @@ def bm25_retrieval(docs: DataFrame, probe_ids: tuple[int, ...] = (0, 7, 42),
 
     from rel_db_to_graph_spark.operators.text import normalize, tokens
 
+    # one corpus-sized exchange keyed on doc_id (optimization round 13
+    # — same restructure as tfidf_keywords, see there for the skew
+    # rationale): tf, dl and the final doc-keyed join all reuse it; only
+    # the vocabulary-sized df aggregate and the results-sized per-query
+    # rollup shuffle again
     terms = (docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(normalize(F.col(text_col)))).alias("term"))
-        .filter(F.col("term") != ""))
+        .filter(F.col("term") != "")
+        .repartition(F.col("doc_id")))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))

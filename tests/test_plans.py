@@ -153,28 +153,35 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.sql("DROP TABLE IF EXISTS cobkt_r")
 
 
-def test_tfidf_has_no_term_keyed_join(spark):
-    """Optimization round 12: document frequency is a window count over
-    the tf table (reusing its exchange), so the plan must contain NO
-    term-keyed join at all — the old groupBy+join shape reshuffled the
-    tf table by term a second time, and its broadcast fallback
-    (VERDICT r7 item 3) stopped being reachable when the join itself
-    disappeared. Three hash exchanges max: tf aggregation, the term
-    window, the per-doc rank window."""
+def test_tfidf_is_skew_safe_single_corpus_shuffle(spark):
+    """Optimization round 13 (r12 verdict item 5): the token stream is
+    shuffled ONCE, keyed on doc_id; tf, the df aggregate (via AQE
+    exchange reuse) and the rank window all ride that exchange. The
+    skew pins: NO term-partitioned window anywhere (the r12 df window
+    buffered a hot term's full posting list in one unsplittable
+    WindowExec group), and the df re-attach is a BROADCAST join, never
+    a shuffled one — so no corpus-sized term-keyed repartition exists
+    in the plan at all."""
+    import re
+
     p = plan_of(Q.q_tfidf_keywords(spark, SF_ORACLE))
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
-    assert "BroadcastHashJoin" not in p          # no df equi-join left
-    assert p.count("Exchange hashpartitioning") <= 3
+    assert "BroadcastHashJoin" in p              # df rides back broadcast
+    windows = re.findall(r"^\(\d+\) Window$", p, re.M)
+    assert len(windows) == 1                     # the per-doc rank only
+    assert "windowspecdefinition(term" not in p  # no term-keyed window
+    assert "windowspecdefinition(doc_id" in p
     # column pruning: only doc_id+text reach the documents scan
     assert "lang" not in p.split("ReadSchema")[1][:200]
 
 
 def test_tfidf_ranking_is_join_strategy_independent(spark):
-    """Successor of the r7 broadcast-fallback pin: with the df window
-    there is no join whose strategy could flip, so disabling broadcast
-    outright (threshold -1 — the knob that used to force the
-    SortMergeJoin fallback) must leave both the no-join plan shape and
-    every keyword rank byte-identical."""
+    """Successor of the r7 broadcast-fallback pin: the df join is
+    hint-forced broadcast (the build side is the vocabulary aggregate,
+    not a corpus-sized frame), so disabling auto-broadcast outright
+    (threshold -1 — the knob that used to force the SortMergeJoin
+    fallback) must leave both the broadcast plan shape and every
+    keyword rank byte-identical."""
     expected = sorted(
         tuple(r) for r in Q.q_tfidf_keywords(spark, SF_ORACLE).collect())
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -19,7 +19,7 @@ sys.path.insert(0, "/root/repo")
 from rel_db_to_graph_spark import get_spark  # noqa: E402
 from rel_db_to_graph_spark import queries as Q  # noqa: E402
 
-TAG_DIR = "/root/repo/plans/r12"
+TAG_DIR = os.environ.get("SPARK_GRAFT_PLAN_DIR", "/root/repo/plans/r13")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
