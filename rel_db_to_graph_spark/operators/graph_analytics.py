@@ -123,6 +123,14 @@ def triangle_counts(edges: DataFrame, materialized: bool = False) -> DataFrame:
     a materialized barrier (the shared co-purchase checkpoint) pass
     ``materialized=True`` and skip a redundant full copy of |E| rows
     (optimization round 12 — one whole materialization job saved).
+
+    CONTRACT (r12 ADVICE): ``materialized=True`` is an unchecked caller
+    PROMISE that ``edges`` is a checkpoint/cached scan. Passing a lazy
+    derived frame does not break correctness — it silently re-runs the
+    edge lineage once for the degree pass and once for the adjacency
+    build, i.e. it multiplies the edge-derivation cost by ~2-3x, which
+    is exactly the recompute the default unconditional checkpoint
+    exists to prevent. When unsure, leave the default (False).
     """
     if not materialized:
         edges = edges.localCheckpoint(eager=True)

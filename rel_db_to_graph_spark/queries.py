@@ -1989,84 +1989,129 @@ def q_ann_index_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.select(F.lit(name).alias("variant"), F.col("vec_id"),
                          F.col(score_col).alias("score"))
 
-    # ivf_append branch: id-range split (appends arrive as NEW ids)
+    # The six tiers are INDEPENDENT pipelines that meet only at the
+    # final union, and each runs real driver-side jobs during
+    # CONSTRUCTION (Lloyd-training collects, the micro-batch streaming
+    # drain) — serially those jobs were this row's entire ~35 s cost at
+    # sf0.01. Optimization round 13 (guide §2.6): the branches are
+    # constructed from a small driver thread pool so one tier's
+    # training jobs back-fill cores another tier's collects leave idle.
+    # Every branch's arithmetic is self-contained and deterministic, no
+    # session confs are mutated on any path, and the shared inputs
+    # (cut, qv) are computed once up front — the returned rows are
+    # bit-identical to the serial construction (hash-gated).
     cut = (e.agg(F.max("vec_id").alias("m")).collect()[0]["m"] * 4) // 5
-    assigned, cents = build_ivf_index(
-        e.filter(F.col("vec_id") <= cut), k=8, iters=3)
-    au = ivf_append(assigned, cents, e.filter(F.col("vec_id") > cut))
-    qv = list(au.filter(F.col("vec_id") == 0).collect()[0]["_v"])
-    probe = nearest_centroid_ids(list(enumerate(cents)), qv, 4)
+    # query vector: vec 0's double-cast embedding. Previously read back
+    # from the append branch's checkpointed assignment; the checkpoint
+    # holds exactly to_double(embedding) for that row, so this is the
+    # same floats — computed up front so the ivfpq_append branch does
+    # not have to wait on the ivf_append training.
+    from rel_db_to_graph_spark.functions.vector import to_double
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 0)
+          .select(to_double(F.col("embedding")).alias("_v"))
+          .collect()[0]["_v"]]
     qlit = F.array(*[F.lit(float(x)) for x in qv])
-    appended = (au.filter(F.col("cluster").isin(probe))
+
+    def branch_ivf() -> DataFrame:
+        return ivf_topk(e, query_id=0, k=10, n_clusters=8, nprobe=4)
+
+    def branch_pq() -> DataFrame:
+        return pq_topk(e, query_id=0, k=10, m=4, n_codes=8, iters=2)
+
+    def branch_ivfpq() -> DataFrame:
+        return ivfpq_topk(e, query_id=0, k=10, n_clusters=8, nprobe=4,
+                          m=4, n_codes=8, iters=2)
+
+    def branch_append() -> tuple[DataFrame, DataFrame]:
+        # ivf_append: id-range split (appends arrive as NEW ids), then
+        # the SAME append slice drained as a 4-file stream, placed
+        # frozen per micro-batch (foreachBatch), probed identically —
+        # batching-invariance is the check
+        import os
+        import tempfile
+
+        from rel_db_to_graph_spark.streaming.vector_ingest import (
+            StreamingIndexAppender,
+        )
+
+        assigned, cents = build_ivf_index(
+            e.filter(F.col("vec_id") <= cut), k=8, iters=3)
+        au = ivf_append(assigned, cents, e.filter(F.col("vec_id") > cut))
+        probe = nearest_centroid_ids(list(enumerate(cents)), qv, 4)
+        appended = (au.filter(F.col("cluster").isin(probe))
+                    .filter(F.col("vec_id") != 0)
+                    .select("vec_id",
+                            F.round(cosine(F.col("_v"), qlit), 6)
+                            .alias("score"))
+                    .orderBy(F.desc("score"), F.col("vec_id")).limit(10))
+
+        en_df = e.filter(F.col("vec_id") > cut)
+        with tempfile.TemporaryDirectory() as tmp:
+            feed = f"{tmp}/feed"
+            os.makedirs(feed)
+            span = en_df.agg(F.min("vec_id").alias("lo"),
+                             F.max("vec_id").alias("hi")).collect()[0]
+            step = max(1, (span["hi"] - span["lo"] + 4) // 4)
+            for i in range(4):
+                lo = span["lo"] + i * step
+                hi = span["hi"] if i == 3 else lo + step - 1
+                (en_df.filter(F.col("vec_id").between(lo, hi))
+                 .coalesce(1).write.mode("append").parquet(feed))
+            appender = StreamingIndexAppender(assigned, cents)
+            q = (spark.readStream.schema(e.schema)
+                 .option("maxFilesPerTrigger", 1).parquet(feed)
+                 .writeStream.foreachBatch(appender.apply)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        aus = appender.assignment
+        appended_stream = (aus.filter(F.col("cluster").isin(probe))
+                           .filter(F.col("vec_id") != 0)
+                           .select("vec_id",
+                                   F.round(cosine(F.col("_v"), qlit), 6)
+                                   .alias("score"))
+                           .orderBy(F.desc("score"), F.col("vec_id"))
+                           .limit(10))
+        return appended, appended_stream
+
+    def branch_ivfpq_append() -> DataFrame:
+        # same id-range split, BOTH quantizers trained on the base
+        # slice (iters=2, the ivfpq tier's config), the appended slice
+        # placed+encoded frozen, ADC probe over the union
+        eb = e.filter(F.col("vec_id") <= cut)
+        assigned2, cents2 = build_ivf_index(eb, k=8, iters=2)
+        books2 = train_pq(eb, m=4, k=8, iters=2)
+        codes_b = encode_pq(eb, books2)
+        codes_u, au2 = ivfpq_append(codes_b, assigned2, books2, cents2,
+                                    e.filter(F.col("vec_id") > cut))
+        probe2 = nearest_centroid_ids(list(enumerate(cents2)), qv, 4)
+        return (codes_u
+                .join(au2.select("vec_id", "cluster"), "vec_id")
+                .filter(F.col("cluster").isin(probe2))
                 .filter(F.col("vec_id") != 0)
                 .select("vec_id",
-                        F.round(cosine(F.col("_v"), qlit), 6)
-                        .alias("score"))
-                .orderBy(F.desc("score"), F.col("vec_id")).limit(10))
+                        F.round(adc_estimate(books2, qv), 6)
+                        .alias("adist"))
+                .orderBy("adist", "vec_id").limit(10))
 
-    # ivf_append_stream branch: the SAME append slice drained as a
-    # 4-file stream, placed frozen per micro-batch (foreachBatch),
-    # probed identically — batching-invariance is the check
-    import os
-    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
-    from rel_db_to_graph_spark.streaming.vector_ingest import (
-        StreamingIndexAppender,
-    )
+    from pyspark import inheritable_thread_target
 
-    en_df = e.filter(F.col("vec_id") > cut)
-    with tempfile.TemporaryDirectory() as tmp:
-        feed = f"{tmp}/feed"
-        os.makedirs(feed)
-        span = en_df.agg(F.min("vec_id").alias("lo"),
-                         F.max("vec_id").alias("hi")).collect()[0]
-        step = max(1, (span["hi"] - span["lo"] + 4) // 4)
-        for i in range(4):
-            lo = span["lo"] + i * step
-            hi = span["hi"] if i == 3 else lo + step - 1
-            (en_df.filter(F.col("vec_id").between(lo, hi))
-             .coalesce(1).write.mode("append").parquet(feed))
-        appender = StreamingIndexAppender(assigned, cents)
-        q = (spark.readStream.schema(e.schema)
-             .option("maxFilesPerTrigger", 1).parquet(feed)
-             .writeStream.foreachBatch(appender.apply)
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
-    aus = appender.assignment
-    appended_stream = (aus.filter(F.col("cluster").isin(probe))
-                       .filter(F.col("vec_id") != 0)
-                       .select("vec_id",
-                               F.round(cosine(F.col("_v"), qlit), 6)
-                               .alias("score"))
-                       .orderBy(F.desc("score"), F.col("vec_id"))
-                       .limit(10))
+    wrap = inheritable_thread_target(spark)
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        f_ivf = pool.submit(wrap(branch_ivf))
+        f_pq = pool.submit(wrap(branch_pq))
+        f_ivfpq = pool.submit(wrap(branch_ivfpq))
+        f_app = pool.submit(wrap(branch_append))
+        f_pqapp = pool.submit(wrap(branch_ivfpq_append))
+        appended, appended_stream = f_app.result()
+        appended_pq = f_pqapp.result()
+        tiers = (f_ivf.result(), f_pq.result(), f_ivfpq.result())
 
-    # ivfpq_append branch: same id-range split, BOTH quantizers trained
-    # on the base slice (iters=2, the ivfpq tier's config), the
-    # appended slice placed+encoded frozen, ADC probe over the union
-    eb = e.filter(F.col("vec_id") <= cut)
-    assigned2, cents2 = build_ivf_index(eb, k=8, iters=2)
-    books2 = train_pq(eb, m=4, k=8, iters=2)
-    codes_b = encode_pq(eb, books2)
-    codes_u, au2 = ivfpq_append(codes_b, assigned2, books2, cents2,
-                                e.filter(F.col("vec_id") > cut))
-    probe2 = nearest_centroid_ids(list(enumerate(cents2)), qv, 4)
-    appended_pq = (codes_u
-                   .join(au2.select("vec_id", "cluster"), "vec_id")
-                   .filter(F.col("cluster").isin(probe2))
-                   .filter(F.col("vec_id") != 0)
-                   .select("vec_id",
-                           F.round(adc_estimate(books2, qv), 6)
-                           .alias("adist"))
-                   .orderBy("adist", "vec_id").limit(10))
-
-    return (tag(ivf_topk(e, query_id=0, k=10, n_clusters=8, nprobe=4),
-                "ivf", "score")
-            .unionByName(tag(pq_topk(e, query_id=0, k=10, m=4, n_codes=8,
-                                     iters=2), "pq", "adist"))
-            .unionByName(tag(ivfpq_topk(e, query_id=0, k=10, n_clusters=8,
-                                        nprobe=4, m=4, n_codes=8, iters=2),
-                             "ivfpq", "adist"))
+    return (tag(tiers[0], "ivf", "score")
+            .unionByName(tag(tiers[1], "pq", "adist"))
+            .unionByName(tag(tiers[2], "ivfpq", "adist"))
             .unionByName(tag(appended, "ivf_append", "score"))
             .unionByName(tag(appended_stream, "ivf_append_stream",
                              "score"))
