@@ -603,7 +603,7 @@ def test_sampled_minibatch_training_learns(spark):
     edges, feats, ex_df = _toy_hetero(spark)
     res = train_hetero_gat_sampled(edges, feats, ex_df, "A", "B",
                                    hidden=2, fanouts=[2], batch_size=16,
-                                   epochs=3, lr=0.1, seed=3)
+                                   epochs=2, lr=0.1, seed=3)
     losses = [h["train_loss"] for h in res.history]
     assert losses[-1] < losses[0], losses
     assert all(h["train_n"] > 0 for h in res.history)
@@ -675,7 +675,7 @@ def test_stack_sampled_minibatch_learns(spark):
     e_df, f_df, ex = _toy_homo(spark)
     res = train_gat_stack_sampled(e_df, f_df, ex, hidden=2, layers=2,
                                   fanouts=[2, 2], batch_size=64,
-                                  epochs=3, lr=0.1, seed=3)
+                                  epochs=2, lr=0.1, seed=3)
     losses = [h["train_loss"] for h in res.history]
     assert losses[-1] < losses[0], losses
     assert all(h["train_n"] > 0 for h in res.history)

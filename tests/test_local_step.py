@@ -176,8 +176,11 @@ def test_trainer_local_engine_agrees_quantized_sgd(spark):
     from rel_db_to_graph_spark.ml.gat_train import train_hetero_gat_sampled
 
     edges, feats, ex_df = _toy_hetero(spark)
+    # epochs=1 (3 batches): quantization + md5 draws are per-step
+    # properties; the cross-epoch membership redraw is pinned by the
+    # adamw test below (optimization round 13 — suite wall time)
     kw = dict(src_type="A", dst_type="B", hidden=2, fanouts=[1],
-              batch_size=16, epochs=2, lr=0.5, seed=3, optimizer="sgd",
+              batch_size=16, epochs=1, lr=0.5, seed=3, optimizer="sgd",
               quantize=True, split_draw="md5", batch_draw="md5",
               sample_draw="md5")
     df_res = train_hetero_gat_sampled(edges, feats, ex_df, **kw)
@@ -331,8 +334,10 @@ def test_stack_trainer_local_engine_agrees(spark):
     from rel_db_to_graph_spark.ml.gat_train import train_gat_stack_sampled
 
     e_df, f_df, ex = _toy_homo(spark)
+    # epochs=1: cross-epoch redraws for the stack family are pinned by
+    # the store-quantized variant below (optimization round 13)
     kw = dict(hidden=2, layers=2, fanouts=[2, 2], batch_size=64,
-              epochs=2, lr=0.1, seed=3)
+              epochs=1, lr=0.1, seed=3)
     df_res = train_gat_stack_sampled(e_df, f_df, ex, **kw)
     lc_res = train_gat_stack_sampled(e_df, f_df, ex,
                                      step_engine="local", **kw)
